@@ -1,0 +1,98 @@
+"""Configuration dataclasses.
+
+The reference has no config system — operating points are compile-time
+``#define``s and hardcoded constants (ParallelVideoPyr.cpp:728-729 DIFF_THRESH
+/ LEARNING_RATE, :746-747 resolution, of.cpp:14 MAX_COUNT). Here every knob is
+an explicit, hashable dataclass so configs can be passed as static args to
+``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    """Dense pyramidal Lucas–Kanade configuration.
+
+    Defaults reproduce the reference semantics exactly
+    (LKof.cpp:152-228, SerialPyr.cpp:157-194).
+    """
+
+    # Pyramid levels. None -> max_pyramid_levels(shape) (LKof.cpp:230-249).
+    levels: Optional[int] = None
+    # Quantize warp-map fractions to 1/32 like OpenCV remap's fixed-point
+    # interpolation tables (needed for golden parity; see ops/warp.py).
+    quantize_warp: bool = True
+    # 'jnp' = pure-XLA path (parity oracle), 'pallas' = fused TPU kernel,
+    # 'auto' = pallas on TPU, jnp elsewhere.
+    impl: str = "auto"
+    # Clamp per-level flow used for warping (needed to bound halo width when
+    # spatially sharded; None = unbounded, faithful to the reference).
+    warp_clamp: Optional[float] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """Video frame preprocessing (ParallelVideoPyr.cpp:780-820).
+
+    frame -> resize (cubic) -> GaussianBlur 9x9 sigma 1.5 -> gray ->
+    diff = cur - learning_rate*prev -> threshold -> Sobel x+y ->
+    dilate x2 -> erode x2.
+    """
+
+    size: Tuple[int, int] = (1080, 1080)  # (height, width)
+    blur_ksize: int = 9
+    blur_sigma: float = 1.5
+    learning_rate: float = 0.3  # LEARNING_RATE, ParallelVideoPyr.cpp:729
+    diff_thresh: float = 10.0  # DIFF_THRESH, ParallelVideoPyr.cpp:728
+    morph_iterations: int = 2
+    # True: reproduce the reference's uint8 saturating arithmetic for the
+    # blur/gray/diff/threshold chain; False: do everything in float32 (faster
+    # on TPU, visually identical).
+    faithful_uint8: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class GestureConfig:
+    """Gesture detection operating point (ParallelVideoPyr.cpp:845-890)."""
+
+    mag_thresh: float = 20.0
+    min_votes: int = 500
+    circle_radius: int = 35
+    norm_alpha: float = 255.0  # cv::normalize(mag, mag, 255), NORM_L2
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoConfig:
+    preprocess: PreprocessConfig = PreprocessConfig()
+    flow: FlowConfig = FlowConfig()
+    gesture: GestureConfig = GestureConfig()
+    # Reference quirk: coarseToFineEstimation warps its inputs in place
+    # (pyramid level 0 aliases them, LKof.cpp:193-226), and the video loop
+    # then keeps the *warped* diff as prevDiff (ParallelVideoPyr.cpp:841).
+    # True reproduces that; False keeps the unwarped diff.
+    faithful_prev_diff: bool = True
+    # Frames processed together as a batch (frame-level data parallelism).
+    batch: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for spatial tiling + frame parallelism.
+
+    The reference's parallelism is OpenMP threads in one process
+    (SURVEY.md section 2.3); the TPU-native equivalents are:
+      - rows/cols: spatial tiling of the image across chips, halo exchange
+        via ppermute over ICI (replaces shared-memory stencil reads),
+      - frames: data parallelism over time (batch of frame pairs).
+    """
+
+    rows: int = 1
+    cols: int = 1
+    frames: int = 1
+    axis_rows: str = "rows"
+    axis_cols: str = "cols"
+    axis_frames: str = "frames"

@@ -1,0 +1,93 @@
+"""Gaussian pyramid ops (reference C8/C10 and OpenCV pyrDown/pyrUp).
+
+pyr_down: separable 5-tap [1,4,6,4,1]/16 filter, BORDER_REFLECT_101, then
+take every even row/column — output size is ceil(n/2) (OpenCV semantics).
+
+pyr_up: zero-stuffed 2x upsample convolved with the same kernel scaled by 2
+per axis. OpenCV's border handling here is asymmetric (verified numerically
+against cv2.pyrUp): out-of-range index -1 reflects to 1 (REFLECT_101) but
+index n reflects to n-1 (edge-inclusive). Output is exactly (2H, 2W).
+
+Reference quirk preserved at the call site (flow/coarse_to_fine.py): flow
+values are NOT doubled when upsampled between pyramid levels
+(LKof.cpp:210-211 pyrUp's the flow with no *2).
+
+max_pyramid_levels: the reference's getMaxLayer (LKof.cpp:230-249) is the
+2-adic valuation + 1, min over both dims: 640x448 -> min(8,7) = 7 levels;
+1080x1080 -> 4.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+
+from optical_flow_tpu.ops.pad import pad_last2
+
+# OpenCV's 5-tap Gaussian, exact binary fractions: [1,4,6,4,1]/16.
+_K5 = (0.0625, 0.25, 0.375, 0.25, 0.0625)
+
+
+def _filt5_rows(x, scale: float = 1.0):
+    p = pad_last2(x, 2, 2, 0, 0, mode="reflect")
+    H = x.shape[-2]
+    return sum((k * scale) * p[..., i : i + H, :] for i, k in enumerate(_K5))
+
+
+def _filt5_cols(x, scale: float = 1.0):
+    p = pad_last2(x, 0, 0, 2, 2, mode="reflect")
+    W = x.shape[-1]
+    return sum((k * scale) * p[..., :, j : j + W] for j, k in enumerate(_K5))
+
+
+def pyr_down(x):
+    """One pyramid level down: 5-tap blur + 2x decimation (cv::pyrDown)."""
+    return _filt5_cols(_filt5_rows(x))[..., ::2, ::2]
+
+
+def _pad_pyrup(x):
+    """Pad by 1 with OpenCV pyrUp's asymmetric border (-1 -> 1, n -> n-1)."""
+    H, W = x.shape[-2], x.shape[-1]
+    top = x[..., 1:2, :] if H > 1 else x[..., 0:1, :]
+    bot = x[..., H - 1 : H, :]
+    x = jnp.concatenate([top, x, bot], axis=-2)
+    left = x[..., :, 1:2] if W > 1 else x[..., :, 0:1]
+    right = x[..., :, W - 1 : W]
+    return jnp.concatenate([left, x, right], axis=-1)
+
+
+def pyr_up(x):
+    """One pyramid level up to exactly (2H, 2W) (cv::pyrUp)."""
+    H, W = x.shape[-2], x.shape[-1]
+    p = _pad_pyrup(x)  # (..., H+2, W+2), offset 1
+    k = tuple(2.0 * v for v in _K5)
+    # Rows: even output row 2y reads source rows y-1, y, y+1 with the even
+    # kernel taps; odd output row 2y+1 reads rows y, y+1 with the odd taps.
+    ev = k[0] * p[..., :-2, :] + k[2] * p[..., 1:-1, :] + k[4] * p[..., 2:, :]
+    od = k[1] * p[..., 1:-1, :] + k[3] * p[..., 2:, :]
+    rows = jnp.stack([ev, od], axis=-2).reshape(x.shape[:-2] + (2 * H, W + 2))
+    evc = k[0] * rows[..., :, :-2] + k[2] * rows[..., :, 1:-1] + k[4] * rows[..., :, 2:]
+    odc = k[1] * rows[..., :, 1:-1] + k[3] * rows[..., :, 2:]
+    return jnp.stack([evc, odc], axis=-1).reshape(x.shape[:-2] + (2 * H, 2 * W))
+
+
+def gaussian_pyramid(img, levels: int) -> List[jnp.ndarray]:
+    """n-level pyramid; level 0 is the input itself (LKof.cpp:180-189)."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+def max_pyramid_levels(shape: Tuple[int, int]) -> int:
+    """Reference getMaxLayer: min over dims of (2-adic valuation + 1)."""
+
+    def v2_plus1(n: int) -> int:
+        p = 1
+        while n % (1 << p) == 0:
+            p += 1
+        return p
+
+    h, w = int(shape[-2]), int(shape[-1])
+    return min(v2_plus1(w), v2_plus1(h))

@@ -1,0 +1,93 @@
+"""Bilinear image warping (OpenCV ``remap`` semantics; reference C9 warps).
+
+The reference builds float32 warp maps ``map1 = (x + u/2, y + v/2)``,
+``map2 = (x - u/2, y - v/2)`` and remaps *both* frames symmetrically toward
+each other with INTER_LINEAR and the default constant-0 border
+(LKof.cpp:213-226).
+
+Two parity details verified against cv2.remap:
+  - OpenCV remap with CV_32FC2 maps quantizes coordinates to fixed point
+    with 5 fractional bits: ``s = round_half_even(coord * 32)``; the integer
+    part is ``s >> 5`` and the fraction ``(s & 31)/32``. With this
+    quantization our output matches cv2.remap bit-for-bit on float images.
+  - Any of the four bilinear taps falling outside the image contributes 0
+    (BORDER_CONSTANT with value 0), it is not clamped.
+
+Implemented as four gathers on flattened indices (XLA lowers these to
+dynamic-gather; kernels/ provides a Pallas version for the hot path).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+_INTER_BITS = 5
+_INTER_TAB_SIZE = 1 << _INTER_BITS  # 32
+
+
+def _gather2d(src, yy, xx):
+    """src[..., yy, xx] with out-of-range -> 0.
+
+    src: (..., H, W); yy/xx: int32 (..., H2, W2). Batch dims broadcast.
+    """
+    H, W = src.shape[-2], src.shape[-1]
+    ok = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+    yc = jnp.clip(yy, 0, H - 1)
+    xc = jnp.clip(xx, 0, W - 1)
+    idx = yc * W + xc
+    batch = jnp.broadcast_shapes(src.shape[:-2], idx.shape[:-2])
+    out_sp = idx.shape[-2:]
+    flat = jnp.broadcast_to(src.reshape(src.shape[:-2] + (H * W,)), batch + (H * W,))
+    idxf = jnp.broadcast_to(idx, batch + out_sp).reshape(batch + (out_sp[0] * out_sp[1],))
+    vals = jnp.take_along_axis(flat, idxf, axis=-1).reshape(batch + out_sp)
+    return jnp.where(ok, vals, jnp.zeros((), src.dtype))
+
+
+def remap_bilinear(src, map_x, map_y, *, quantize: bool = True):
+    """cv2.remap(src, map_x, map_y, INTER_LINEAR, BORDER_CONSTANT 0).
+
+    src: (..., H, W); map_x/map_y: (H2, W2) float (float32 for exact OpenCV
+    parity). Returns (..., H2, W2) in src.dtype.
+    """
+    compute_dtype = src.dtype
+    if quantize:
+        sx = jnp.rint(map_x.astype(jnp.float32) * _INTER_TAB_SIZE).astype(jnp.int32)
+        sy = jnp.rint(map_y.astype(jnp.float32) * _INTER_TAB_SIZE).astype(jnp.int32)
+        ix = sx >> _INTER_BITS
+        iy = sy >> _INTER_BITS
+        fx = (sx & (_INTER_TAB_SIZE - 1)).astype(compute_dtype) / _INTER_TAB_SIZE
+        fy = (sy & (_INTER_TAB_SIZE - 1)).astype(compute_dtype) / _INTER_TAB_SIZE
+    else:
+        ix = jnp.floor(map_x).astype(jnp.int32)
+        iy = jnp.floor(map_y).astype(jnp.int32)
+        fx = (map_x - ix).astype(compute_dtype)
+        fy = (map_y - iy).astype(compute_dtype)
+
+    v00 = _gather2d(src, iy, ix)
+    v01 = _gather2d(src, iy, ix + 1)
+    v10 = _gather2d(src, iy + 1, ix)
+    v11 = _gather2d(src, iy + 1, ix + 1)
+    top = v00 + fx * (v01 - v00)
+    bot = v10 + fx * (v11 - v10)
+    return top + fy * (bot - top)
+
+
+def symmetric_warp(img1, img2, u, v, *, quantize: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Warp both frames half-way toward each other along flow (u, v).
+
+    img1 samples at (x + u/2, y + v/2); img2 at (x - u/2, y - v/2) —
+    LKof.cpp:215-224. Maps are built in float32 like the reference's
+    Point2f maps.
+    """
+    H, W = img1.shape[-2], img1.shape[-1]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    fu = u.astype(jnp.float32)
+    fv = v.astype(jnp.float32)
+    hx = fu / jnp.float32(2)
+    hy = fv / jnp.float32(2)
+    w1 = remap_bilinear(img1, xs + hx, ys + hy, quantize=quantize)
+    w2 = remap_bilinear(img2, xs - hx, ys - hy, quantize=quantize)
+    return w1, w2

@@ -1,0 +1,148 @@
+"""Unit tests for L0/L1 ops against OpenCV oracles and reference semantics.
+
+The reference has no unit tests (SURVEY.md section 4); these pin every
+OpenCV-semantic detail (borders, anchors, quantization) the golden parity
+depends on, each against a live cv2 oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from optical_flow_tpu.ops.gradients import grad_x, grad_y, grad_t, spatio_temporal_gradients
+from optical_flow_tpu.ops.pyramid import pyr_down, pyr_up, gaussian_pyramid, max_pyramid_levels
+from optical_flow_tpu.ops.solve import safe_divide, solve_lk_2x2
+from optical_flow_tpu.ops.warp import remap_bilinear, symmetric_warp
+from optical_flow_tpu.ops.window import sum3x3_interior
+
+from conftest import require_cv2
+
+
+def _rand(rng, h, w):
+    return rng.rand(h, w)
+
+
+class TestGradients:
+    def test_vs_filter2d(self, rng):
+        cv2 = require_cv2()
+        a = _rand(rng, 13, 17)
+        b = _rand(rng, 13, 17)
+        kx = np.array([[-1.0, 1.0], [-1.0, 1.0]])
+        ky = np.array([[-1.0, -1.0], [1.0, 1.0]])
+        fx_ref = cv2.filter2D(a, -1, kx) + cv2.filter2D(b, -1, kx)
+        fy_ref = cv2.filter2D(a, -1, ky) + cv2.filter2D(b, -1, ky)
+        ft_ref = cv2.filter2D(a, -1, -np.ones((2, 2))) + cv2.filter2D(b, -1, np.ones((2, 2)))
+        np.testing.assert_allclose(grad_x(a, b), fx_ref, atol=1e-12)
+        np.testing.assert_allclose(grad_y(a, b), fy_ref, atol=1e-12)
+        np.testing.assert_allclose(grad_t(a, b), ft_ref, atol=1e-12)
+
+    def test_fused_matches_individual(self, rng):
+        a = _rand(rng, 9, 11)
+        b = _rand(rng, 9, 11)
+        fx, fy, ft = spatio_temporal_gradients(a, b)
+        np.testing.assert_allclose(fx, grad_x(a, b), atol=1e-12)
+        np.testing.assert_allclose(fy, grad_y(a, b), atol=1e-12)
+        np.testing.assert_allclose(ft, grad_t(a, b), atol=1e-12)
+
+    def test_batched(self, rng):
+        a = rng.rand(3, 9, 11)
+        b = rng.rand(3, 9, 11)
+        fx, _, _ = spatio_temporal_gradients(a, b)
+        fx0, _, _ = spatio_temporal_gradients(a[0], b[0])
+        np.testing.assert_allclose(fx[0], fx0, atol=1e-12)
+
+
+class TestSum3x3:
+    def test_interior_and_zero_ring(self, rng):
+        m = _rand(rng, 8, 9)
+        out = np.asarray(sum3x3_interior(m))
+        # border ring must be exactly zero (LKof.cpp:129-137)
+        assert (out[0, :] == 0).all() and (out[-1, :] == 0).all()
+        assert (out[:, 0] == 0).all() and (out[:, -1] == 0).all()
+        for i in range(1, 7):
+            for j in range(1, 8):
+                assert out[i, j] == pytest.approx(m[i - 1 : i + 2, j - 1 : j + 2].sum(), abs=1e-12)
+
+
+class TestSolve:
+    def test_divide_by_zero_is_zero(self):
+        num = jnp.array([1.0, -2.0, 0.0])
+        den = jnp.array([0.0, 4.0, 0.0])
+        np.testing.assert_array_equal(safe_divide(num, den), [0.0, -0.5, 0.0])
+
+    def test_cramer(self, rng):
+        s = [jnp.asarray(_rand(rng, 4, 5)) for _ in range(5)]
+        u, v = solve_lk_2x2(*s)
+        det = s[0] * s[1] - s[2] * s[2]
+        np.testing.assert_allclose(u, (s[2] * s[4] - s[1] * s[3]) / det, rtol=1e-12)
+        np.testing.assert_allclose(v, (s[3] * s[2] - s[0] * s[4]) / det, rtol=1e-12)
+
+
+class TestPyramid:
+    @pytest.mark.parametrize("shape", [(8, 12), (9, 13), (7, 10), (448, 640)])
+    def test_pyr_down_vs_cv2(self, rng, shape):
+        cv2 = require_cv2()
+        m = _rand(rng, *shape)
+        np.testing.assert_allclose(pyr_down(m), cv2.pyrDown(m), atol=1e-12)
+
+    @pytest.mark.parametrize("shape", [(5, 6), (7, 10), (14, 20)])
+    def test_pyr_up_vs_cv2(self, rng, shape):
+        cv2 = require_cv2()
+        m = _rand(rng, *shape)
+        np.testing.assert_allclose(pyr_up(m), cv2.pyrUp(m), atol=1e-12)
+
+    def test_pyramid_levels_and_shapes(self, rng):
+        img = _rand(rng, 448, 640)
+        pyr = gaussian_pyramid(img, 7)
+        shapes = [p.shape for p in pyr]
+        assert shapes == [(448, 640), (224, 320), (112, 160), (56, 80), (28, 40), (14, 20), (7, 10)]
+
+    def test_max_pyramid_levels(self):
+        assert max_pyramid_levels((448, 640)) == 7  # SerialPyr run
+        assert max_pyramid_levels((1080, 1080)) == 4  # video run
+        assert max_pyramid_levels((7, 10)) == 1
+        assert max_pyramid_levels((512, 512)) == 10
+
+
+class TestWarp:
+    def test_remap_vs_cv2(self, rng):
+        cv2 = require_cv2()
+        src = _rand(rng, 12, 15)
+        mx = (rng.rand(12, 15) * 17 - 1).astype(np.float32)
+        my = (rng.rand(12, 15) * 14 - 1).astype(np.float32)
+        ref = cv2.remap(src, mx, my, cv2.INTER_LINEAR)
+        np.testing.assert_allclose(remap_bilinear(src, mx, my), ref, atol=1e-12)
+
+    def test_remap_unquantized_close(self, rng):
+        src = _rand(rng, 12, 15)
+        mx = (rng.rand(12, 15) * 14).astype(np.float32)
+        my = (rng.rand(12, 15) * 11).astype(np.float32)
+        a = np.asarray(remap_bilinear(src, mx, my, quantize=True))
+        b = np.asarray(remap_bilinear(src, mx, my, quantize=False))
+        assert np.abs(a - b).max() < 0.05
+
+    def test_symmetric_warp_vs_cv2(self, rng):
+        cv2 = require_cv2()
+        img1 = _rand(rng, 10, 12)
+        img2 = _rand(rng, 10, 12)
+        u = rng.randn(10, 12) * 2
+        v = rng.randn(10, 12) * 2
+        w1, w2 = symmetric_warp(img1, img2, u, v)
+        xs, ys = np.meshgrid(np.arange(12, dtype=np.float32), np.arange(10, dtype=np.float32))
+        fu = u.astype(np.float32)
+        fv = v.astype(np.float32)
+        r1 = cv2.remap(img1, xs + fu / 2, ys + fv / 2, cv2.INTER_LINEAR)
+        r2 = cv2.remap(img2, xs - fu / 2, ys - fv / 2, cv2.INTER_LINEAR)
+        np.testing.assert_allclose(w1, r1, atol=1e-12)
+        np.testing.assert_allclose(w2, r2, atol=1e-12)
+
+    def test_remap_batched(self, rng):
+        src = rng.rand(2, 9, 11)
+        mx = (rng.rand(9, 11) * 10).astype(np.float32)
+        my = (rng.rand(9, 11) * 8).astype(np.float32)
+        out = np.asarray(remap_bilinear(src, mx, my))
+        out0 = np.asarray(remap_bilinear(src[0], mx, my))
+        out1 = np.asarray(remap_bilinear(src[1], mx, my))
+        np.testing.assert_allclose(out[0], out0, atol=1e-12)
+        np.testing.assert_allclose(out[1], out1, atol=1e-12)
