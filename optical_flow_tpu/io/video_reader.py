@@ -1,0 +1,111 @@
+"""Video decode backends.
+
+Preferred backend is an ffmpeg subprocess streaming raw BGR24 frames over a
+pipe — no per-frame Python codec work, and decode runs concurrently with
+device compute in its own process (the TPU-native replacement for the
+reference's synchronous `capture >> frame`, ParallelVideoPyr.cpp:782).
+Falls back to cv2.VideoCapture when ffmpeg is unavailable.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def _probe_ffmpeg(path: str) -> Optional[Tuple[int, int, float]]:
+    """(width, height, fps) via ffprobe, or None if unavailable."""
+    ffprobe = shutil.which("ffprobe")
+    if ffprobe is None:
+        return None
+    try:
+        out = subprocess.run(
+            [
+                ffprobe, "-v", "error", "-select_streams", "v:0",
+                "-show_entries", "stream=width,height,avg_frame_rate",
+                "-of", "json", path,
+            ],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+        st = json.loads(out)["streams"][0]
+        num, den = st["avg_frame_rate"].split("/")
+        fps = float(num) / float(den) if float(den) else 0.0
+        return int(st["width"]), int(st["height"]), fps
+    except Exception:
+        return None
+
+
+class VideoReader:
+    """Iterate HxWx3 uint8 BGR frames from a video file."""
+
+    def __init__(self, path, backend: str = "auto"):
+        self.path = str(path)
+        if not Path(self.path).exists():
+            raise FileNotFoundError(self.path)
+        if backend == "auto":
+            backend = "ffmpeg" if shutil.which("ffmpeg") and _probe_ffmpeg(self.path) else "cv2"
+        self.backend = backend
+        if backend == "ffmpeg":
+            self.width, self.height, self.fps = _probe_ffmpeg(self.path)
+        elif backend == "cv2":
+            import cv2
+
+            cap = cv2.VideoCapture(self.path)
+            self.width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            self.fps = cap.get(cv2.CAP_PROP_FPS)
+            cap.release()
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        if self.backend == "ffmpeg":
+            yield from self._iter_ffmpeg()
+        else:
+            yield from self._iter_cv2()
+
+    def _iter_ffmpeg(self):
+        nbytes = self.width * self.height * 3
+        proc = subprocess.Popen(
+            [
+                shutil.which("ffmpeg"), "-v", "error", "-i", self.path,
+                "-f", "rawvideo", "-pix_fmt", "bgr24", "-",
+            ],
+            stdout=subprocess.PIPE,
+            bufsize=nbytes * 4,
+        )
+        try:
+            while True:
+                buf = proc.stdout.read(nbytes)
+                if len(buf) < nbytes:
+                    break
+                yield np.frombuffer(buf, np.uint8).reshape(self.height, self.width, 3)
+        finally:
+            proc.stdout.close()
+            proc.terminate()
+            proc.wait()
+
+    def _iter_cv2(self):
+        import cv2
+
+        cap = cv2.VideoCapture(self.path)
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield frame
+        finally:
+            cap.release()
+
+
+def read_frames(path, max_frames: Optional[int] = None) -> Iterator[np.ndarray]:
+    for i, frame in enumerate(VideoReader(path)):
+        if max_frames is not None and i >= max_frames:
+            break
+        yield frame

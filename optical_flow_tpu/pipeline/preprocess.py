@@ -1,0 +1,230 @@
+"""Frame preprocessing ops (reference C11, ParallelVideoPyr.cpp:780-820).
+
+Reference chain per frame (all OpenCV, mostly uint8):
+
+    resize(frame, 1080x1080, INTER_CUBIC)
+    GaussianBlur(9x9, sigma 1.5)            [uint8 BGR]
+    cvtColor(BGR2GRAY)                      [uint8]
+    diff = cur - LEARNING_RATE * prevGray   [uint8 saturating, round-half-even]
+    threshold(diff, DIFF_THRESH, 255, THRESH_TOZERO)
+    Sobel(diff, CV_64F, dx) + Sobel(diff, CV_64F, dy)   [ksize 3, REFLECT_101]
+    dilate(3x3 rect, 2 iters); erode(3x3 rect, 2 iters)
+
+TPU-native design notes:
+- resize is expressed as two dense matmuls (row matrix @ image @ col matrix)
+  built from the exact OpenCV bicubic (A = -0.75) tap weights — the MXU eats
+  this; no gathers.
+- blur/Sobel are separable shift-add chains that XLA fuses.
+- morphology is `lax.reduce_window` max/min with +-inf border — exactly
+  OpenCV's border-ignoring default (morphologyDefaultBorderValue).
+- `faithful_uint8=True` reproduces OpenCV's uint8 saturating round-half-even
+  arithmetic between stages (parity tests vs cv2); False keeps everything in
+  float32 — the fast TPU path, visually identical.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from optical_flow_tpu.config import PreprocessConfig
+from optical_flow_tpu.ops.pad import pad_last2
+
+_CUBIC_A = -0.75  # OpenCV's bicubic parameter
+
+
+def _cubic_weights(t: np.ndarray) -> np.ndarray:
+    """OpenCV interpolateCubic tap weights for fraction t in [0,1): taps at
+    floor(x)-1 .. floor(x)+2."""
+    A = _CUBIC_A
+    w0 = ((A * (t + 1) - 5 * A) * (t + 1) + 8 * A) * (t + 1) - 4 * A
+    w1 = ((A + 2) * t - (A + 3)) * t * t + 1
+    s = 1 - t
+    w2 = ((A + 2) * s - (A + 3)) * s * s + 1
+    w3 = 1.0 - w0 - w1 - w2
+    return np.stack([w0, w1, w2, w3], axis=-1)
+
+
+@lru_cache(maxsize=64)
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) dense bicubic resampling matrix, OpenCV coordinate
+    mapping fx = (i+0.5)*n_in/n_out - 0.5 with source-index clamping."""
+    scale = n_in / n_out
+    fx = (np.arange(n_out) + 0.5) * scale - 0.5
+    ix = np.floor(fx).astype(np.int64)
+    t = fx - ix
+    w = _cubic_weights(t)  # (n_out, 4)
+    M = np.zeros((n_out, n_in), dtype=np.float32)
+    for tap in range(4):
+        src = np.clip(ix - 1 + tap, 0, n_in - 1)
+        np.add.at(M, (np.arange(n_out), src), w[:, tap].astype(np.float32))
+    return M
+
+
+def _saturate_u8(x):
+    """OpenCV saturate_cast<uchar> with cvRound (round half to even)."""
+    return jnp.clip(jnp.rint(x), 0, 255).astype(jnp.uint8)
+
+
+def resize_cubic(img, size: Tuple[int, int], *, as_uint8: Optional[bool] = None):
+    """cv2.resize(img, (W,H), INTER_CUBIC) for (..., H, W) or (H, W, C).
+
+    size is (height, width). Channel-last 3-D inputs are handled like
+    OpenCV color frames. Output dtype matches input (uint8 saturates).
+    """
+    chan_last = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
+    x = jnp.moveaxis(img, -1, 0) if chan_last else img
+    h_out, w_out = size
+    Mr = jnp.asarray(_resize_matrix(x.shape[-2], h_out))
+    Mc = jnp.asarray(_resize_matrix(x.shape[-1], w_out))
+    xf = x.astype(jnp.float32)
+    y = jnp.einsum("oh,...hw,pw->...op", Mr, xf, Mc, precision=lax.Precision.HIGHEST)
+    if as_uint8 or (as_uint8 is None and img.dtype == jnp.uint8):
+        y = _saturate_u8(y)
+    else:
+        y = y.astype(img.dtype)
+    return jnp.moveaxis(y, 0, -1) if chan_last else y
+
+
+@lru_cache(maxsize=16)
+def _gauss_taps(ksize: int, sigma: float) -> Tuple[float, ...]:
+    """cv2.getGaussianKernel taps (float64, normalized)."""
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    i = np.arange(ksize) - (ksize - 1) * 0.5
+    k = np.exp(-(i * i) / (2.0 * sigma * sigma))
+    return tuple((k / k.sum()).tolist())
+
+
+def gaussian_blur(img, ksize: int = 9, sigma: float = 1.5, *, faithful_uint8: bool = True):
+    """cv2.GaussianBlur(ksize x ksize, sigma), BORDER_REFLECT_101.
+
+    Accepts (..., H, W) or channel-last (H, W, C). uint8 inputs saturate-round
+    on output when faithful_uint8.
+    """
+    chan_last = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
+    x = jnp.moveaxis(img, -1, 0) if chan_last else img
+    is_u8 = img.dtype == jnp.uint8
+    xf = x.astype(jnp.float32)
+    taps = _gauss_taps(ksize, sigma)
+    r = ksize // 2
+    H, W = xf.shape[-2], xf.shape[-1]
+    p = pad_last2(xf, r, r, 0, 0, mode="reflect")
+    xf = sum(t * p[..., i : i + H, :] for i, t in enumerate(taps))
+    p = pad_last2(xf, 0, 0, r, r, mode="reflect")
+    xf = sum(t * p[..., :, j : j + W] for j, t in enumerate(taps))
+    y = _saturate_u8(xf) if (is_u8 and faithful_uint8) else xf.astype(img.dtype)
+    return jnp.moveaxis(y, 0, -1) if chan_last else y
+
+
+def bgr_to_gray(img):
+    """cvtColor(CV_BGR2GRAY) on uint8 (..., 3): fixed-point BT.601 with
+    15-bit coefficients (R 9798, G 19235, B 3735, +2^14 >> 15) — verified
+    exact against cv2 5.0."""
+    b = img[..., 0].astype(jnp.int32)
+    g = img[..., 1].astype(jnp.int32)
+    r = img[..., 2].astype(jnp.int32)
+    return ((r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15).astype(jnp.uint8)
+
+
+def temporal_diff(cur, prev, learning_rate: float = 0.3, *, faithful_uint8: bool = True):
+    """diff = cur - learning_rate * prev (ParallelVideoPyr.cpp:803).
+
+    On uint8 OpenCV evaluates the Mat expression in double and
+    saturate_casts back to uint8 (round half to even).
+    """
+    d = cur.astype(jnp.float32) - jnp.float32(learning_rate) * prev.astype(jnp.float32)
+    if faithful_uint8 and cur.dtype == jnp.uint8:
+        return _saturate_u8(d)
+    return d
+
+
+def threshold_tozero(x, thresh: float):
+    """cv2.threshold(..., THRESH_TOZERO): keep x where x > thresh else 0."""
+    return jnp.where(x > jnp.asarray(thresh, x.dtype), x, jnp.zeros((), x.dtype))
+
+
+def sobel3(img, dx: int, dy: int, out_dtype=jnp.float32):
+    """cv2.Sobel(img, ddepth, dx, dy, ksize=3), BORDER_REFLECT_101.
+
+    Separable: d/dx = smooth[1,2,1] rows x diff[-1,0,1] cols (and transposed
+    for d/dy). Reference calls with (1,0) and (0,1) into CV_64F
+    (ParallelVideoPyr.cpp:809-810); f32 is the TPU default here.
+    """
+    x = img.astype(out_dtype)
+    H, W = x.shape[-2], x.shape[-1]
+
+    def rows(v, taps):
+        p = pad_last2(v, 1, 1, 0, 0, mode="reflect")
+        return sum(t * p[..., i : i + H, :] for i, t in enumerate(taps) if t)
+
+    def cols(v, taps):
+        p = pad_last2(v, 0, 0, 1, 1, mode="reflect")
+        return sum(t * p[..., :, j : j + W] for j, t in enumerate(taps) if t)
+
+    smooth, diff = (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0)
+    if (dx, dy) == (1, 0):
+        return cols(rows(x, smooth), diff)
+    if (dx, dy) == (0, 1):
+        return rows(cols(x, smooth), diff)
+    raise ValueError(f"unsupported (dx, dy) = {(dx, dy)}")
+
+
+def _morph3x3(x, mode: str, iterations: int):
+    init = -jnp.inf if mode == "max" else jnp.inf
+    op = lax.max if mode == "max" else lax.min
+    nb = x.ndim - 2
+    for _ in range(iterations):
+        x = lax.reduce_window(
+            x,
+            jnp.asarray(init, x.dtype),
+            op,
+            window_dimensions=(1,) * nb + (3, 3),
+            window_strides=(1,) * x.ndim,
+            padding=[(0, 0)] * nb + [(1, 1), (1, 1)],
+        )
+    return x
+
+
+def dilate3x3(x, iterations: int = 1):
+    """cv2.dilate with default 3x3 rect kernel; border ignored (max over
+    in-bounds pixels), matching morphologyDefaultBorderValue."""
+    return _morph3x3(x, "max", iterations)
+
+
+def erode3x3(x, iterations: int = 1):
+    """cv2.erode with default 3x3 rect kernel (min over in-bounds)."""
+    return _morph3x3(x, "min", iterations)
+
+
+def preprocess_frame(frame_bgr, config: PreprocessConfig = PreprocessConfig()):
+    """resize -> blur -> gray: the per-frame head of the reference chain
+    (ParallelVideoPyr.cpp:782-793). Returns uint8 (or f32) grayscale."""
+    x = resize_cubic(frame_bgr, config.size)
+    x = gaussian_blur(
+        x, config.blur_ksize, config.blur_sigma, faithful_uint8=config.faithful_uint8
+    )
+    if x.ndim >= 3 and x.shape[-1] in (1, 3, 4):
+        if x.dtype == jnp.uint8:
+            x = bgr_to_gray(x)
+        else:
+            raise ValueError("color preprocessing requires uint8 frames")
+    return x
+
+
+def diff_features(cur_gray, prev_gray, config: PreprocessConfig = PreprocessConfig()):
+    """gray pair -> flow-ready feature map: temporal diff, threshold,
+    Sobel x+y, dilate^2, erode^2 (ParallelVideoPyr.cpp:803-814).
+    Output is float32 (reference: CV_64F)."""
+    d = temporal_diff(
+        cur_gray, prev_gray, config.learning_rate, faithful_uint8=config.faithful_uint8
+    )
+    d = threshold_tozero(d, config.diff_thresh)
+    d = sobel3(d, 1, 0) + sobel3(d, 0, 1)
+    d = dilate3x3(d, config.morph_iterations)
+    d = erode3x3(d, config.morph_iterations)
+    return d

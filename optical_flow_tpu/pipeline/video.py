@@ -1,0 +1,140 @@
+"""Video gesture-tracking pipeline driver (reference flagship,
+ParallelVideoPyr.cpp:730-905).
+
+The reference loop is strictly sequential: capture -> preprocess -> pyramidal
+LK on (prevDiff, diff) -> gesture -> imshow. Two TPU-native execution modes:
+
+- streaming: one jitted step per frame pair, preserving the reference's
+  sequential-state quirks (including `faithful_prev_diff`: the pyramid warp
+  mutates `diff` in place through level-0 aliasing BEFORE it is saved as the
+  next prevDiff — LKof.cpp:193-226 + ParallelVideoPyr.cpp:841);
+- batched: N frames preprocessed and N-2 flow fields solved as one batch
+  (frame data parallelism, shardable over the 'frames' mesh axis). Batching
+  requires faithful_prev_diff=False since the warped-diff feedback is a
+  sequential dependency.
+
+Both run the same jitted compute; the host loop only feeds frames and
+collects results (no device->host sync inside the loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Iterator, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optical_flow_tpu.config import VideoConfig
+from optical_flow_tpu.flow.coarse_to_fine import coarse_to_fine_with_images
+from optical_flow_tpu.ops.pyramid import max_pyramid_levels
+from optical_flow_tpu.pipeline.gesture import GestureResult, detect_gesture
+from optical_flow_tpu.pipeline.preprocess import diff_features, preprocess_frame
+
+
+class FrameResult(NamedTuple):
+    u: jnp.ndarray
+    v: jnp.ndarray
+    gesture: GestureResult
+
+
+class VideoPipeline:
+    """Gesture tracking over a frame stream.
+
+    Usage:
+        pipe = VideoPipeline(VideoConfig())
+        for result in pipe.run(frames):   # frames: iterable of HxWx3 uint8
+            if bool(result.gesture.detected): ...
+    """
+
+    def __init__(self, config: VideoConfig = VideoConfig(), mesh=None):
+        self.config = config
+        self.mesh = mesh
+        self._preprocess = jax.jit(self._preprocess_impl)
+        self._diff = jax.jit(self._diff_impl)
+        self._flow_step = jax.jit(self._flow_step_impl)
+        self._batch_flow = jax.jit(self._batch_flow_impl)
+
+    # --- jitted stages -----------------------------------------------------
+
+    def _preprocess_impl(self, frame_bgr):
+        return preprocess_frame(frame_bgr, self.config.preprocess)
+
+    def _diff_impl(self, cur_gray, prev_gray):
+        return diff_features(cur_gray, prev_gray, self.config.preprocess)
+
+    def _flow_step_impl(self, prev_diff, diff):
+        levels = max_pyramid_levels(diff.shape)
+        if self.mesh is not None:
+            from optical_flow_tpu.parallel.sharded_flow import sharded_coarse_to_fine
+
+            u, v = sharded_coarse_to_fine(
+                prev_diff, diff, self.mesh, levels, config=self.config.flow
+            )
+            warped_diff = diff  # sharded path doesn't carry warped images yet
+        else:
+            u, v, _, warped_diff = coarse_to_fine_with_images(
+                prev_diff, diff, levels, config=self.config.flow
+            )
+        gesture = detect_gesture(u, v, self.config.gesture)
+        next_prev = warped_diff if self.config.faithful_prev_diff else diff
+        return FrameResult(u, v, gesture), next_prev
+
+    def _batch_flow_impl(self, prev_diffs, diffs):
+        levels = max_pyramid_levels(diffs.shape)
+        if self.mesh is not None:
+            from optical_flow_tpu.parallel.sharded_flow import sharded_coarse_to_fine
+
+            u, v = sharded_coarse_to_fine(
+                prev_diffs, diffs, self.mesh, levels, config=self.config.flow
+            )
+        else:
+            u, v, _, _ = coarse_to_fine_with_images(
+                prev_diffs, diffs, levels, config=self.config.flow
+            )
+        return FrameResult(u, v, detect_gesture(u, v, self.config.gesture))
+
+    # --- host loops --------------------------------------------------------
+
+    def run(self, frames: Iterable[np.ndarray]) -> Iterator[FrameResult]:
+        """Streaming mode: yields one FrameResult per frame from the third
+        frame on (the reference needs two warm-up frames: one for prevFrame,
+        one for prevDiff — ParallelVideoPyr.cpp:794-822)."""
+        prev_gray = None
+        prev_diff = None
+        for frame in frames:
+            gray = self._preprocess(jnp.asarray(frame))
+            if prev_gray is None:
+                prev_gray = gray
+                continue
+            diff = self._diff(gray, prev_gray)
+            prev_gray = gray
+            if prev_diff is None:
+                prev_diff = diff
+                continue
+            result, prev_diff = self._flow_step(prev_diff, diff)
+            yield result
+
+    def run_batched(self, frames: np.ndarray) -> FrameResult:
+        """Batched mode: frames (N, H, W, 3) uint8 -> FrameResult with a
+        leading N-2 batch axis. Requires faithful_prev_diff=False."""
+        if self.config.faithful_prev_diff:
+            raise ValueError(
+                "batched mode needs faithful_prev_diff=False (the warped-diff "
+                "feedback is a sequential dependency)"
+            )
+        grays = self._preprocess(jnp.asarray(frames))
+        diffs = self._diff(grays[1:], grays[:-1])
+        return self._batch_flow(diffs[:-1], diffs[1:])
+
+
+def replay_video(path, config: Optional[VideoConfig] = None, max_frames: Optional[int] = None):
+    """Convenience: run the pipeline over a video file (reference demo flow,
+    but file-fed instead of VideoCapture(0))."""
+    from optical_flow_tpu.io.video_reader import read_frames
+
+    cfg = config or VideoConfig()
+    pipe = VideoPipeline(cfg)
+    frames = read_frames(path, max_frames=max_frames)
+    return list(pipe.run(frames))

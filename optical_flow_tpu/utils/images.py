@@ -14,11 +14,12 @@ import numpy as np
 
 
 def bgr_to_gray_u8(bgr: np.ndarray) -> np.ndarray:
-    """OpenCV CV_BGR2GRAY on uint8: fixed-point BT.601 (verified vs cv2)."""
+    """OpenCV CV_BGR2GRAY on uint8: fixed-point BT.601 with 15-bit
+    coefficients (R 9798, G 19235, B 3735) — verified exact vs cv2 5.0."""
     b = bgr[..., 0].astype(np.int64)
     g = bgr[..., 1].astype(np.int64)
     r = bgr[..., 2].astype(np.int64)
-    return ((r * 4899 + g * 9617 + b * 1868 + (1 << 13)) >> 14).astype(np.uint8)
+    return ((r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15).astype(np.uint8)
 
 
 def imread_gray(path) -> np.ndarray:

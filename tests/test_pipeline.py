@@ -1,0 +1,193 @@
+"""Preprocessing / gesture / video-pipeline tests.
+
+Preprocessing ops are parity-checked against cv2 (the exact library the
+reference linked, Makefile:8-10). uint8 stages allow +-1 quantization slack
+(OpenCV uses fixed-point filter coefficients for 8u); index-exact stages
+(gray conversion, threshold, morphology, Sobel on small ints) must match
+exactly.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from optical_flow_tpu.config import GestureConfig, PreprocessConfig, VideoConfig, FlowConfig
+from optical_flow_tpu.pipeline import (
+    VideoPipeline,
+    detect_gesture,
+    dilate3x3,
+    erode3x3,
+    gaussian_blur,
+    resize_cubic,
+    sobel3,
+    temporal_diff,
+    threshold_tozero,
+)
+from optical_flow_tpu.pipeline.preprocess import bgr_to_gray, diff_features
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def frame(rng=None):
+    r = np.random.RandomState(7)
+    return (r.rand(120, 160, 3) * 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def gray_pair():
+    r = np.random.RandomState(8)
+    a = (r.rand(96, 128) * 255).astype(np.uint8)
+    b = (r.rand(96, 128) * 255).astype(np.uint8)
+    return a, b
+
+
+def test_resize_cubic_uint8(frame):
+    ours = np.asarray(resize_cubic(jnp.asarray(frame), (64, 96)))
+    ref = cv2.resize(frame, (96, 64), interpolation=cv2.INTER_CUBIC)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_resize_cubic_float(frame):
+    f = frame[..., 0].astype(np.float32)
+    ours = np.asarray(resize_cubic(jnp.asarray(f), (64, 96)))
+    ref = cv2.resize(f, (96, 64), interpolation=cv2.INTER_CUBIC)
+    np.testing.assert_allclose(ours, ref, atol=1e-2)
+
+
+def test_resize_cubic_upscale(frame):
+    ours = np.asarray(resize_cubic(jnp.asarray(frame), (240, 320)))
+    ref = cv2.resize(frame, (320, 240), interpolation=cv2.INTER_CUBIC)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_gaussian_blur_uint8(frame):
+    ours = np.asarray(gaussian_blur(jnp.asarray(frame), 9, 1.5))
+    ref = cv2.GaussianBlur(frame, (9, 9), 1.5, sigmaY=1.5)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_bgr_to_gray_exact(frame):
+    ours = np.asarray(bgr_to_gray(jnp.asarray(frame)))
+    ref = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_temporal_diff(gray_pair):
+    cur, prev = gray_pair
+    ours = np.asarray(temporal_diff(jnp.asarray(cur), jnp.asarray(prev), 0.3))
+    ref = cv2.addWeighted(cur, 1.0, prev, -0.3, 0.0)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_threshold_tozero(gray_pair):
+    x, _ = gray_pair
+    ours = np.asarray(threshold_tozero(jnp.asarray(x), 10))
+    _, ref = cv2.threshold(x, 10, 255, cv2.THRESH_TOZERO)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_sobel_exact(gray_pair):
+    x, _ = gray_pair
+    for dxy in [(1, 0), (0, 1)]:
+        ours = np.asarray(sobel3(jnp.asarray(x), *dxy))
+        ref = cv2.Sobel(x, cv2.CV_64F, *dxy)
+        np.testing.assert_array_equal(ours.astype(np.float64), ref)
+
+
+def test_morphology_exact(gray_pair):
+    x, _ = gray_pair
+    xf = x.astype(np.float32)
+    ours_d = np.asarray(dilate3x3(jnp.asarray(xf), 2))
+    ref_d = cv2.dilate(xf, None, iterations=2)
+    np.testing.assert_array_equal(ours_d, ref_d)
+    ours_e = np.asarray(erode3x3(jnp.asarray(xf), 2))
+    ref_e = cv2.erode(xf, None, iterations=2)
+    np.testing.assert_array_equal(ours_e, ref_e)
+
+
+def test_diff_features_chain(gray_pair):
+    """Full C11 tail vs a cv2 composition (diff -> thresh -> sobel -> morph)."""
+    cur, prev = gray_pair
+    cfg = PreprocessConfig()
+    ours = np.asarray(diff_features(jnp.asarray(cur), jnp.asarray(prev), cfg))
+    d = cv2.addWeighted(cur, 1.0, prev, -0.3, 0.0)
+    _, d = cv2.threshold(d, 10, 255, cv2.THRESH_TOZERO)
+    d = cv2.Sobel(d, cv2.CV_64F, 1, 0) + cv2.Sobel(d, cv2.CV_64F, 0, 1)
+    d = cv2.dilate(d, None, iterations=2)
+    d = cv2.erode(d, None, iterations=2)
+    # +-1 on the uint8 diff propagates through sobel (|taps|=8) and morph
+    assert np.abs(ours.astype(np.float64) - d).max() <= 8.0
+
+
+def test_gesture_detection_synthetic():
+    u = np.zeros((64, 64), np.float32)
+    v = np.zeros((64, 64), np.float32)
+    u[20:52, 10:42] = 30.0  # 32*32 = 1024 voting pixels > 500
+    res = detect_gesture(jnp.asarray(u), jnp.asarray(v), GestureConfig())
+    assert bool(res.detected)
+    assert int(res.votes) == 32 * 32
+    np.testing.assert_allclose(float(res.cx), (10 + 41) / 2, atol=1e-4)
+    np.testing.assert_allclose(float(res.cy), (20 + 51) / 2, atol=1e-4)
+    # below-threshold flow: no detection
+    res2 = detect_gesture(jnp.asarray(u * 0.1), jnp.asarray(v), GestureConfig())
+    assert not bool(res2.detected)
+
+
+def _small_video_config():
+    return VideoConfig(
+        preprocess=PreprocessConfig(size=(96, 96)),
+        flow=FlowConfig(impl="jnp"),
+    )
+
+
+def _synthetic_frames(n, h=120, w=160):
+    r = np.random.RandomState(3)
+    base = (r.rand(h, w, 3) * 255).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        f = np.roll(base, shift=2 * i, axis=1)  # horizontal motion
+        frames.append(f)
+    return frames
+
+
+def test_video_pipeline_streaming():
+    pipe = VideoPipeline(_small_video_config())
+    results = list(pipe.run(_synthetic_frames(5)))
+    assert len(results) == 3  # two warm-up frames
+    for res in results:
+        assert res.u.shape == (96, 96)
+        assert np.isfinite(np.asarray(res.u)).all()
+        assert np.isfinite(np.asarray(res.v)).all()
+        assert res.gesture.votes.dtype == np.int32
+
+
+def test_video_pipeline_batched_matches_streaming():
+    cfg = VideoConfig(
+        preprocess=PreprocessConfig(size=(96, 96)),
+        flow=FlowConfig(impl="jnp"),
+        faithful_prev_diff=False,
+    )
+    frames = _synthetic_frames(6)
+    stream = list(VideoPipeline(cfg).run(frames))
+    batch = VideoPipeline(cfg).run_batched(np.stack(frames))
+    assert batch.u.shape == (4, 96, 96)
+    for i, res in enumerate(stream):
+        np.testing.assert_allclose(
+            np.asarray(res.u), np.asarray(batch.u[i]), atol=1e-5
+        )
+
+
+def test_pacman_video_smoke():
+    """End-to-end on the reference's bundled video asset."""
+    from optical_flow_tpu.utils.goldens import reference_dir
+    from optical_flow_tpu.io.video_reader import read_frames
+
+    ref = reference_dir()
+    if ref is None or not (ref / "pacman.mp4").exists():
+        pytest.skip("pacman.mp4 not available")
+    pipe = VideoPipeline(_small_video_config())
+    results = list(pipe.run(read_frames(ref / "pacman.mp4", max_frames=5)))
+    assert len(results) == 3
+    assert all(np.isfinite(np.asarray(r.u)).all() for r in results)
