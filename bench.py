@@ -1,0 +1,99 @@
+"""Headline benchmark: dense pyramidal Lucas-Kanade flow at 1080x1080.
+
+This is the reference's flagship per-frame workload (ParallelVideoPyr.cpp:
+746-747 resize to 1080^2, :831-836 getMaxLayer -> 4 levels ->
+coarseToFineEstimation), timed steady-state on the available device.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+vs_baseline is against the driver target of 500 fps dense 1080p flow
+(BASELINE.md; the reference itself publishes no numbers).
+
+Usage: python bench.py [--impl auto|jnp|pallas] [--size 1080] [--iters 30]
+       [--batch 1]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 500.0  # driver target for v5p-8; we report per-chip fps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"])
+    ap.add_argument("--size", type=int, default=1080)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--levels", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from optical_flow_tpu import FlowConfig, coarse_to_fine
+    from optical_flow_tpu.ops.pyramid import max_pyramid_levels
+
+    H = W = args.size
+    levels = args.levels or max_pyramid_levels((H, W))  # 1080 -> 4 (reference)
+    cfg = FlowConfig(impl=args.impl, levels=levels)
+
+    rng = np.random.RandomState(0)
+    shape = (args.batch, H, W) if args.batch > 1 else (H, W)
+
+    # Use-once inputs: the device runtime caches repeated identical
+    # dispatches, so every timed call gets a frame pair it has never seen.
+    def make_pair(seed):
+        r = np.random.RandomState(seed)
+        base = (r.rand(*shape) * 2040.0).astype(np.float32)
+        mask = (r.rand(*shape) < 0.15).astype(np.float32)
+        img1 = jnp.asarray(base * mask)
+        img2 = jnp.asarray(np.roll(base * mask, 2, axis=-1))
+        return img1, img2
+
+    pairs = [make_pair(s) for s in range(args.warmup + args.iters)]
+    jax.block_until_ready(pairs)
+
+    fn = jax.jit(lambda a, b: coarse_to_fine(a, b, levels, config=cfg))
+    warm = [fn(*p) for p in pairs[: args.warmup]]
+    jax.block_until_ready(warm)
+
+    t0 = time.perf_counter()
+    outs = [fn(*p) for p in pairs[args.warmup :]]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+
+    frames = args.iters * args.batch
+    fps = frames / dt
+    mpix_s = fps * H * W / 1e6
+    result = {
+        "metric": f"dense_pyramidal_lk_{args.size}p_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "mpix_per_s": round(mpix_s, 1),
+                    "levels": levels,
+                    "impl": args.impl,
+                    "batch": args.batch,
+                    "device": str(jax.devices()[0]),
+                    "iters": args.iters,
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

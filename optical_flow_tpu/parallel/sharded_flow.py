@@ -36,13 +36,13 @@ from optical_flow_tpu.parallel.sharded_lk import sharded_lucas_kanade
 MIN_TILE = 32  # don't spatially tile levels smaller than this per chip
 
 
-def _tileable(shape, rows_n: int, cols_n: int) -> bool:
+def _tileable(shape, rows_n: int, cols_n: int, min_tile: int) -> bool:
     H, W = shape[-2], shape[-1]
     return (
         H % rows_n == 0
         and W % cols_n == 0
-        and H // rows_n >= MIN_TILE
-        and W // cols_n >= MIN_TILE
+        and H // rows_n >= min_tile
+        and W // cols_n >= min_tile
     )
 
 
@@ -53,6 +53,7 @@ def sharded_coarse_to_fine(
     levels: Optional[int] = None,
     *,
     config: FlowConfig = FlowConfig(),
+    min_tile: int = MIN_TILE,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pyramidal dense LK with fine-level solves tiled over the mesh.
 
@@ -69,7 +70,7 @@ def sharded_coarse_to_fine(
 
     upu = upv = None
     for i in range(levels - 1, -1, -1):
-        if _tileable(pyr1[i].shape, rows_n, cols_n):
+        if _tileable(pyr1[i].shape, rows_n, cols_n, min_tile):
             u, v = sharded_lucas_kanade(pyr1[i], pyr2[i], mesh, impl=config.impl)
         else:
             u, v = lucas_kanade(pyr1[i], pyr2[i], impl=config.impl)

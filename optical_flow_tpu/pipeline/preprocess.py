@@ -122,13 +122,21 @@ def gaussian_blur(img, ksize: int = 9, sigma: float = 1.5, *, faithful_uint8: bo
 
 
 def bgr_to_gray(img):
-    """cvtColor(CV_BGR2GRAY) on uint8 (..., 3): fixed-point BT.601 with
-    15-bit coefficients (R 9798, G 19235, B 3735, +2^14 >> 15) — verified
-    exact against cv2 5.0."""
-    b = img[..., 0].astype(jnp.int32)
-    g = img[..., 1].astype(jnp.int32)
-    r = img[..., 2].astype(jnp.int32)
-    return ((r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15).astype(jnp.uint8)
+    """cvtColor(CV_BGR2GRAY) on (..., 3).
+
+    uint8: fixed-point BT.601 with 15-bit coefficients (R 9798, G 19235,
+    B 3735, +2^14 >> 15) — verified exact against cv2 5.0.
+    float: plain BT.601 weights, like OpenCV's float path.
+    """
+    if img.dtype == jnp.uint8:
+        b = img[..., 0].astype(jnp.int32)
+        g = img[..., 1].astype(jnp.int32)
+        r = img[..., 2].astype(jnp.int32)
+        return ((r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15).astype(
+            jnp.uint8
+        )
+    b, g, r = img[..., 0], img[..., 1], img[..., 2]
+    return (0.299 * r + 0.587 * g + 0.114 * b).astype(img.dtype)
 
 
 def temporal_diff(cur, prev, learning_rate: float = 0.3, *, faithful_uint8: bool = True):
@@ -209,10 +217,7 @@ def preprocess_frame(frame_bgr, config: PreprocessConfig = PreprocessConfig()):
         x, config.blur_ksize, config.blur_sigma, faithful_uint8=config.faithful_uint8
     )
     if x.ndim >= 3 and x.shape[-1] in (1, 3, 4):
-        if x.dtype == jnp.uint8:
-            x = bgr_to_gray(x)
-        else:
-            raise ValueError("color preprocessing requires uint8 frames")
+        x = bgr_to_gray(x)
     return x
 
 

@@ -1,0 +1,65 @@
+"""Pallas fused-LK kernel tests.
+
+On CPU the kernel runs in Mosaic interpret mode (skipped if unsupported);
+on a real TPU (bench environment, not CI) the kernel is verified
+bit-identical to the jnp path — see the session verification protocol in
+.claude/skills/verify. Here we check the kernel against the jnp oracle on a
+grid of awkward shapes (round-up rows/cols, tiny, batched).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from optical_flow_tpu.flow.lk import lucas_kanade_jnp
+
+
+def _pallas_interpret(a, b):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from optical_flow_tpu.kernels.lk_kernel import lucas_kanade_pallas
+
+    with pltpu.force_tpu_interpret_mode():
+        return lucas_kanade_pallas(a, b)
+
+
+on_tpu = jax.default_backend() == "tpu"
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(64, 128), (37, 53), (96, 200), (3, 40, 64)],
+)
+def test_pallas_matches_jnp(shape):
+    rng = np.random.RandomState(5)
+    a = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    b = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    u0, v0 = lucas_kanade_jnp(a, b)
+    try:
+        if on_tpu:
+            from optical_flow_tpu.kernels.lk_kernel import lucas_kanade_pallas
+
+            u1, v1 = lucas_kanade_pallas(a, b)
+        else:
+            u1, v1 = _pallas_interpret(a, b)
+    except NotImplementedError as e:  # interpret-mode gaps on this jax build
+        pytest.skip(f"pallas interpret unsupported here: {e}")
+    if on_tpu:
+        # bit-identical on hardware (same ops, same order)
+        np.testing.assert_array_equal(np.asarray(u0, np.float32), np.asarray(u1))
+        np.testing.assert_array_equal(np.asarray(v0, np.float32), np.asarray(v1))
+    else:
+        # CPU interpret mode rounds differently (fma/fusion) — ~1 ulp
+        np.testing.assert_allclose(np.asarray(u0, np.float32), np.asarray(u1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v0, np.float32), np.asarray(v1), atol=1e-5)
+
+
+def test_degenerate_level_returns_zeros():
+    from optical_flow_tpu.kernels.lk_kernel import lucas_kanade_pallas
+
+    a = jnp.ones((2, 2), jnp.float32)
+    u, v = lucas_kanade_pallas(a, a)
+    np.testing.assert_array_equal(np.asarray(u), 0)
+    np.testing.assert_array_equal(np.asarray(v), 0)
