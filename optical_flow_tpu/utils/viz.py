@@ -1,0 +1,50 @@
+"""Flow-field and gesture visualization (headless).
+
+The reference's observability is `imshow` windows plus a circle drawn on the
+live frame (ParallelVideoPyr.cpp:886-890, of.cpp:63-87). Headless
+replacements: flow -> HSV color wheel image, magnitude heatmaps, and circle
+overlays, all as uint8 arrays writable with PIL/cv2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def flow_to_color(u, v, max_mag: float | None = None) -> np.ndarray:
+    """Dense flow -> uint8 RGB (HSV wheel: hue = direction, value = speed)."""
+    u = np.asarray(u, np.float32)
+    v = np.asarray(v, np.float32)
+    mag = np.sqrt(u * u + v * v)
+    ang = np.arctan2(v, u)  # [-pi, pi]
+    if max_mag is None:
+        max_mag = max(float(mag.max()), 1e-6)
+    h = (ang + np.pi) / (2 * np.pi)  # [0,1)
+    s = np.ones_like(h)
+    val = np.clip(mag / max_mag, 0, 1)
+    i = np.floor(h * 6).astype(np.int32) % 6
+    f = h * 6 - np.floor(h * 6)
+    p = val * (1 - s)
+    q = val * (1 - f * s)
+    t = val * (1 - (1 - f) * s)
+    r = np.choose(i, [val, q, p, p, t, val])
+    g = np.choose(i, [t, val, val, q, p, p])
+    b = np.choose(i, [p, p, t, val, val, q])
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+def draw_circle(img: np.ndarray, cx: float, cy: float, radius: int, color=(255, 0, 0), thickness: int = 2) -> np.ndarray:
+    """Draw a circle outline on an (H, W, 3) uint8 image (pure numpy)."""
+    out = np.array(img, copy=True)
+    H, W = out.shape[:2]
+    yy, xx = np.mgrid[0:H, 0:W]
+    d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+    ring = np.abs(d - radius) <= thickness / 2
+    out[ring] = color
+    return out
+
+
+def save_png(img: np.ndarray, path) -> None:
+    from PIL import Image
+
+    Image.fromarray(img).save(str(path))

@@ -1,0 +1,95 @@
+"""Sparse tracking tests: synthetic ground truth + cv2 cross-checks."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from optical_flow_tpu.track import (
+    SparseLKConfig,
+    good_features_to_track,
+    track_features,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _texture(h=240, w=320, seed=0):
+    r = np.random.RandomState(seed)
+    img = r.rand(h // 8, w // 8).astype(np.float32)
+    img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
+    return (255 * (img - img.min()) / (img.max() - img.min())).astype(np.uint8)
+
+
+def _shift(img, dx, dy):
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    return cv2.warpAffine(
+        img, M, (img.shape[1], img.shape[0]), flags=cv2.INTER_CUBIC,
+        borderMode=cv2.BORDER_REFLECT_101,
+    )
+
+
+def test_good_features_close_to_cv2():
+    img = _texture()
+    pts, valid = good_features_to_track(jnp.asarray(img), 100, 0.01, 10)
+    ours = np.asarray(pts)[np.asarray(valid)]
+    assert len(ours) >= 20
+    ref = cv2.goodFeaturesToTrack(img, 100, 0.01, 10).reshape(-1, 2)
+    # most of our corners should be within 2 px of a cv2 corner
+    d = np.linalg.norm(ours[:, None, :] - ref[None, :, :], axis=-1).min(axis=1)
+    assert (d <= 2.0).mean() >= 0.6, f"only {(d<=2).mean():.0%} matched"
+
+
+def test_track_recovers_translation():
+    img1 = _texture(seed=1)
+    dx, dy = 3.7, -2.2
+    img2 = _shift(img1, dx, dy)
+    pts, valid = good_features_to_track(jnp.asarray(img1), 80, 0.01, 10)
+    pts_np = np.asarray(pts)[np.asarray(valid)]
+    # keep features away from borders
+    keep = (
+        (pts_np[:, 0] > 30) & (pts_np[:, 0] < 290)
+        & (pts_np[:, 1] > 30) & (pts_np[:, 1] < 210)
+    )
+    pts_np = pts_np[keep]
+    assert len(pts_np) >= 10
+    new, status, err = track_features(img1, img2, pts_np)
+    new = np.asarray(new)[np.asarray(status)]
+    old = pts_np[np.asarray(status)]
+    assert len(new) >= 10
+    d = new - old
+    med = np.median(d, axis=0)
+    np.testing.assert_allclose(med, [dx, dy], atol=0.1)
+
+
+def test_track_close_to_cv2():
+    img1 = _texture(seed=2)
+    img2 = _shift(img1, 2.5, 1.5)
+    ref_pts = cv2.goodFeaturesToTrack(img1, 60, 0.01, 10).reshape(-1, 2)
+    keep = (
+        (ref_pts[:, 0] > 30) & (ref_pts[:, 0] < 290)
+        & (ref_pts[:, 1] > 30) & (ref_pts[:, 1] < 210)
+    )
+    ref_pts = ref_pts[keep].astype(np.float32)
+    cv_new, cv_st, _ = cv2.calcOpticalFlowPyrLK(
+        img1, img2, ref_pts.reshape(-1, 1, 2), None,
+        winSize=(31, 31), maxLevel=2,
+        criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 20, 0.03),
+    )
+    cv_new = cv_new.reshape(-1, 2)
+    cv_st = cv_st.reshape(-1).astype(bool)
+    our_new, our_st, _ = track_features(img1, img2, ref_pts)
+    both = cv_st & np.asarray(our_st)
+    assert both.sum() >= 10
+    diff = np.linalg.norm(np.asarray(our_new)[both] - cv_new[both], axis=-1)
+    assert np.median(diff) <= 0.5, f"median diff {np.median(diff):.2f} px"
+
+
+def test_track_flags_out_of_bounds():
+    img1 = _texture(seed=3)
+    img2 = _shift(img1, 2.0, 0.0)
+    pts = np.array([[5.0, 5.0], [160.0, 120.0]], np.float32)
+    _, status, _ = track_features(img1, img2, pts)
+    status = np.asarray(status)
+    assert not status[0]  # window off the image edge
+    assert status[1]
