@@ -48,9 +48,22 @@ class VideoReader:
         if not Path(self.path).exists():
             raise FileNotFoundError(self.path)
         if backend == "auto":
-            backend = "ffmpeg" if shutil.which("ffmpeg") and _probe_ffmpeg(self.path) else "cv2"
+            from optical_flow_tpu.native import load_library
+
+            if load_library() is not None:
+                backend = "native"
+            elif shutil.which("ffmpeg") and _probe_ffmpeg(self.path):
+                backend = "ffmpeg"
+            else:
+                backend = "cv2"
         self.backend = backend
-        if backend == "ffmpeg":
+        if backend == "native":
+            from optical_flow_tpu.native import NativeFramePipe
+
+            probe = NativeFramePipe(self.path)
+            self.width, self.height, self.fps = probe.width, probe.height, probe.fps
+            probe.close()
+        elif backend == "ffmpeg":
             self.width, self.height, self.fps = _probe_ffmpeg(self.path)
         elif backend == "cv2":
             import cv2
@@ -64,10 +77,18 @@ class VideoReader:
             raise ValueError(f"unknown backend {backend!r}")
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        if self.backend == "ffmpeg":
+        if self.backend == "native":
+            yield from self._iter_native()
+        elif self.backend == "ffmpeg":
             yield from self._iter_ffmpeg()
         else:
             yield from self._iter_cv2()
+
+    def _iter_native(self):
+        from optical_flow_tpu.native import NativeFramePipe
+
+        with NativeFramePipe(self.path) as pipe:
+            yield from pipe
 
     def _iter_ffmpeg(self):
         nbytes = self.width * self.height * 3

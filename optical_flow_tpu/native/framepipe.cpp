@@ -1,0 +1,280 @@
+// Native host runtime for the TPU flow engine.
+//
+// The reference's host-side native work is OpenCV's VideoCapture decode and
+// saveMat/golden-file text IO (ParallelVideoPyr.cpp:737, LKof.cpp:139-150,
+// serialOrig.cpp:575-636). TPU-native equivalents:
+//
+//   FramePipe  — video decode straight through libavformat/libavcodec with
+//                libswscale BGR24 conversion, running on a background
+//                pthread into a ring buffer so decode overlaps device
+//                compute (SURVEY.md P6). The consumer (Python/ctypes) pops
+//                frames without ever blocking on the codec.
+//   gf_load /  — golden-file "%lf"-text matrix parse/serialize (strtod hot
+//   gf_save      loop; ~20x numpy.loadtxt on the 448x640 goldens).
+//
+// Build: make -C optical_flow_tpu/native   (produces libframepipe.so)
+// API is plain C for ctypes.
+
+#include <cerrno>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <pthread.h>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+// ---------------------------------------------------------------- decoder
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  int stream = -1;
+  int width = 0;
+  int height = 0;
+  double fps = 0.0;
+  bool draining = false;
+
+  ~Decoder() {
+    if (sws) sws_freeContext(sws);
+    if (frame) av_frame_free(&frame);
+    if (pkt) av_packet_free(&pkt);
+    if (codec) avcodec_free_context(&codec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+
+  bool open(const char* path) {
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return false;
+    if (avformat_find_stream_info(fmt, nullptr) < 0) return false;
+    const AVCodec* dec = nullptr;
+    stream = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+    if (stream < 0 || !dec) return false;
+    codec = avcodec_alloc_context3(dec);
+    if (!codec) return false;
+    if (avcodec_parameters_to_context(codec, fmt->streams[stream]->codecpar) < 0)
+      return false;
+    if (avcodec_open2(codec, dec, nullptr) < 0) return false;
+    width = codec->width;
+    height = codec->height;
+    AVRational r = fmt->streams[stream]->avg_frame_rate;
+    fps = r.den ? static_cast<double>(r.num) / r.den : 0.0;
+    frame = av_frame_alloc();
+    pkt = av_packet_alloc();
+    return frame && pkt && width > 0 && height > 0;
+  }
+
+  // Decode the next frame into out (height x width x 3 BGR24). 1/0.
+  int next(unsigned char* out) {
+    for (;;) {
+      int rc = avcodec_receive_frame(codec, frame);
+      if (rc == 0) {
+        if (!sws) {
+          sws = sws_getContext(width, height, (AVPixelFormat)frame->format,
+                               width, height, AV_PIX_FMT_BGR24, SWS_BILINEAR,
+                               nullptr, nullptr, nullptr);
+          if (!sws) return 0;
+        }
+        uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
+        int dst_stride[4] = {3 * width, 0, 0, 0};
+        sws_scale(sws, frame->data, frame->linesize, 0, height, dst, dst_stride);
+        av_frame_unref(frame);
+        return 1;
+      }
+      if (rc == AVERROR_EOF) return 0;
+      if (rc != AVERROR(EAGAIN)) return 0;
+      if (draining) return 0;
+      // feed more packets
+      for (;;) {
+        int rr = av_read_frame(fmt, pkt);
+        if (rr < 0) {
+          draining = true;
+          avcodec_send_packet(codec, nullptr);  // flush
+          break;
+        }
+        if (pkt->stream_index == stream) {
+          int sc = avcodec_send_packet(codec, pkt);
+          av_packet_unref(pkt);
+          if (sc < 0 && sc != AVERROR(EAGAIN)) return 0;
+          break;
+        }
+        av_packet_unref(pkt);
+      }
+    }
+  }
+};
+
+// ------------------------------------------------------------- ring buffer
+
+struct Ring {
+  std::vector<unsigned char> data;  // capacity * frame_bytes
+  size_t frame_bytes = 0;
+  int capacity = 0;
+  int head = 0;   // next slot to write
+  int tail = 0;   // next slot to read
+  int count = 0;  // filled slots
+  bool eof = false;
+  pthread_mutex_t mu = PTHREAD_MUTEX_INITIALIZER;
+  pthread_cond_t can_put = PTHREAD_COND_INITIALIZER;
+  pthread_cond_t can_get = PTHREAD_COND_INITIALIZER;
+};
+
+struct FramePipe {
+  Decoder dec;
+  pthread_t reader{};
+  bool reader_started = false;
+  bool stop = false;
+  Ring ring;
+};
+
+void* reader_main(void* arg) {
+  auto* fp = static_cast<FramePipe*>(arg);
+  Ring& rb = fp->ring;
+  std::vector<unsigned char> tmp(rb.frame_bytes);
+  while (!fp->stop && fp->dec.next(tmp.data())) {
+    pthread_mutex_lock(&rb.mu);
+    while (rb.count == rb.capacity && !fp->stop) {
+      pthread_cond_wait(&rb.can_put, &rb.mu);
+    }
+    if (fp->stop) {
+      pthread_mutex_unlock(&rb.mu);
+      break;
+    }
+    memcpy(rb.data.data() + static_cast<size_t>(rb.head) * rb.frame_bytes,
+           tmp.data(), rb.frame_bytes);
+    rb.head = (rb.head + 1) % rb.capacity;
+    rb.count++;
+    pthread_cond_signal(&rb.can_get);
+    pthread_mutex_unlock(&rb.mu);
+  }
+  pthread_mutex_lock(&rb.mu);
+  rb.eof = true;
+  pthread_cond_broadcast(&rb.can_get);
+  pthread_mutex_unlock(&rb.mu);
+  return nullptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open `path`; on success writes the stream geometry into out params and
+// starts the decode thread with `ring_capacity` frames of lookahead.
+FramePipe* fp_open(const char* path, int ring_capacity, int* out_w, int* out_h,
+                   double* out_fps) {
+  if (ring_capacity <= 0) return nullptr;
+  auto* fp = new FramePipe();
+  if (!fp->dec.open(path)) {
+    delete fp;
+    return nullptr;
+  }
+  if (out_w) *out_w = fp->dec.width;
+  if (out_h) *out_h = fp->dec.height;
+  if (out_fps) *out_fps = fp->dec.fps;
+  fp->ring.frame_bytes =
+      static_cast<size_t>(fp->dec.width) * fp->dec.height * 3;
+  fp->ring.capacity = ring_capacity;
+  fp->ring.data.resize(fp->ring.frame_bytes * ring_capacity);
+  if (pthread_create(&fp->reader, nullptr, reader_main, fp) != 0) {
+    delete fp;
+    return nullptr;
+  }
+  fp->reader_started = true;
+  return fp;
+}
+
+// Pop the next frame into out (h*w*3 bytes BGR). 1 = frame, 0 = end.
+int fp_next(FramePipe* fp, unsigned char* out) {
+  if (!fp) return 0;
+  Ring& rb = fp->ring;
+  pthread_mutex_lock(&rb.mu);
+  while (rb.count == 0 && !rb.eof) {
+    pthread_cond_wait(&rb.can_get, &rb.mu);
+  }
+  if (rb.count == 0) {  // eof and drained
+    pthread_mutex_unlock(&rb.mu);
+    return 0;
+  }
+  memcpy(out, rb.data.data() + static_cast<size_t>(rb.tail) * rb.frame_bytes,
+         rb.frame_bytes);
+  rb.tail = (rb.tail + 1) % rb.capacity;
+  rb.count--;
+  pthread_cond_signal(&rb.can_put);
+  pthread_mutex_unlock(&rb.mu);
+  return 1;
+}
+
+// Number of frames currently buffered (for tests/diagnostics).
+int fp_buffered(FramePipe* fp) {
+  if (!fp) return 0;
+  pthread_mutex_lock(&fp->ring.mu);
+  int n = fp->ring.count;
+  pthread_mutex_unlock(&fp->ring.mu);
+  return n;
+}
+
+void fp_close(FramePipe* fp) {
+  if (!fp) return;
+  fp->stop = true;
+  pthread_mutex_lock(&fp->ring.mu);
+  pthread_cond_broadcast(&fp->ring.can_put);
+  pthread_cond_broadcast(&fp->ring.can_get);
+  pthread_mutex_unlock(&fp->ring.mu);
+  if (fp->reader_started) pthread_join(fp->reader, nullptr);
+  delete fp;
+}
+
+// Parse a saveMat-format text matrix (space-separated %lf rows,
+// LKof.cpp:139-150). Returns number of doubles parsed (<= n).
+long gf_load(const char* path, double* out, long n) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::string buf(static_cast<size_t>(size), '\0');
+  if (fread(buf.data(), 1, static_cast<size_t>(size), f) !=
+      static_cast<size_t>(size)) {
+    fclose(f);
+    return -1;
+  }
+  fclose(f);
+  const char* p = buf.c_str();
+  char* end = nullptr;
+  long i = 0;
+  while (i < n) {
+    double v = strtod(p, &end);
+    if (end == p) break;
+    out[i++] = v;
+    p = end;
+  }
+  return i;
+}
+
+// Write a matrix in saveMat format: "%f" + single space, newline per row
+// (exactly the reference's fprintf loop, LKof.cpp:142-148).
+int gf_save(const char* path, const double* data, long rows, long cols) {
+  FILE* f = fopen(path, "w");
+  if (!f) return -1;
+  for (long r = 0; r < rows; ++r) {
+    for (long c = 0; c < cols; ++c) {
+      fprintf(f, c + 1 < cols ? "%f " : "%f", data[r * cols + c]);
+    }
+    fputc('\n', f);
+  }
+  fclose(f);
+  return 0;
+}
+
+}  // extern "C"

@@ -27,7 +27,22 @@ def reference_dir() -> Optional[Path]:
 
 
 def load_mat(path) -> np.ndarray:
-    """Load a saveMat-format text matrix (448x640 doubles for the goldens)."""
+    """Load a saveMat-format text matrix (448x640 doubles for the goldens).
+
+    Uses the native strtod parser when built (~20x loadtxt); numpy fallback.
+    """
+    try:
+        from optical_flow_tpu.native import load_mat_native
+
+        with open(path) as f:
+            first = f.readline().split()
+            cols = len(first)
+            rows = 1 + sum(1 for _ in f)
+        mat = load_mat_native(path, rows, cols)
+        if mat is not None:
+            return mat
+    except Exception:
+        pass
     return np.loadtxt(path, dtype=np.float64)
 
 

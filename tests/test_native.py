@@ -1,0 +1,104 @@
+"""Native (C++) host runtime tests: build, frame pipe, golden IO."""
+
+import numpy as np
+import pytest
+
+from optical_flow_tpu.native import (
+    NativeFramePipe,
+    load_library,
+    load_mat_native,
+    save_mat_native,
+)
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = load_library()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_golden_io_roundtrip(lib, tmp_path):
+    rng = np.random.RandomState(0)
+    mat = np.round(rng.randn(13, 7) * 10, 6)
+    p = tmp_path / "m.txt"
+    assert save_mat_native(mat, p)
+    back = load_mat_native(p, 13, 7)
+    np.testing.assert_allclose(back, mat, atol=1e-6)  # %f keeps 6 decimals
+
+
+def test_golden_io_matches_python(lib, tmp_path):
+    from optical_flow_tpu.utils import goldens
+
+    rng = np.random.RandomState(1)
+    mat = rng.randn(5, 9)
+    p_native = tmp_path / "n.txt"
+    p_python = tmp_path / "p.txt"
+    save_mat_native(mat, p_native)
+    goldens.save_mat(mat, p_python)
+    assert p_native.read_text() == p_python.read_text()
+
+
+def test_native_parses_reference_golden(lib):
+    from optical_flow_tpu.utils.goldens import reference_dir
+
+    ref = reference_dir()
+    if ref is None:
+        pytest.skip("reference not available")
+    mat = load_mat_native(ref / "U2Test.txt", 448, 640)
+    assert mat is not None
+    ref_np = np.loadtxt(ref / "U2Test.txt")
+    np.testing.assert_array_equal(mat, ref_np)
+
+
+def test_frame_pipe_reads_video(lib):
+    from optical_flow_tpu.utils.goldens import reference_dir
+
+    ref = reference_dir()
+    if ref is None or not (ref / "pacman.mp4").exists():
+        pytest.skip("pacman.mp4 not available")
+    with NativeFramePipe(str(ref / "pacman.mp4")) as pipe:
+        w, h = pipe.width, pipe.height
+        assert w > 0 and h > 0 and pipe.fps > 0
+        frames = []
+        for frame in pipe:
+            frames.append(frame)
+            if len(frames) >= 5:
+                break
+    assert len(frames) == 5
+    assert frames[0].shape == (h, w, 3)
+    assert frames[0].dtype == np.uint8
+    # frames differ over time (decode is actually advancing)
+    assert not np.array_equal(frames[0], frames[4])
+
+
+def test_frame_pipe_matches_cv2(lib):
+    from optical_flow_tpu.io.video_reader import VideoReader
+    from optical_flow_tpu.utils.goldens import reference_dir
+
+    ref = reference_dir()
+    if ref is None or not (ref / "pacman.mp4").exists():
+        pytest.skip("pacman.mp4 not available")
+    pytest.importorskip("cv2")
+    import itertools
+
+    native = list(itertools.islice(iter(VideoReader(ref / "pacman.mp4", backend="native")), 3))
+    ref_frames = list(itertools.islice(iter(VideoReader(ref / "pacman.mp4", backend="cv2")), 3))
+    for a, b in zip(native, ref_frames):
+        assert a.shape == b.shape
+        # both decode through libav; allow codec-version rounding differences
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
+
+
+def test_frame_pipe_early_close(lib):
+    """Closing mid-stream must not hang or leak the decode thread."""
+    from optical_flow_tpu.utils.goldens import reference_dir
+
+    ref = reference_dir()
+    if ref is None or not (ref / "pacman.mp4").exists():
+        pytest.skip("pacman.mp4 not available")
+    pipe = NativeFramePipe(str(ref / "pacman.mp4"))
+    it = iter(pipe)
+    next(it)
+    pipe.close()  # must return promptly
