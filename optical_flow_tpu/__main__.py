@@ -1,0 +1,128 @@
+"""Command-line interface: python -m optical_flow_tpu <command>.
+
+The reference has no CLI — each variant is a hardcoded main() recompiled by
+hand (SURVEY.md section 2, C19). Subcommands map to those mains:
+
+  flow     dense flow between two images  (serialOrig / SerialPyr mains)
+  video    video gesture tracking         (ParallelVideoPyr main)
+  track    sparse feature tracking        (of.cpp main)
+  bench    the headline benchmark         (the reference's printf timers)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_flow(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from optical_flow_tpu import FlowConfig, coarse_to_fine, lucas_kanade
+    from optical_flow_tpu.utils.goldens import save_mat
+    from optical_flow_tpu.utils.images import imread_gray
+    from optical_flow_tpu.utils.viz import flow_to_color, save_png
+
+    img1 = imread_gray(args.image1).astype(np.float32) / 255.0
+    img2 = imread_gray(args.image2).astype(np.float32) / 255.0
+    a, b = jnp.asarray(img1), jnp.asarray(img2)
+    cfg = FlowConfig(impl=args.impl, levels=args.levels)
+    if args.single_level:
+        u, v = jax.jit(lambda x, y: lucas_kanade(x, y, impl=args.impl))(a, b)
+    else:
+        u, v = jax.jit(lambda x, y: coarse_to_fine(x, y, config=cfg))(a, b)
+    u, v = np.asarray(u, np.float64), np.asarray(v, np.float64)
+    mag = np.sqrt(u * u + v * v)
+    print(f"flow {u.shape[1]}x{u.shape[0]}: mean |flow| {mag.mean():.4f} px, max {mag.max():.4f} px")
+    if args.out_prefix:
+        save_mat(u, args.out_prefix + "_u.txt")
+        save_mat(v, args.out_prefix + "_v.txt")
+        save_png(flow_to_color(u, v), args.out_prefix + "_flow.png")
+        print(f"wrote {args.out_prefix}_{{u,v}}.txt and _flow.png")
+
+
+def _run_video(args):
+    from optical_flow_tpu.config import FlowConfig, PreprocessConfig, VideoConfig
+    from optical_flow_tpu.io.video_reader import read_frames
+    from optical_flow_tpu.pipeline import VideoPipeline
+
+    cfg = VideoConfig(
+        preprocess=PreprocessConfig(size=(args.size, args.size)),
+        flow=FlowConfig(impl=args.impl),
+    )
+    pipe = VideoPipeline(cfg)
+    for i, res in enumerate(pipe.run(read_frames(args.input, max_frames=args.frames))):
+        g = res.gesture
+        print(
+            f"frame {i}: votes={int(g.votes)} detected={bool(g.detected)} "
+            f"centroid=({float(g.cx):.1f},{float(g.cy):.1f})"
+        )
+
+
+def _cmd_track(args):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from optical_flow_tpu.io.video_reader import read_frames
+    from optical_flow_tpu.pipeline.preprocess import bgr_to_gray
+    from optical_flow_tpu.track import good_features_to_track, track_features
+
+    prev = None
+    pts = None
+    for i, frame in enumerate(read_frames(args.input, max_frames=args.frames)):
+        gray = np.asarray(bgr_to_gray(jnp.asarray(frame)))
+        if prev is None:
+            prev = gray
+            pts, valid = good_features_to_track(jnp.asarray(gray), args.corners, 0.01, 10)
+            print(f"frame {i}: seeded {int(np.asarray(valid).sum())} corners")
+            continue
+        new, status, err = track_features(prev, gray, pts)
+        ok = np.asarray(status)
+        print(f"frame {i}: tracked {int(ok.sum())}/{len(ok)}")
+        prev, pts = gray, new
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="optical_flow_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("flow", help="dense optical flow between two images")
+    p.add_argument("image1")
+    p.add_argument("image2")
+    p.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"])
+    p.add_argument("--levels", type=int, default=None)
+    p.add_argument("--single-level", action="store_true")
+    p.add_argument("--out-prefix", default=None)
+    p.set_defaults(fn=_cmd_flow)
+
+    p = sub.add_parser("video", help="video gesture tracking")
+    p.add_argument("--input", required=True)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"])
+    p.set_defaults(fn=_run_video)
+
+    p = sub.add_parser("track", help="sparse feature tracking")
+    p.add_argument("--input", required=True)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--corners", type=int, default=500)
+    p.set_defaults(fn=_cmd_track)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.set_defaults(fn=None)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "bench":
+        import runpy
+        from pathlib import Path
+
+        sys.argv = ["bench.py"]
+        runpy.run_path(str(Path(__file__).parent.parent / "bench.py"), run_name="__main__")
+        return
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

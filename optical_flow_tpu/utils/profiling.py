@@ -1,0 +1,111 @@
+"""Timing and profiling harness (reference C18 analogue).
+
+The reference instruments with gettimeofday printf timers around each
+algorithm segment (ParallelVideoPyr.cpp:37-42, serial.cpp:204-261). Here:
+
+- `Timer`: wall-clock segment timer with device sync (block_until_ready)
+  so segments measure completed device work, not async dispatch;
+- `device_loop_time`: robust per-call device timing — runs the function in
+  an on-device fori_loop with perturbed inputs (the tunnel runtime caches
+  repeated identical dispatches, so naive repeat-timing lies);
+- `trace`: context manager around jax.profiler for xprof dumps;
+- `flow_roofline`: bytes/flops model for the fused LK level against peak
+  HBM bandwidth — the speed-of-light target the Pallas kernel chases.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class Timer:
+    """Named segment timers: with t.segment('solve'): ..."""
+
+    segments: Dict[str, float] = field(default_factory=dict)
+    counts: Dict[str, int] = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def segment(self, name: str, sync=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync is not None:
+                jax.block_until_ready(sync)
+            dt = time.perf_counter() - t0
+            self.segments[name] = self.segments.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self) -> str:
+        lines = []
+        for name, total in sorted(self.segments.items(), key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(f"{name:24s} {1e3 * total:9.3f} ms total  {1e3 * total / n:9.3f} ms/call x{n}")
+        return "\n".join(lines)
+
+
+def device_loop_time(fn: Callable, args, iters: int = 30) -> float:
+    """Seconds per call of fn(*args), measured as an on-device loop.
+
+    fn must take arrays and return arrays; the first argument is perturbed
+    per iteration to defeat dispatch-level caching, and outputs are reduced
+    to a scalar so nothing leaves the device between iterations.
+    """
+
+    @jax.jit
+    def loop(*a):
+        def body(i, acc):
+            out = fn(a[0] + i * jnp.float32(1e-7), *a[1:])
+            leaves = jax.tree_util.tree_leaves(out)
+            return acc + sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    jax.block_until_ready(loop(*args))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/optical_flow_tpu_trace"):
+    """jax.profiler trace context; view with xprof/tensorboard."""
+    with jax.profiler.trace(log_dir):
+        yield log_dir
+
+
+def flow_roofline(
+    h: int,
+    w: int,
+    *,
+    hbm_gbps: float = 819.0,  # v5e; v5p ~2765
+    vpu_tflops: float = 3.9,  # rough f32 elementwise throughput per core
+) -> Dict[str, float]:
+    """Speed-of-light model for one fused dense-LK level.
+
+    HBM traffic: 2 image reads + 2 flow writes, 4 B/px each (everything
+    else stays in VMEM). Compute: ~70 VPU flops/px (gradients 20, products
+    5, window sums 30, solve ~15).
+    """
+    px = h * w
+    bytes_moved = 16.0 * px
+    flops = 70.0 * px
+    t_mem = bytes_moved / (hbm_gbps * 1e9)
+    t_compute = flops / (vpu_tflops * 1e12)
+    t = max(t_mem, t_compute)
+    return {
+        "bytes": bytes_moved,
+        "flops": flops,
+        "t_mem_us": 1e6 * t_mem,
+        "t_compute_us": 1e6 * t_compute,
+        "sol_us": 1e6 * t,
+        "sol_fps": 1.0 / t,
+        "bound": "memory" if t_mem >= t_compute else "compute",
+    }
