@@ -33,6 +33,7 @@ from optical_flow_tpu.flow.coarse_to_fine import (
     coarse_to_fine,
     coarse_to_fine_with_images,
 )
+from optical_flow_tpu.flow.horn_schunck import HornSchunckConfig, horn_schunck
 from optical_flow_tpu.ops.pyramid import (
     gaussian_pyramid,
     max_pyramid_levels,
@@ -50,6 +51,8 @@ __all__ = [
     "lucas_kanade",
     "coarse_to_fine",
     "coarse_to_fine_with_images",
+    "horn_schunck",
+    "HornSchunckConfig",
     "gaussian_pyramid",
     "max_pyramid_levels",
     "pyr_down",

@@ -55,6 +55,30 @@ class VideoPipeline:
         self._diff = jax.jit(self._diff_impl)
         self._flow_step = jax.jit(self._flow_step_impl)
         self._batch_flow = jax.jit(self._batch_flow_impl)
+        self.reset()
+
+    def reset(self) -> None:
+        self._prev_gray = None
+        self._prev_diff = None
+        self._frame_idx = 0
+
+    # --- checkpoint / resume (utils/checkpoint.py) -------------------------
+
+    def state(self) -> dict:
+        """Resumable streaming state (the reference's prevFrame/prevDiff
+        warm-up Mats, ParallelVideoPyr.cpp:794-822, plus the frame index)."""
+        import numpy as np
+
+        return {
+            "prev_gray": None if self._prev_gray is None else np.asarray(self._prev_gray),
+            "prev_diff": None if self._prev_diff is None else np.asarray(self._prev_diff),
+            "frame_idx": self._frame_idx,
+        }
+
+    def restore(self, state: dict) -> None:
+        self._prev_gray = None if state["prev_gray"] is None else jnp.asarray(state["prev_gray"])
+        self._prev_diff = None if state["prev_diff"] is None else jnp.asarray(state["prev_diff"])
+        self._frame_idx = int(state["frame_idx"])
 
     # --- jitted stages -----------------------------------------------------
 
@@ -97,24 +121,30 @@ class VideoPipeline:
 
     # --- host loops --------------------------------------------------------
 
+    def push(self, frame: np.ndarray) -> Optional[FrameResult]:
+        """Feed one frame; returns a FrameResult once warmed up (the
+        reference needs two warm-up frames: one for prevFrame, one for
+        prevDiff — ParallelVideoPyr.cpp:794-822)."""
+        gray = self._preprocess(jnp.asarray(frame))
+        self._frame_idx += 1
+        if self._prev_gray is None:
+            self._prev_gray = gray
+            return None
+        diff = self._diff(gray, self._prev_gray)
+        self._prev_gray = gray
+        if self._prev_diff is None:
+            self._prev_diff = diff
+            return None
+        result, self._prev_diff = self._flow_step(self._prev_diff, diff)
+        return result
+
     def run(self, frames: Iterable[np.ndarray]) -> Iterator[FrameResult]:
-        """Streaming mode: yields one FrameResult per frame from the third
-        frame on (the reference needs two warm-up frames: one for prevFrame,
-        one for prevDiff — ParallelVideoPyr.cpp:794-822)."""
-        prev_gray = None
-        prev_diff = None
+        """Streaming mode over an iterable of frames (resets first)."""
+        self.reset()
         for frame in frames:
-            gray = self._preprocess(jnp.asarray(frame))
-            if prev_gray is None:
-                prev_gray = gray
-                continue
-            diff = self._diff(gray, prev_gray)
-            prev_gray = gray
-            if prev_diff is None:
-                prev_diff = diff
-                continue
-            result, prev_diff = self._flow_step(prev_diff, diff)
-            yield result
+            result = self.push(frame)
+            if result is not None:
+                yield result
 
     def run_batched(self, frames: np.ndarray) -> FrameResult:
         """Batched mode: frames (N, H, W, 3) uint8 -> FrameResult with a
