@@ -45,11 +45,17 @@ def _gather2d(src, yy, xx):
     return jnp.where(ok, vals, jnp.zeros((), src.dtype))
 
 
-def remap_bilinear(src, map_x, map_y, *, quantize: bool = True):
+def remap_bilinear(src, map_x, map_y, *, quantize: bool = True, index_offset=(0, 0)):
     """cv2.remap(src, map_x, map_y, INTER_LINEAR, BORDER_CONSTANT 0).
 
     src: (..., H, W); map_x/map_y: (H2, W2) float (float32 for exact OpenCV
     parity). Returns (..., H2, W2) in src.dtype.
+
+    index_offset (dy, dx) is added to the integer tap indices AFTER
+    coordinate quantization — for tiled gathers where the maps are in
+    global coordinates but src is a halo-extended local tile. Shifting
+    post-quantization keeps fractions bit-identical to a global remap
+    (shifting the float maps instead would round differently).
     """
     compute_dtype = src.dtype
     if quantize:
@@ -64,6 +70,10 @@ def remap_bilinear(src, map_x, map_y, *, quantize: bool = True):
         iy = jnp.floor(map_y).astype(jnp.int32)
         fx = (map_x - ix).astype(compute_dtype)
         fy = (map_y - iy).astype(compute_dtype)
+
+    dy, dx = index_offset
+    iy = iy + jnp.asarray(dy, jnp.int32)
+    ix = ix + jnp.asarray(dx, jnp.int32)
 
     v00 = _gather2d(src, iy, ix)
     v01 = _gather2d(src, iy, ix + 1)

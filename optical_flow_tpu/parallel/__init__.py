@@ -18,6 +18,7 @@ from optical_flow_tpu.parallel.mesh import flow_mesh, mesh_factorization
 from optical_flow_tpu.parallel.halo import exchange_halo
 from optical_flow_tpu.parallel.sharded_lk import sharded_lucas_kanade
 from optical_flow_tpu.parallel.sharded_flow import sharded_coarse_to_fine
+from optical_flow_tpu.parallel.sharded_warp import sharded_symmetric_warp
 
 __all__ = [
     "flow_mesh",
@@ -25,4 +26,5 @@ __all__ = [
     "exchange_halo",
     "sharded_lucas_kanade",
     "sharded_coarse_to_fine",
+    "sharded_symmetric_warp",
 ]

@@ -29,17 +29,24 @@ def _take(x, axis: int, lo: int, hi: int):
     return x[tuple(idx)]
 
 
-def _exchange_1d(x, k: int, axis_name: str, axis: int, n: int):
+def _exchange_1d(x, k: int, axis_name: str, axis: int, n: int, border: str):
     """Extend `x` by k along `axis` on both sides.
 
     Interior sides come from the mesh neighbours along `axis_name`;
-    global-border sides are REFLECT_101 fills.
+    global-border sides are REFLECT_101 fills (stencil ops) or zeros
+    (warp gathers — OpenCV remap's BORDER_CONSTANT 0).
     """
     if k <= 0:
         return x
-    # Halo received from the neighbour *before* me (its trailing k slab).
-    lo_fill = jnp.flip(_take(x, axis, 1, k + 1), axis=axis)  # reflect -i -> i
-    hi_fill = jnp.flip(_take(x, axis, -k - 1, -1), axis=axis)  # reflect n-1+i -> n-1-i
+    if border == "reflect":
+        # Halo received from the neighbour *before* me (its trailing k slab).
+        lo_fill = jnp.flip(_take(x, axis, 1, k + 1), axis=axis)  # reflect -i -> i
+        hi_fill = jnp.flip(_take(x, axis, -k - 1, -1), axis=axis)  # n-1+i -> n-1-i
+    elif border == "zero":
+        lo_fill = jnp.zeros_like(_take(x, axis, 0, k))
+        hi_fill = lo_fill
+    else:
+        raise ValueError(f"unknown border {border!r}")
     if n > 1:
         fwd = [(i, i + 1) for i in range(n - 1)]
         bwd = [(i + 1, i) for i in range(n - 1)]
@@ -61,6 +68,7 @@ def exchange_halo(
     cols_axis: str = "cols",
     rows_n: int = 1,
     cols_n: int = 1,
+    border: str = "reflect",
 ):
     """Extend a (..., h, w) tile to (..., h+2k, w+2k) with halo data.
 
@@ -68,6 +76,6 @@ def exchange_halo(
     `cols_axis` (axis sizes passed statically as rows_n / cols_n). Columns
     are extended first so the row exchange carries corner data.
     """
-    x = _exchange_1d(x, k, cols_axis, -1, cols_n)
-    x = _exchange_1d(x, k, rows_axis, -2, rows_n)
+    x = _exchange_1d(x, k, cols_axis, -1, cols_n, border)
+    x = _exchange_1d(x, k, rows_axis, -2, rows_n, border)
     return x

@@ -7,12 +7,14 @@ ParallelBasicPyr.cpp:587-703 / SURVEY.md P1-P3):
 - fine pyramid levels: the LK solve (the dominant cost, 5 window sums +
   solve per pixel) runs spatially tiled via `sharded_lucas_kanade` with
   exact 2-px halo exchange,
-- coarse levels and the inter-level glue (pyrDown/pyrUp/warp): run as global
-  XLA ops. Under `jit` over the mesh, XLA lays them out from the operand
-  shardings and inserts the needed collectives; the coarse levels are tiny
-  (a 1080^2 frame's level-3 is 135^2) so replication there is the right
-  call, not a compromise. A fully-tiled warp with flow-clamped halos is the
-  planned next step for single-frame latency scaling.
+- fine-level warps: when `config.warp_clamp` bounds the flow, the remap
+  runs spatially tiled too (`sharded_symmetric_warp` — zero-border halo of
+  width ceil(clamp/2)+1, global-coordinate quantization for bit-exactness),
+- coarse levels and the remaining glue (pyrDown/pyrUp, unclamped warps):
+  run as global XLA ops. Under `jit` over the mesh, XLA lays them out from
+  the operand shardings and inserts the needed collectives; the coarse
+  levels are tiny (a 1080^2 frame's level-3 is 135^2) so replication there
+  is the right call, not a compromise.
 
 A level is tiled when its size divides the spatial mesh and tiles stay
 >= MIN_TILE; otherwise it runs globally. Results are bit-identical to the
@@ -85,7 +87,17 @@ def sharded_coarse_to_fine(
         if config.warp_clamp is not None:
             wu = jnp.clip(wu, -config.warp_clamp, config.warp_clamp)
             wv = jnp.clip(wv, -config.warp_clamp, config.warp_clamp)
-        pyr1[i - 1], pyr2[i - 1] = symmetric_warp(
-            pyr1[i - 1], pyr2[i - 1], wu, wv, quantize=config.quantize_warp
-        )
+        if config.warp_clamp is not None and _tileable(
+            pyr1[i - 1].shape, rows_n, cols_n, min_tile
+        ):
+            from optical_flow_tpu.parallel.sharded_warp import sharded_symmetric_warp
+
+            pyr1[i - 1], pyr2[i - 1] = sharded_symmetric_warp(
+                pyr1[i - 1], pyr2[i - 1], wu, wv, mesh, config.warp_clamp,
+                quantize=config.quantize_warp,
+            )
+        else:
+            pyr1[i - 1], pyr2[i - 1] = symmetric_warp(
+                pyr1[i - 1], pyr2[i - 1], wu, wv, quantize=config.quantize_warp
+            )
     raise AssertionError("unreachable")

@@ -101,3 +101,29 @@ def test_rejects_bad_tiling(rng, mesh222):
     img1, img2 = _pair(rng, (31, 64))  # 31 rows not divisible by 2
     with pytest.raises(ValueError):
         sharded_lucas_kanade(img1, img2, mesh222)
+
+
+def test_sharded_warp_bit_identical(rng, mesh222):
+    from optical_flow_tpu.ops.warp import symmetric_warp
+    from optical_flow_tpu.parallel import sharded_symmetric_warp
+
+    img1, img2 = _pair(rng, (64, 128))
+    C = 6.0
+    u = jnp.asarray(np.clip(rng.randn(64, 128) * 3, -C, C))
+    v = jnp.asarray(np.clip(rng.randn(64, 128) * 3, -C, C))
+    w1_0, w2_0 = symmetric_warp(jnp.asarray(img1), jnp.asarray(img2), u, v)
+    w1_1, w2_1 = sharded_symmetric_warp(img1, img2, u, v, mesh222, C)
+    np.testing.assert_array_equal(np.asarray(w1_0), np.asarray(w1_1))
+    np.testing.assert_array_equal(np.asarray(w2_0), np.asarray(w2_1))
+
+
+def test_sharded_pyramid_with_tiled_warp(rng, mesh222):
+    """Full sharded coarse-to-fine with clamped tiled warps == unsharded."""
+    img1, img2 = _pair(rng, (128, 128))
+    cfg = FlowConfig(impl="jnp", warp_clamp=8.0)
+    u0, v0 = coarse_to_fine(jnp.asarray(img1), jnp.asarray(img2), 3, config=cfg)
+    from optical_flow_tpu.parallel.sharded_flow import sharded_coarse_to_fine as scf
+
+    u1, v1 = scf(img1, img2, mesh222, 3, config=cfg, min_tile=16)
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
