@@ -46,21 +46,41 @@ def _round_up(x: int, m: int) -> int:
 def _lk_band_kernel(img1_hbm, img2_hbm, u_ref, v_ref, e1, e2, sems, *, H, W, Wc, band):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nbands = pl.num_programs(1)
     row0 = i * band  # global row of this band's first output
 
-    cp1 = pltpu.make_async_copy(
-        img1_hbm.at[b, pl.ds(row0, band + 8), :], e1, sems.at[0]
-    )
-    cp2 = pltpu.make_async_copy(
-        img2_hbm.at[b, pl.ds(row0, band + 8), :], e2, sems.at[1]
-    )
-    cp1.start()
-    cp2.start()
-    cp1.wait()
-    cp2.wait()
+    # Double-buffered input DMA: band i+1 streams in while band i computes.
+    slot = lax.rem(i, 2)
+    nslot = 1 - slot
 
-    x1 = e1[:]
-    x2 = e2[:]
+    def dma(band_idx, buf_slot):
+        r0 = band_idx * band
+        c1 = pltpu.make_async_copy(
+            img1_hbm.at[b, pl.ds(r0, band + 8), :], e1.at[buf_slot], sems.at[0, buf_slot]
+        )
+        c2 = pltpu.make_async_copy(
+            img2_hbm.at[b, pl.ds(r0, band + 8), :], e2.at[buf_slot], sems.at[1, buf_slot]
+        )
+        return c1, c2
+
+    @pl.when(i == 0)  # first band of this frame: fetch synchronously
+    def _():
+        c1, c2 = dma(i, slot)
+        c1.start()
+        c2.start()
+
+    @pl.when(i + 1 < nbands)  # prefetch the next band
+    def _():
+        c1, c2 = dma(i + 1, nslot)
+        c1.start()
+        c2.start()
+
+    w1, w2 = dma(i, slot)  # same shapes/sems: wait on this band's arrival
+    w1.wait()
+    w2.wait()
+
+    x1 = e1[slot]
+    x2 = e2[slot]
 
     def stencil4(x):
         # 2x2 correlation reads with anchor (1,1): a=(y-1,x-1) b=(y-1,x)
@@ -151,9 +171,9 @@ def _lk_pallas_batched(img1, img2, band: int) -> Tuple[jnp.ndarray, jnp.ndarray]
             jax.ShapeDtypeStruct((B, Hp, Wc), img1.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((band + 8, Wp), img1.dtype),
-            pltpu.VMEM((band + 8, Wp), img1.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, band + 8, Wp), img1.dtype),
+            pltpu.VMEM((2, band + 8, Wp), img1.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )(p1, p2)
     return u[:, :H, :W], v[:, :H, :W]
