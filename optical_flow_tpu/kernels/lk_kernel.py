@@ -50,8 +50,8 @@ def _lk_band_kernel(img1_hbm, img2_hbm, u_ref, v_ref, e1, e2, sems, *, H, W, Wc,
     row0 = i * band  # global row of this band's first output
 
     # Double-buffered input DMA: band i+1 streams in while band i computes.
-    slot = lax.rem(i, 2)
-    nslot = 1 - slot
+    slot = lax.rem(i, jnp.int32(2))  # explicit i32: tests run with x64 on
+    nslot = jnp.int32(1) - slot
 
     def dma(band_idx, buf_slot):
         r0 = band_idx * band
@@ -159,8 +159,8 @@ def _lk_pallas_batched(img1, img2, band: int) -> Tuple[jnp.ndarray, jnp.ndarray]
         kernel,
         grid=(B, nbands),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, band, Wc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),

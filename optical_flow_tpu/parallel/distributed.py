@@ -1,0 +1,84 @@
+"""Multi-host runtime scaffolding (reference P5: none existed — the
+reference is single-process OpenMP; SURVEY.md section 2.3).
+
+A multi-host flow job maps onto:
+  - one process per host, `jax.distributed.initialize` for the runtime,
+  - a global (frames, rows, cols) mesh over all hosts' devices: halo
+    collectives ride ICI inside a slice, only frame-axis transfers (none in
+    steady state) cross DCN,
+  - frame IO partitioned by host: host h decodes frames h, h+P, h+2P, ...
+    (its own VideoReader) and feeds only its addressable shards via
+    `host_local_frames` + `jax.make_array_from_process_local_data`.
+
+Single-host meshes work through the same entry points, so the multi-host
+path is exercised (minus the wire) by the CPU-device-count tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+from optical_flow_tpu.parallel.mesh import AXIS_FRAMES, flow_mesh, mesh_factorization
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed.initialize with env-var fallbacks; no-op if already
+    initialized or single-process."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None and num_processes is None:
+        return  # single process; nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_flow_mesh(
+    frames: Optional[int] = None,
+    rows: Optional[int] = None,
+    cols: Optional[int] = None,
+) -> jax.sharding.Mesh:
+    """A mesh over every device of every process; defaults to the
+    mesh_factorization of the global device count."""
+    n = len(jax.devices())
+    if frames is None or rows is None or cols is None:
+        frames, rows, cols = mesh_factorization(n)
+    return flow_mesh(frames=frames, rows=rows, cols=cols)
+
+
+def host_local_frames(
+    frames: Iterable[np.ndarray],
+    *,
+    process_id: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> Iterator[np.ndarray]:
+    """Round-robin frame partition across hosts: host h takes frames
+    h, h+P, h+2P, ... (each host runs its own decoder over the same file —
+    cheaper than shipping pixels over DCN for compressed video)."""
+    p = jax.process_index() if process_id is None else process_id
+    P = jax.process_count() if process_count is None else process_count
+    for i, frame in enumerate(frames):
+        if i % P == p:
+            yield frame
+
+
+def make_global_batch(
+    local_frames: Sequence[np.ndarray],
+    mesh: jax.sharding.Mesh,
+) -> jax.Array:
+    """Assemble each host's local frames into one global array sharded over
+    the 'frames' mesh axis (jax.make_array_from_process_local_data)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    local = np.stack(local_frames)
+    sharding = NamedSharding(mesh, P(AXIS_FRAMES))
+    return jax.make_array_from_process_local_data(sharding, local)

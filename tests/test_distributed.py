@@ -1,0 +1,62 @@
+"""Distributed scaffolding + failure-guard tests (single process, 8 virtual
+devices — the wire-free slice of the multi-host path)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from optical_flow_tpu.parallel.distributed import (
+    global_flow_mesh,
+    host_local_frames,
+    make_global_batch,
+)
+from optical_flow_tpu.parallel.mesh import AXIS_FRAMES
+from optical_flow_tpu.utils.guard import FlowGuard, NumericalFailure, StallFailure
+
+
+def test_global_mesh_covers_all_devices():
+    mesh = global_flow_mesh()
+    assert mesh.size == len(jax.devices())
+    assert set(mesh.axis_names) == {"frames", "rows", "cols"}
+
+
+def test_host_local_frames_partition():
+    frames = [np.full((2, 2), i) for i in range(10)]
+    mine = list(host_local_frames(frames, process_id=1, process_count=3))
+    assert [int(f[0, 0]) for f in mine] == [1, 4, 7]
+
+
+def test_make_global_batch_sharded_over_frames():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = global_flow_mesh(frames=4, rows=2, cols=1)
+    local = [np.random.rand(16, 16).astype(np.float32) for _ in range(4)]
+    arr = make_global_batch(local, mesh)
+    assert arr.shape == (4, 16, 16)
+    np.testing.assert_array_equal(np.asarray(arr), np.stack(local))
+
+
+def test_guard_detects_nan():
+    g = FlowGuard()
+    g.check(jnp.ones((8, 8)))  # clean
+    with pytest.raises(NumericalFailure):
+        g.check(jnp.asarray([[1.0, np.nan], [0.0, 1.0]]))
+
+
+def test_guard_detects_inf():
+    g = FlowGuard()
+    with pytest.raises(NumericalFailure):
+        g.check(jnp.asarray([np.inf, 1.0]))
+
+
+def test_guard_stall_watchdog():
+    g = FlowGuard(stall_timeout_s=0.01)
+    import time
+
+    time.sleep(0.05)
+    with pytest.raises(StallFailure):
+        g.check_stalled()
+    g.heartbeat()
+    g.check_stalled()  # no raise after heartbeat
