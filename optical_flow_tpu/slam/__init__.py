@@ -1,0 +1,24 @@
+"""Tracking/SLAM backend (north-star extension, SURVEY.md section 7.7).
+
+The pipeline the reference could never reach: dense/sparse LK -> feature
+tracks -> pose estimation (track/pose.py) -> keyframes + 3D map -> bundle
+adjustment, with the map point blocks sharded across devices and the
+reduced camera system assembled by `psum` over the mesh (the classic
+distributed Schur-complement pattern).
+"""
+
+from optical_flow_tpu.slam.ba import (
+    BAProblem,
+    bundle_adjust,
+    project,
+    reprojection_rmse,
+    sharded_bundle_adjust,
+)
+
+__all__ = [
+    "BAProblem",
+    "bundle_adjust",
+    "project",
+    "reprojection_rmse",
+    "sharded_bundle_adjust",
+]

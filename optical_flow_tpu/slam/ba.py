@@ -1,0 +1,248 @@
+"""Bundle adjustment: Gauss-Newton with Schur complement, single-device and
+device-sharded (psum-reduced camera system).
+
+Problem: cameras c = (axis-angle rotation r, translation t) in R^6, points
+X in R^3, pinhole observations obs = (cam_idx, pt_idx, uv). Minimize
+sum |pi(R_c X_p + t_c) - uv|^2 with pi(x, y, z) = f (x/z, y/z).
+
+TPU-native structure:
+- residuals and Jacobians for ALL observations in one batch (vmap of a
+  closed-form 2x6 / 2x3 Jacobian — no autodiff in the loop, everything
+  fuses);
+- normal equations assembled with `segment_sum` (dense per-point 3x3 and
+  per-camera 6x6 blocks);
+- the point blocks are eliminated per point (batched 3x3 Cholesky-free
+  solve) and the REDUCED CAMERA SYSTEM S = Hcc - W Vinv W^T is the only
+  thing that needs global reduction: in the sharded path each device owns a
+  slice of the points (and its observations), computes its partial S and
+  rhs, and one `psum` over the mesh produces the global camera system —
+  back-substitution for the point updates is local. This is the
+  distributed-BA pattern of SURVEY.md section 5 (Schur complement over
+  psum); DCN/ICI traffic per iteration is O((6C)^2), independent of the
+  number of points.
+
+Gauss-Newton with Levenberg damping, fixed iteration count (jit-stable);
+gauge freedom is fixed by damping + holding camera 0 at its prior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class BAProblem(NamedTuple):
+    cams: jnp.ndarray  # (C, 6): axis-angle (3) + translation (3)
+    points: jnp.ndarray  # (P, 3)
+    cam_idx: jnp.ndarray  # (M,) int32
+    pt_idx: jnp.ndarray  # (M,) int32
+    obs: jnp.ndarray  # (M, 2) pixel observations
+    focal: float = 1.0
+    weight: jnp.ndarray | None = None  # (M,) optional per-obs weights
+
+
+def _rodrigues(r):
+    """Axis-angle (3,) -> rotation matrix (3,3), smooth at 0."""
+    th2 = jnp.sum(r * r)
+    th = jnp.sqrt(th2 + 1e-24)
+    k = r / th
+    K = jnp.array(
+        [[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]], [-k[1], k[0], 0.0]], r.dtype
+    )
+    s, c = jnp.sin(th), jnp.cos(th)
+    R_big = jnp.eye(3, dtype=r.dtype) + s * K + (1 - c) * (K @ K)
+    # small-angle fallback: I + [r]x
+    Rx = jnp.array(
+        [[0.0, -r[2], r[1]], [r[2], 0.0, -r[0]], [-r[1], r[0], 0.0]], r.dtype
+    )
+    R_small = jnp.eye(3, dtype=r.dtype) + Rx
+    return jnp.where(th2 > 1e-12, R_big, R_small)
+
+
+def project(cam, X, focal):
+    """Pinhole projection of one point by one camera."""
+    R = _rodrigues(cam[:3])
+    xc = R @ X + cam[3:]
+    z = jnp.where(jnp.abs(xc[2]) > 1e-9, xc[2], 1e-9)
+    return focal * xc[:2] / z
+
+
+def _residual_jac(cam, X, uv, focal):
+    """(r (2,), J_cam (2,6), J_pt (2,3)) in closed form via jacfwd (traced
+    once; everything fuses into the batch)."""
+    def res(cX):
+        c, x = cX
+        return project(c, x, focal) - uv
+
+    r = res((cam, X))
+    Jc, Jp = jax.jacfwd(res)((cam, X))
+    return r, Jc, Jp
+
+
+def _assemble(problem: BAProblem, C: int, P: int):
+    """Per-observation residuals/Jacobians and block accumulations."""
+    f = jnp.asarray(problem.focal, problem.points.dtype)
+    r, Jc, Jp = jax.vmap(_residual_jac, in_axes=(0, 0, 0, None))(
+        problem.cams[problem.cam_idx], problem.points[problem.pt_idx], problem.obs, f
+    )
+    if problem.weight is not None:
+        w = problem.weight[:, None]
+        r = r * w
+        Jc = Jc * w[..., None]
+        Jp = Jp * w[..., None]
+    # Blocks
+    Hcc = jax.ops.segment_sum(
+        jnp.einsum("mki,mkj->mij", Jc, Jc), problem.cam_idx, C
+    )  # (C,6,6)
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum("mki,mkj->mij", Jp, Jp), problem.pt_idx, P
+    )  # (P,3,3)
+    bc = jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jc, r), problem.cam_idx, C)
+    bp = jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jp, r), problem.pt_idx, P)
+    # W blocks per (point, cam): dense (P, C, 6, 3) via scatter-add
+    Wpc = jnp.zeros((P, C, 6, 3), r.dtype)
+    Wpc = Wpc.at[problem.pt_idx, problem.cam_idx].add(
+        jnp.einsum("mki,mkj->mij", Jc, Jp)
+    )
+    return Hcc, Hpp, bc, bp, Wpc, r
+
+
+def _schur_reduce(Hcc, Hpp, bc, bp, Wpc, lam):
+    """Partial reduced camera system from a (possibly sharded) point set."""
+    P = Hpp.shape[0]
+    eye3 = jnp.eye(3, dtype=Hpp.dtype)
+    Vinv = jnp.linalg.inv(Hpp + lam * eye3[None])  # (P,3,3)
+    # S_partial = - sum_p W_p Vinv_p W_p^T ; rhs_partial = + W Vinv bp
+    # (the reduced system is S dc = -bc + W Vinv bp)
+    WV = jnp.einsum("pcij,pjk->pcik", Wpc, Vinv)  # (P,C,6,3)
+    S = -jnp.einsum("pcik,pdjk->cidj", WV, Wpc)  # (C,6,C,6)
+    rhs = jnp.einsum("pcik,pk->ci", WV, bp)  # (C,6)
+    return S, rhs, Vinv
+
+
+def _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam):
+    """Dense solve of the reduced camera system
+    S = blockdiag(Hcc + lam I) - W Vinv W^T (the latter is S_partial)."""
+    C = Hcc.shape[0]
+    block = Hcc + lam * jnp.eye(6, dtype=Hcc.dtype)[None]
+
+    def add_block(c, M):
+        cur = lax.dynamic_slice(M, (c * 6, c * 6), (6, 6))
+        return lax.dynamic_update_slice(M, cur + block[c], (c * 6, c * 6))
+
+    S = lax.fori_loop(0, C, add_block, S_partial.reshape(C * 6, C * 6))
+    rhs = (-bc + rhs_partial).reshape(C * 6)
+    return jnp.linalg.solve(S, rhs).reshape(C, 6)
+
+
+def _back_substitute(Vinv, Wpc, bp, delta_c):
+    """Point updates given camera updates (local to each point shard)."""
+    corr = jnp.einsum("pcij,ci->pj", Wpc, delta_c)  # (P,3)
+    return jnp.einsum("pij,pj->pi", Vinv, -(bp + corr))
+
+
+def _gn_step(problem: BAProblem, lam, C: int, P: int, psum_axes=None):
+    Hcc, Hpp, bc, bp, Wpc, r = _assemble(problem, C, P)
+    S_partial, rhs_partial, Vinv = _schur_reduce(Hcc, Hpp, bc, bp, Wpc, lam)
+    if psum_axes is not None:
+        # Points (and their observations) are sharded; the camera system is
+        # the one global object. A single psum assembles it over the mesh.
+        S_partial = lax.psum(S_partial, psum_axes)
+        rhs_partial = lax.psum(rhs_partial, psum_axes)
+        Hcc = lax.psum(Hcc, psum_axes)
+        bc = lax.psum(bc, psum_axes)
+    delta_c = _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam)
+    delta_p = _back_substitute(Vinv, Wpc, bp, delta_c)
+    # gauge: pin camera 0
+    delta_c = delta_c.at[0].set(0.0)
+    cams = problem.cams + delta_c
+    points = problem.points + delta_p
+    return problem._replace(cams=cams, points=points), jnp.mean(r * r)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def bundle_adjust(
+    problem: BAProblem, iters: int = 10, lam: float = 1e-3
+) -> Tuple[BAProblem, jnp.ndarray]:
+    """Gauss-Newton BA; returns (refined problem, per-iter mean sq residual)."""
+    C = problem.cams.shape[0]
+    P = problem.points.shape[0]
+    lam = jnp.asarray(lam, problem.points.dtype)
+
+    def body(carry, _):
+        prob, l = carry
+        prob, msr = _gn_step(prob, l, C, P)
+        return (prob, l), msr
+
+    (out, _), hist = lax.scan(body, (problem, lam), None, length=iters)
+    return out, hist
+
+
+def reprojection_rmse(problem: BAProblem) -> jnp.ndarray:
+    f = jnp.asarray(problem.focal, problem.points.dtype)
+    pred = jax.vmap(project, in_axes=(0, 0, None))(
+        problem.cams[problem.cam_idx], problem.points[problem.pt_idx], f
+    )
+    return jnp.sqrt(jnp.mean(jnp.sum((pred - problem.obs) ** 2, axis=-1)))
+
+
+def sharded_bundle_adjust(
+    problem: BAProblem,
+    mesh,
+    iters: int = 10,
+    lam: float = 1e-3,
+) -> Tuple[BAProblem, jnp.ndarray]:
+    """BA with points + observations sharded over every mesh axis (flattened
+    into one logical device ring); cameras replicated.
+
+    Requires: P and M divisible by mesh.size, and observations pre-grouped
+    so device d's observation slice references only its point slice
+    (pt_idx is LOCAL to the shard). Camera updates are identical on every
+    device (psum-reduced system); point updates stay local. Results match
+    the unsharded solver up to f32 reduction order.
+    """
+    from jax.sharding import PartitionSpec as P_
+
+    axes = tuple(mesh.axis_names)
+    n = mesh.size
+    P_pts = problem.points.shape[0]
+    M = problem.obs.shape[0]
+    if P_pts % n or M % n:
+        raise ValueError(f"points {P_pts} and obs {M} must divide mesh size {n}")
+    C = problem.cams.shape[0]
+    lamv = jnp.asarray(lam, problem.points.dtype)
+    P_local = P_pts // n
+
+    def local_ba(cams, points, cam_idx, pt_idx, obs, weight):
+        prob = BAProblem(cams, points, cam_idx, pt_idx, obs, problem.focal, weight)
+
+        def body(carry, _):
+            pr, l = carry
+            pr, msr = _gn_step(pr, l, C, P_local, psum_axes=axes)
+            return (pr, l), lax.psum(msr, axes) / n
+
+        (out, _), hist = lax.scan(body, (prob, lamv), None, length=iters)
+        return out.cams, out.points, hist
+
+    spec_pt = P_(axes)  # shard leading dim over the flattened mesh
+    spec_rep = P_()
+    fn = jax.shard_map(
+        local_ba,
+        mesh=mesh,
+        in_specs=(spec_rep, spec_pt, spec_pt, spec_pt, spec_pt, spec_pt),
+        out_specs=(spec_rep, spec_pt, spec_rep),
+    )
+    weight = (
+        problem.weight
+        if problem.weight is not None
+        else jnp.ones((M,), problem.obs.dtype)
+    )
+    cams, points, hist = fn(
+        problem.cams, problem.points, problem.cam_idx, problem.pt_idx, problem.obs, weight
+    )
+    return problem._replace(cams=cams, points=points), hist

@@ -1,0 +1,148 @@
+"""Pose estimation + bundle adjustment tests (synthetic ground truth)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from optical_flow_tpu.slam import (
+    BAProblem,
+    bundle_adjust,
+    reprojection_rmse,
+    sharded_bundle_adjust,
+)
+from optical_flow_tpu.track.pose import RansacConfig, estimate_homography
+
+
+# ---------------------------------------------------------------- homography
+
+
+def _apply_h(H, pts):
+    ph = np.concatenate([pts, np.ones((len(pts), 1))], axis=1) @ H.T
+    return ph[:, :2] / ph[:, 2:3]
+
+
+def test_homography_recovery_with_outliers():
+    rng = np.random.RandomState(0)
+    H_true = np.array([[1.02, 0.03, 5.0], [-0.02, 0.98, -3.0], [1e-4, -5e-5, 1.0]])
+    p1 = rng.rand(120, 2) * 300
+    p2 = _apply_h(H_true, p1) + rng.randn(120, 2) * 0.3
+    # 25% outliers
+    out = rng.rand(120) < 0.25
+    p2[out] = rng.rand(out.sum(), 2) * 300
+    H, inl, count = estimate_homography(p1, p2, config=RansacConfig(seed=3))
+    inl = np.asarray(inl)
+    assert int(count) >= 60
+    assert inl[~out].mean() > 0.9  # finds the true inliers
+    assert inl[out].mean() < 0.1  # rejects the outliers
+    # transfer error of true inliers under estimated H is small
+    err = np.linalg.norm(_apply_h(np.asarray(H), p1[~out]) - p2[~out], axis=1)
+    assert np.median(err) < 1.0
+
+
+def test_homography_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(1)
+    H_true = np.array([[0.95, -0.05, 10.0], [0.04, 1.05, 2.0], [0.0, 0.0, 1.0]])
+    p1 = (rng.rand(80, 2) * 200).astype(np.float32)
+    p2 = (_apply_h(H_true, p1) + rng.randn(80, 2) * 0.2).astype(np.float32)
+    H_ours, _, _ = estimate_homography(p1, p2)
+    H_cv, _ = cv2.findHomography(p1, p2, cv2.RANSAC, 3.0)
+    grid = (rng.rand(50, 2) * 200).astype(np.float64)
+    d = np.linalg.norm(_apply_h(np.asarray(H_ours, np.float64), grid) - _apply_h(H_cv, grid), axis=1)
+    assert np.median(d) < 0.5
+
+
+# ---------------------------------------------------------------- bundle adjustment
+
+
+def _make_scene(C=4, P=32, noise=0.0, seed=0, dtype=np.float64):
+    rng = np.random.RandomState(seed)
+    pts = rng.randn(P, 3) * np.array([2.0, 2.0, 0.5]) + np.array([0, 0, 8.0])
+    cams = np.zeros((C, 6))
+    cams[:, 3] = np.linspace(-1, 1, C)  # translate along x
+    cams[:, :3] = rng.randn(C, 3) * 0.02  # tiny rotations
+    focal = 500.0
+
+    from optical_flow_tpu.slam.ba import project
+
+    cam_idx = np.repeat(np.arange(C), P).astype(np.int32)
+    pt_idx = np.tile(np.arange(P), C).astype(np.int32)
+    obs = np.stack(
+        [
+            np.asarray(project(jnp.asarray(cams[c], dtype), jnp.asarray(pts[p], dtype), focal))
+            for c, p in zip(cam_idx, pt_idx)
+        ]
+    )
+    obs = obs + rng.randn(*obs.shape) * noise
+    return (
+        jnp.asarray(cams, dtype),
+        jnp.asarray(pts, dtype),
+        jnp.asarray(cam_idx),
+        jnp.asarray(pt_idx),
+        jnp.asarray(obs, dtype),
+        focal,
+    )
+
+
+def test_ba_reduces_reprojection_error():
+    cams, pts, ci, pi_, obs, focal = _make_scene(noise=0.0)
+    rng = np.random.RandomState(7)
+    cams_n = cams + jnp.asarray(rng.randn(*cams.shape) * 0.01)
+    cams_n = cams_n.at[0].set(cams[0])  # gauge anchor stays true
+    pts_n = pts + jnp.asarray(rng.randn(*pts.shape) * 0.05)
+    prob = BAProblem(cams_n, pts_n, ci, pi_, obs, focal)
+    rmse0 = float(reprojection_rmse(prob))
+    refined, hist = bundle_adjust(prob, iters=12, lam=1e-4)
+    rmse1 = float(reprojection_rmse(refined))
+    assert rmse0 > 1.0
+    assert rmse1 < 0.05 * rmse0, (rmse0, rmse1)
+
+
+def test_ba_noisy_observations_converge():
+    cams, pts, ci, pi_, obs, focal = _make_scene(noise=0.5, seed=2)
+    rng = np.random.RandomState(8)
+    prob = BAProblem(
+        cams + jnp.asarray(rng.randn(*cams.shape) * 0.005),
+        pts + jnp.asarray(rng.randn(*pts.shape) * 0.03),
+        ci, pi_, obs, focal,
+    )
+    refined, _ = bundle_adjust(prob, iters=10, lam=1e-3)
+    # converges to the noise floor, not below
+    assert float(reprojection_rmse(refined)) < 1.5
+
+
+def test_sharded_ba_matches_unsharded():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from optical_flow_tpu.parallel import flow_mesh
+
+    mesh = flow_mesh(frames=2, rows=2, cols=2)
+    C, P = 4, 32
+    cams, pts, ci, pi_, obs, focal = _make_scene(C=C, P=P, noise=0.1, seed=3)
+    rng = np.random.RandomState(9)
+    cams_n = cams + jnp.asarray(rng.randn(C, 6) * 0.01)
+    pts_n = pts + jnp.asarray(rng.randn(P, 3) * 0.05)
+
+    prob = BAProblem(cams_n, pts_n, ci, pi_, obs, focal)
+    ref, _ = bundle_adjust(prob, iters=6, lam=1e-3)
+
+    # shard: device d owns points [d*4, (d+1)*4) and all their observations,
+    # with pt_idx local to the shard
+    n = mesh.size
+    P_loc = P // n
+    order = np.argsort(np.asarray(pi_), kind="stable")
+    ci_s = np.asarray(ci)[order]
+    pi_s = np.asarray(pi_)[order] % P_loc  # local indices after grouping
+    obs_s = np.asarray(obs)[order]
+    prob_s = BAProblem(
+        cams_n, pts_n, jnp.asarray(ci_s), jnp.asarray(pi_s), jnp.asarray(obs_s), focal
+    )
+    ref_s, _ = sharded_bundle_adjust(prob_s, mesh, iters=6, lam=1e-3)
+
+    np.testing.assert_allclose(np.asarray(ref_s.cams), np.asarray(ref.cams), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref_s.points), np.asarray(ref.points), atol=1e-6)
+    # evaluate with global indices (prob_s carries shard-local pt_idx)
+    ref_s_global = prob._replace(cams=ref_s.cams, points=ref_s.points)
+    assert float(reprojection_rmse(ref_s_global)) < float(reprojection_rmse(prob))
