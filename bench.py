@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--levels", type=int, default=None)
+    ap.add_argument(
+        "--sweep",
+        action="store_true",
+        help="also run the reference's resize-ladder scaling experiment "
+        "(200/400/800/1080 squared, ParallelVideoPyr.cpp:750-759) and "
+        "batch scaling; table to stderr",
+    )
     args = ap.parse_args()
 
     import jax
@@ -38,6 +45,37 @@ def main():
 
     from optical_flow_tpu import FlowConfig, coarse_to_fine
     from optical_flow_tpu.ops.pyramid import max_pyramid_levels
+
+    def measure(size, batch, impl, iters, warmup=2):
+        H = W = size
+        levels = max_pyramid_levels((H, W))
+        cfg = FlowConfig(impl=impl, levels=levels)
+        shape = (batch, H, W) if batch > 1 else (H, W)
+
+        def mk(seed):
+            r = np.random.RandomState(seed)
+            base = (r.rand(*shape) * 2040.0).astype(np.float32)
+            m = (r.rand(*shape) < 0.15).astype(np.float32)
+            return jnp.asarray(base * m), jnp.asarray(np.roll(base * m, 2, axis=-1))
+
+        ps = [mk(s) for s in range(warmup + iters)]
+        jax.block_until_ready(ps)
+        fn = jax.jit(lambda a, b: coarse_to_fine(a, b, levels, config=cfg))
+        jax.block_until_ready([fn(*p) for p in ps[:warmup]])
+        t0 = time.perf_counter()
+        outs = [fn(*p) for p in ps[warmup:]]
+        jax.block_until_ready(outs)
+        return iters * batch / (time.perf_counter() - t0)
+
+    if args.sweep:
+        print("size  batch  impl    fps        Mpix/s", file=sys.stderr)
+        for size in (200, 400, 800, 1080):
+            for batch in (1, 8):
+                fps = measure(size, batch, args.impl, max(6, args.iters // 3))
+                print(
+                    f"{size:5d} {batch:5d}  {args.impl:6s} {fps:10.1f} {fps*size*size/1e6:10.1f}",
+                    file=sys.stderr,
+                )
 
     H = W = args.size
     levels = args.levels or max_pyramid_levels((H, W))  # 1080 -> 4 (reference)

@@ -41,9 +41,17 @@ def _probe_ffmpeg(path: str) -> Optional[Tuple[int, int, float]]:
 
 
 class VideoReader:
-    """Iterate HxWx3 uint8 BGR frames from a video file."""
+    """Iterate HxWx3 uint8 BGR frames from a video file or camera.
+
+    An integer source selects a capture device (the reference's
+    VideoCapture(0), ParallelVideoPyr.cpp:737) via the cv2 backend.
+    """
 
     def __init__(self, path, backend: str = "auto"):
+        if isinstance(path, int) or (isinstance(path, str) and path.isdigit()):
+            self.path = int(path)
+            self._init_cv2_camera()
+            return
         self.path = str(path)
         if not Path(self.path).exists():
             raise FileNotFoundError(self.path)
@@ -75,6 +83,16 @@ class VideoReader:
             cap.release()
         else:
             raise ValueError(f"unknown backend {backend!r}")
+
+    def _init_cv2_camera(self):
+        import cv2
+
+        self.backend = "cv2"
+        cap = cv2.VideoCapture(self.path)
+        self.width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.fps = cap.get(cv2.CAP_PROP_FPS)
+        cap.release()
 
     def __iter__(self) -> Iterator[np.ndarray]:
         if self.backend == "native":
