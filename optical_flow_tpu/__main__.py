@@ -44,21 +44,38 @@ def _cmd_flow(args):
 
 
 def _run_video(args):
+    import sys as _sys
+
     from optical_flow_tpu.config import FlowConfig, PreprocessConfig, VideoConfig
     from optical_flow_tpu.io.video_reader import read_frames
     from optical_flow_tpu.pipeline import VideoPipeline
+    from optical_flow_tpu.utils.guard import FlowGuard, NumericalFailure
+    from optical_flow_tpu.utils.metrics import Metrics
 
     cfg = VideoConfig(
         preprocess=PreprocessConfig(size=(args.size, args.size)),
         flow=FlowConfig(impl=args.impl),
     )
     pipe = VideoPipeline(cfg)
+    guard = FlowGuard(stall_timeout_s=120.0)
+    metrics = Metrics(sink=_sys.stderr if args.metrics else None)
     for i, res in enumerate(pipe.run(read_frames(args.input, max_frames=args.frames))):
-        g = res.gesture
-        print(
-            f"frame {i}: votes={int(g.votes)} detected={bool(g.detected)} "
-            f"centroid=({float(g.cx):.1f},{float(g.cy):.1f})"
-        )
+        with metrics.timer("frame"):
+            g = res.gesture
+            try:
+                guard.check(res.u, res.v, context=f"frame {i}")
+            except NumericalFailure as e:
+                print(f"frame {i}: GUARD TRIPPED: {e}")
+                metrics.count("guard_trips")
+                continue
+            metrics.count("frames")
+            if bool(g.detected):
+                metrics.count("detections")
+            print(
+                f"frame {i}: votes={int(g.votes)} detected={bool(g.detected)} "
+                f"centroid=({float(g.cx):.1f},{float(g.cy):.1f})"
+            )
+    metrics.emit()
 
 
 def _cmd_track(args):
@@ -98,10 +115,11 @@ def main(argv=None):
     p.set_defaults(fn=_cmd_flow)
 
     p = sub.add_parser("video", help="video gesture tracking")
-    p.add_argument("--input", required=True)
+    p.add_argument("--input", required=True, help="video file or camera index")
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"])
+    p.add_argument("--metrics", action="store_true", help="emit JSONL metrics to stderr")
     p.set_defaults(fn=_run_video)
 
     p = sub.add_parser("track", help="sparse feature tracking")

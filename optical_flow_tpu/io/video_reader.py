@@ -48,6 +48,9 @@ class VideoReader:
     """
 
     def __init__(self, path, backend: str = "auto"):
+        from optical_flow_tpu.utils.compat import warm_compile_client
+
+        warm_compile_client()  # before any codec library loads (see compat.py)
         if isinstance(path, int) or (isinstance(path, str) and path.isdigit()):
             self.path = int(path)
             self._init_cv2_camera()

@@ -1,0 +1,45 @@
+"""Environment compatibility shims.
+
+warm_compile_client(): the TPU runtime's compile path lazily initializes
+native state on the FIRST jit compilation; if video-codec shared libraries
+(libavcodec — loaded by `import cv2` or our native decoder) are already in
+the process at that point, the initialization deadlocks (observed on the
+axon/v5e runtime: every thread parked on futexes, compile never returns;
+warming one compile first makes all later compiles safe, including with
+open captures). Every decoder entry point in this package calls this
+before touching codec libraries. Idempotent, ~0.5 s once, no-op off-TPU
+and no-op if jax was never imported.
+"""
+
+from __future__ import annotations
+
+import sys
+
+_warmed = False
+
+
+def warm_compile_client() -> None:
+    global _warmed
+    if _warmed:
+        return
+    _warmed = True
+    jax = sys.modules.get("jax")
+    if jax is None:
+        # jax not imported yet: importing codecs first is fine as long as
+        # jax's first compile happens... before codec threads? Empirically
+        # the deadlock needs the codec LIBRARIES loaded, so warm defensively.
+        try:
+            import jax  # noqa: F811
+        except Exception:
+            return
+    try:
+        if jax.default_backend() != "tpu":
+            return
+        import jax.numpy as jnp
+
+        # a computation unlikely to be cache-hit from user code
+        jax.jit(lambda x: (x * 1.0000001 + 0.0000002).sum())(
+            jnp.full((3, 3), 0.123456)
+        ).block_until_ready()
+    except Exception:
+        pass  # warming is best-effort; never block IO on it

@@ -44,6 +44,36 @@ def draw_circle(img: np.ndarray, cx: float, cy: float, radius: int, color=(255, 
     return out
 
 
+def draw_arrows(
+    img: np.ndarray,
+    pts: np.ndarray,
+    flows: np.ndarray,
+    mask: np.ndarray | None = None,
+    scale: float = 1.0,
+    thickness: int = 1,
+) -> np.ndarray:
+    """Draw flow arrows (line + head dot) on an (H, W, 3) uint8 image —
+    the reference's sparse-track rendering (OpticalFlowDemo.cpp:211-254,
+    of.cpp:63-77: red/green by x-direction)."""
+    out = np.array(img, copy=True)
+    H, W = out.shape[:2]
+    if mask is None:
+        mask = np.ones(len(pts), bool)
+    for (x, y), (dx, dy), ok in zip(pts, flows, mask):
+        if not ok:
+            continue
+        color = (255, 0, 0) if dx < 0 else (0, 255, 0)
+        x1, y1 = x + dx * scale, y + dy * scale
+        n = max(int(np.hypot(x1 - x, y1 - y)) * 2, 1)
+        xs = np.clip(np.linspace(x, x1, n).round().astype(int), 0, W - 1)
+        ys = np.clip(np.linspace(y, y1, n).round().astype(int), 0, H - 1)
+        for t in range(-(thickness // 2), thickness // 2 + 1):
+            out[np.clip(ys + t, 0, H - 1), xs] = color
+        hx, hy = int(round(x1)), int(round(y1))
+        out[max(0, hy - 1) : hy + 2, max(0, hx - 1) : hx + 2] = color
+    return out
+
+
 def save_png(img: np.ndarray, path) -> None:
     from PIL import Image
 
