@@ -46,12 +46,14 @@ def main():
     from optical_flow_tpu import FlowConfig, coarse_to_fine
     from optical_flow_tpu.ops.pyramid import max_pyramid_levels
 
-    def measure(size, batch, impl, iters, warmup=2):
+    def measure(size, batch, impl, iters, warmup=2, levels=None):
         H = W = size
-        levels = max_pyramid_levels((H, W))
+        levels = levels or max_pyramid_levels((H, W))
         cfg = FlowConfig(impl=impl, levels=levels)
         shape = (batch, H, W) if batch > 1 else (H, W)
 
+        # Use-once inputs: the device runtime caches repeated identical
+        # dispatches, so every timed call gets a pair it has never seen.
         def mk(seed):
             r = np.random.RandomState(seed)
             base = (r.rand(*shape) * 2040.0).astype(np.float32)
@@ -79,35 +81,7 @@ def main():
 
     H = W = args.size
     levels = args.levels or max_pyramid_levels((H, W))  # 1080 -> 4 (reference)
-    cfg = FlowConfig(impl=args.impl, levels=levels)
-
-    rng = np.random.RandomState(0)
-    shape = (args.batch, H, W) if args.batch > 1 else (H, W)
-
-    # Use-once inputs: the device runtime caches repeated identical
-    # dispatches, so every timed call gets a frame pair it has never seen.
-    def make_pair(seed):
-        r = np.random.RandomState(seed)
-        base = (r.rand(*shape) * 2040.0).astype(np.float32)
-        mask = (r.rand(*shape) < 0.15).astype(np.float32)
-        img1 = jnp.asarray(base * mask)
-        img2 = jnp.asarray(np.roll(base * mask, 2, axis=-1))
-        return img1, img2
-
-    pairs = [make_pair(s) for s in range(args.warmup + args.iters)]
-    jax.block_until_ready(pairs)
-
-    fn = jax.jit(lambda a, b: coarse_to_fine(a, b, levels, config=cfg))
-    warm = [fn(*p) for p in pairs[: args.warmup]]
-    jax.block_until_ready(warm)
-
-    t0 = time.perf_counter()
-    outs = [fn(*p) for p in pairs[args.warmup :]]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-
-    frames = args.iters * args.batch
-    fps = frames / dt
+    fps = measure(args.size, args.batch, args.impl, args.iters, args.warmup, levels)
     mpix_s = fps * H * W / 1e6
     result = {
         "metric": f"dense_pyramidal_lk_{args.size}p_fps",

@@ -53,13 +53,11 @@ def main():
             f"median |flow| {np.median(np.linalg.norm(moved[status], axis=-1)) if status.any() else 0:.2f} px"
         )
         if args.out:
-            overlay = frame[..., ::-1].copy()
-            for (x, y), ok, (dx, dy) in zip(np.asarray(new), status, moved):
-                if not ok:
-                    continue
-                color = (255, 0, 0) if dx < 0 else (0, 255, 0)  # of.cpp:63-77
-                xi, yi = int(round(x)), int(round(y))
-                overlay[max(0, yi - 1) : yi + 2, max(0, xi - 1) : xi + 2] = color
+            from optical_flow_tpu.utils.viz import draw_arrows
+
+            overlay = draw_arrows(
+                frame[..., ::-1], np.asarray(pts), moved, mask=status
+            )
             save_png(overlay, os.path.join(args.out, f"tracks_{i:04d}.png"))
         prev_gray = gray
         pts = new

@@ -58,6 +58,7 @@ def _run_video(args):
     )
     pipe = VideoPipeline(cfg)
     guard = FlowGuard(stall_timeout_s=120.0)
+    stop_watchdog = guard.start_watchdog()
     metrics = Metrics(sink=_sys.stderr if args.metrics else None)
     for i, res in enumerate(pipe.run(read_frames(args.input, max_frames=args.frames))):
         with metrics.timer("frame"):
@@ -75,6 +76,7 @@ def _run_video(args):
                 f"frame {i}: votes={int(g.votes)} detected={bool(g.detected)} "
                 f"centroid=({float(g.cx):.1f},{float(g.cy):.1f})"
             )
+    stop_watchdog()
     metrics.emit()
 
 
@@ -128,16 +130,27 @@ def main(argv=None):
     p.add_argument("--corners", type=int, default=500)
     p.set_defaults(fn=_cmd_track)
 
-    p = sub.add_parser("bench", help="run the headline benchmark")
+    p = sub.add_parser(
+        "bench",
+        help="run the headline benchmark (remaining args pass through to bench.py)",
+    )
     p.set_defaults(fn=None)
 
-    args = ap.parse_args(argv)
+    args, extra = ap.parse_known_args(argv)
+    if args.cmd != "bench" and extra:
+        ap.error(f"unrecognized arguments: {' '.join(extra)}")
     if args.cmd == "bench":
         import runpy
         from pathlib import Path
 
-        sys.argv = ["bench.py"]
-        runpy.run_path(str(Path(__file__).parent.parent / "bench.py"), run_name="__main__")
+        bench_path = Path(__file__).parent.parent / "bench.py"
+        if not bench_path.exists():
+            sys.exit(
+                "bench.py is a repo-level harness and is not shipped in the "
+                "installed package; run it from a source checkout"
+            )
+        sys.argv = ["bench.py", *extra]
+        runpy.run_path(str(bench_path), run_name="__main__")
         return
     args.fn(args)
 

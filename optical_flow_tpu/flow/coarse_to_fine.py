@@ -48,6 +48,14 @@ def coarse_to_fine_with_images(
     """
     if levels is None:
         levels = config.levels or max_pyramid_levels(img1.shape)
+    max_levels = max_pyramid_levels(img1.shape)
+    if levels > max_levels:
+        # pyr_up(ceil(n/2)) only matches n when n is even, so depth is
+        # bounded by the 2-adic valuation (the reference's getMaxLayer).
+        raise ValueError(
+            f"levels={levels} too deep for {img1.shape[-2]}x{img1.shape[-1]} "
+            f"(max {max_levels}, LKof.cpp:230-249 getMaxLayer)"
+        )
     pyr1 = gaussian_pyramid(img1, levels)
     pyr2 = gaussian_pyramid(img2, levels)
 

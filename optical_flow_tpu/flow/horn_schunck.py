@@ -77,6 +77,12 @@ def horn_schunck(
     warping as the LK controller.
     """
     levels = config.levels or max_pyramid_levels(img1.shape)
+    if levels > max_pyramid_levels(img1.shape):
+        raise ValueError(
+            f"levels={levels} too deep for {img1.shape[-2]}x{img1.shape[-1]} "
+            f"(max {max_pyramid_levels(img1.shape)}: pyr_up only inverts "
+            f"even-sized pyr_down levels)"
+        )
     alpha = jnp.asarray(config.alpha, img1.dtype)
     if levels <= 1:
         z = jnp.zeros_like(img1)

@@ -69,11 +69,12 @@ class VideoReader:
                 backend = "cv2"
         self.backend = backend
         if backend == "native":
-            from optical_flow_tpu.native import NativeFramePipe
+            from optical_flow_tpu.native import probe_native
 
-            probe = NativeFramePipe(self.path)
-            self.width, self.height, self.fps = probe.width, probe.height, probe.fps
-            probe.close()
+            probe = probe_native(self.path)
+            if probe is None:
+                raise RuntimeError(f"native probe failed for {self.path}")
+            self.width, self.height, self.fps = probe
         elif backend == "ffmpeg":
             self.width, self.height, self.fps = _probe_ffmpeg(self.path)
         elif backend == "cv2":

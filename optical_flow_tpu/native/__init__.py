@@ -61,6 +61,13 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.fp_probe.restype = ctypes.c_int
+        lib.fp_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         lib.fp_next.restype = ctypes.c_int
         lib.fp_next.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.fp_buffered.restype = ctypes.c_int
@@ -73,6 +80,23 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.gf_save.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long]
         _lib = lib
         return _lib
+
+
+def probe_native(path):
+    """(width, height, fps) from container headers only (no decode thread);
+    None if the native library is unavailable or the file can't be opened."""
+    lib = load_library()
+    if lib is None:
+        return None
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    fps = ctypes.c_double(0.0)
+    rc = lib.fp_probe(
+        str(path).encode(), ctypes.byref(w), ctypes.byref(h), ctypes.byref(fps)
+    )
+    if rc != 0:
+        return None
+    return w.value, h.value, fps.value
 
 
 class NativeFramePipe:

@@ -46,6 +46,7 @@ struct Decoder {
   int height = 0;
   double fps = 0.0;
   bool draining = false;
+  bool have_pending = false;  // pkt holds data the codec hasn't accepted yet
 
   ~Decoder() {
     if (sws) sws_freeContext(sws);
@@ -95,8 +96,9 @@ struct Decoder {
       if (rc == AVERROR_EOF) return 0;
       if (rc != AVERROR(EAGAIN)) return 0;
       if (draining) return 0;
-      // feed more packets
-      for (;;) {
+      // The codec wants input. Read the next packet of our stream unless
+      // one is still pending from a previous EAGAIN on send.
+      while (!have_pending) {
         int rr = av_read_frame(fmt, pkt);
         if (rr < 0) {
           draining = true;
@@ -104,12 +106,22 @@ struct Decoder {
           break;
         }
         if (pkt->stream_index == stream) {
-          int sc = avcodec_send_packet(codec, pkt);
+          have_pending = true;
+        } else {
           av_packet_unref(pkt);
-          if (sc < 0 && sc != AVERROR(EAGAIN)) return 0;
-          break;
         }
-        av_packet_unref(pkt);
+      }
+      if (have_pending) {
+        int sc = avcodec_send_packet(codec, pkt);
+        if (sc == 0) {
+          av_packet_unref(pkt);
+          have_pending = false;
+        } else if (sc != AVERROR(EAGAIN)) {
+          av_packet_unref(pkt);
+          have_pending = false;
+          return 0;
+        }
+        // EAGAIN: keep the packet; drain receive_frame first, retry send.
       }
     }
   }
@@ -192,6 +204,17 @@ FramePipe* fp_open(const char* path, int ring_capacity, int* out_w, int* out_h,
   }
   fp->reader_started = true;
   return fp;
+}
+
+// Geometry-only probe: open the container/codec headers, no decode
+// thread, no frame decode. 0 on success, -1 on failure.
+int fp_probe(const char* path, int* out_w, int* out_h, double* out_fps) {
+  Decoder dec;
+  if (!dec.open(path)) return -1;
+  if (out_w) *out_w = dec.width;
+  if (out_h) *out_h = dec.height;
+  if (out_fps) *out_fps = dec.fps;
+  return 0;
 }
 
 // Pop the next frame into out (h*w*3 bytes BGR). 1 = frame, 0 = end.

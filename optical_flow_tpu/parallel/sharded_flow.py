@@ -67,6 +67,11 @@ def sharded_coarse_to_fine(
     cols_n = mesh.shape[AXIS_COLS]
     if levels is None:
         levels = config.levels or max_pyramid_levels(img1.shape)
+    if levels > max_pyramid_levels(img1.shape):
+        raise ValueError(
+            f"levels={levels} too deep for {img1.shape[-2]}x{img1.shape[-1]} "
+            f"(max {max_pyramid_levels(img1.shape)})"
+        )
     pyr1 = gaussian_pyramid(img1, levels)
     pyr2 = gaussian_pyramid(img2, levels)
 
@@ -87,8 +92,17 @@ def sharded_coarse_to_fine(
         if config.warp_clamp is not None:
             wu = jnp.clip(wu, -config.warp_clamp, config.warp_clamp)
             wv = jnp.clip(wv, -config.warp_clamp, config.warp_clamp)
-        if config.warp_clamp is not None and _tileable(
-            pyr1[i - 1].shape, rows_n, cols_n, min_tile
+        halo_k = (
+            None
+            if config.warp_clamp is None
+            else int(-(-config.warp_clamp // 2)) + 1
+        )
+        if (
+            halo_k is not None
+            and _tileable(pyr1[i - 1].shape, rows_n, cols_n, min_tile)
+            # the warp halo must fit within one neighbour tile
+            and halo_k
+            <= min(pyr1[i - 1].shape[-2] // rows_n, pyr1[i - 1].shape[-1] // cols_n)
         ):
             from optical_flow_tpu.parallel.sharded_warp import sharded_symmetric_warp
 

@@ -74,6 +74,15 @@ def sharded_symmetric_warp(
     rows_n = mesh.shape[AXIS_ROWS]
     cols_n = mesh.shape[AXIS_COLS]
     k = int(math.ceil(max_disp / 2.0)) + 1
+    tile_h = img1.shape[-2] // rows_n
+    tile_w = img1.shape[-1] // cols_n
+    if k > min(tile_h, tile_w):
+        # exchange_halo can only ship up to one whole neighbour tile; a
+        # larger reach would silently misalign the taps.
+        raise ValueError(
+            f"warp halo {k} (max_disp={max_disp}) exceeds tile "
+            f"{tile_h}x{tile_w}; lower warp_clamp or the spatial mesh"
+        )
     spec = P(*([AXIS_FRAMES] if img1.ndim == 3 else []), AXIS_ROWS, AXIS_COLS)
     fn = shard_map(
         partial(_warp_tile, k=k, rows_n=rows_n, cols_n=cols_n, quantize=quantize),

@@ -137,6 +137,18 @@ def _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam):
 
     S = lax.fori_loop(0, C, add_block, S_partial.reshape(C * 6, C * 6))
     rhs = (-bc + rhs_partial).reshape(C * 6)
+    # Gauge fix INSIDE the system: constrain delta_c[0] = 0 (replace camera
+    # 0's rows/cols with identity) so the point back-substitution sees the
+    # pinned solution — zeroing delta after the solve would let each
+    # iteration's point updates track a camera-0 motion that is then
+    # discarded, and leaves the gauge direction to lam alone.
+    n = S.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    keep = (row >= 6) & (col >= 6)
+    S = jnp.where(keep, S, 0.0)
+    S = S + jnp.diag(jnp.where(jnp.arange(n) < 6, 1.0, 0.0).astype(S.dtype))
+    rhs = jnp.where(jnp.arange(n) < 6, 0.0, rhs)
     return jnp.linalg.solve(S, rhs).reshape(C, 6)
 
 
@@ -156,10 +168,8 @@ def _gn_step(problem: BAProblem, lam, C: int, P: int, psum_axes=None):
         rhs_partial = lax.psum(rhs_partial, psum_axes)
         Hcc = lax.psum(Hcc, psum_axes)
         bc = lax.psum(bc, psum_axes)
-    delta_c = _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam)
+    delta_c = _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam)  # cam 0 pinned
     delta_p = _back_substitute(Vinv, Wpc, bp, delta_c)
-    # gauge: pin camera 0
-    delta_c = delta_c.at[0].set(0.0)
     cams = problem.cams + delta_c
     points = problem.points + delta_p
     return problem._replace(cams=cams, points=points), jnp.mean(r * r)

@@ -41,9 +41,10 @@ def _sample_patches(img, centers, half: int, extra: int = 1):
     """Bilinear patches around centers.
 
     img: (H, W); centers: (K, 2) float xy. Returns (K, w+2*extra, w+2*extra)
-    with w = 2*half+1; out-of-range taps clamp to the border (OpenCV's
-    buildOpticalFlowPyramid pads with BORDER_REFLECT_101 but the tracker
-    marks out-of-image features failed before values matter).
+    with w = 2*half+1; out-of-range taps clamp to the border (edge
+    replication — OpenCV's buildOpticalFlowPyramid pads with
+    BORDER_REFLECT_101 instead, a small accuracy difference confined to
+    windows overlapping the border).
     """
     H, W = img.shape
     w = 2 * half + 1 + 2 * extra
@@ -118,11 +119,14 @@ def _track_level(img1, img2, pts, guess, cfg: SparseLKConfig):
     live0 = ok_eig & (det != 0)
     d, _ = lax.fori_loop(0, cfg.iters, body, (guess, live0))
 
+    # cv2 semantics: border points stay tracked (its pyramid carries a
+    # window-sized padding ring); a feature is lost only when its center
+    # leaves the image by more than the half-window.
     inb = (
-        (pts[:, 0] + d[:, 0] >= half)
-        & (pts[:, 0] + d[:, 0] < W - half)
-        & (pts[:, 1] + d[:, 1] >= half)
-        & (pts[:, 1] + d[:, 1] < H - half)
+        (pts[:, 0] + d[:, 0] >= -half)
+        & (pts[:, 0] + d[:, 0] <= W - 1 + half)
+        & (pts[:, 1] + d[:, 1] >= -half)
+        & (pts[:, 1] + d[:, 1] <= H - 1 + half)
     )
     return d, live0 & inb
 

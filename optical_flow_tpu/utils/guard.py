@@ -47,6 +47,32 @@ class FlowGuard:
     def heartbeat(self) -> None:
         self._last_beat = time.monotonic()
 
+    def start_watchdog(self, poll_s: float = 5.0):
+        """Background stall watchdog: interrupts the main thread
+        (KeyboardInterrupt) when no heartbeat arrives within
+        stall_timeout_s. Returns a stop() callable. Only catches
+        Python-level stalls — a main thread blocked inside native code
+        won't see the interrupt until it returns."""
+        import threading
+        import _thread
+
+        stop_evt = threading.Event()
+
+        def poll():
+            while not stop_evt.wait(poll_s):
+                try:
+                    self.check_stalled()
+                except StallFailure as e:
+                    import sys
+
+                    print(f"FlowGuard watchdog: {e}", file=sys.stderr, flush=True)
+                    _thread.interrupt_main()
+                    return
+
+        t = threading.Thread(target=poll, daemon=True)
+        t.start()
+        return stop_evt.set
+
     def check_stalled(self) -> None:
         if (
             self.stall_timeout_s is not None

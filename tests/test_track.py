@@ -85,11 +85,18 @@ def test_track_close_to_cv2():
     assert np.median(diff) <= 0.5, f"median diff {np.median(diff):.2f} px"
 
 
-def test_track_flags_out_of_bounds():
+def test_track_border_and_out_of_bounds_status():
     img1 = _texture(seed=3)
     img2 = _shift(img1, 2.0, 0.0)
-    pts = np.array([[5.0, 5.0], [160.0, 120.0]], np.float32)
+    # cv2 keeps tracking points near (even on) the border; it loses only
+    # points outside the image by more than the half-window (verified
+    # against cv2.calcOpticalFlowPyrLK).
+    pts = np.array(
+        [[5.0, 5.0], [160.0, 120.0], [-40.0, 120.0], [40.0, 120.0]], np.float32
+    )
     _, status, _ = track_features(img1, img2, pts)
     status = np.asarray(status)
-    assert not status[0]  # window off the image edge
-    assert status[1]
+    assert status[0]  # near-border: tracked, like cv2
+    assert status[1]  # interior
+    assert not status[2]  # fully outside: lost
+    assert status[3]  # within the coarse level's reach: tracked, like cv2
