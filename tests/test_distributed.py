@@ -60,3 +60,21 @@ def test_guard_stall_watchdog():
         g.check_stalled()
     g.heartbeat()
     g.check_stalled()  # no raise after heartbeat
+
+
+def test_guard_watchdog_thread_interrupts():
+    import time
+
+    g = FlowGuard(stall_timeout_s=0.05)
+    stop = g.start_watchdog(poll_s=0.05)
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            time.sleep(2.0)  # no heartbeats -> watchdog interrupts main
+    finally:
+        stop()
+
+
+def test_guard_watchdog_stops_cleanly():
+    g = FlowGuard(stall_timeout_s=60.0)
+    stop = g.start_watchdog(poll_s=0.05)
+    stop()  # no interrupt, no exception

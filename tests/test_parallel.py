@@ -127,3 +127,34 @@ def test_sharded_pyramid_with_tiled_warp(rng, mesh222):
     u1, v1 = scf(img1, img2, mesh222, 3, config=cfg, min_tile=16)
     np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+def test_sharded_warp_rejects_oversized_halo(rng, mesh222):
+    from optical_flow_tpu.parallel import sharded_symmetric_warp
+
+    img1, img2 = _pair(rng, (32, 32))  # 16x16 tiles on the 2x2 spatial grid
+    u = jnp.zeros((32, 32))
+    v = jnp.zeros((32, 32))
+    with pytest.raises(ValueError, match="halo"):
+        sharded_symmetric_warp(img1, img2, u, v, mesh222, max_disp=40.0)
+
+
+def test_sharded_pyramid_falls_back_on_wide_clamp(rng, mesh222):
+    """A warp clamp whose halo exceeds the tile must not corrupt results —
+    the controller falls back to the global warp."""
+    img1, img2 = _pair(rng, (64, 64))  # 32x32 tiles; clamp 40 -> k=21 > 16 at level 1
+    cfg = FlowConfig(impl="jnp", warp_clamp=40.0)
+    u0, v0 = coarse_to_fine(jnp.asarray(img1), jnp.asarray(img2), 2, config=cfg)
+    from optical_flow_tpu.parallel.sharded_flow import sharded_coarse_to_fine as scf
+
+    u1, v1 = scf(img1, img2, mesh222, 2, config=cfg, min_tile=8)
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+def test_levels_validation():
+    img = jnp.asarray(np.random.RandomState(0).rand(70, 70))
+    with pytest.raises(ValueError, match="too deep"):
+        coarse_to_fine(img, img, 3)
+    u, v = coarse_to_fine(img, img, 2)  # 70 -> 35 is fine
+    assert u.shape == (70, 70)
