@@ -147,8 +147,25 @@ class VideoReader:
             cap.release()
 
 
-def read_frames(path, max_frames: Optional[int] = None) -> Iterator[np.ndarray]:
+def read_frames(
+    path,
+    max_frames: Optional[int] = None,
+    start: int = 0,
+    stride: int = 1,
+) -> Iterator[np.ndarray]:
+    """Frames [start::stride], up to max_frames of them.
+
+    start/stride cover the reference demo's frame scrubbing
+    (OpticalFlowDemo.cpp:265-274 keyboard stepping); implemented by
+    skipping decoded frames, which is exact for any backend/codec.
+    """
+    if stride < 1:
+        raise ValueError("stride must be >= 1 (decode cannot run backwards)")
+    yielded = 0
     for i, frame in enumerate(VideoReader(path)):
-        if max_frames is not None and i >= max_frames:
+        if i < start or (i - start) % stride:
+            continue
+        if max_frames is not None and yielded >= max_frames:
             break
         yield frame
+        yielded += 1

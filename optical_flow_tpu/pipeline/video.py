@@ -138,9 +138,20 @@ class VideoPipeline:
         result, self._prev_diff = self._flow_step(self._prev_diff, diff)
         return result
 
-    def run(self, frames: Iterable[np.ndarray]) -> Iterator[FrameResult]:
-        """Streaming mode over an iterable of frames (resets first)."""
+    def run(
+        self, frames: Iterable[np.ndarray], prefetch: int = 2
+    ) -> Iterator[FrameResult]:
+        """Streaming mode over an iterable of frames (resets first).
+
+        prefetch > 0 stages the next frames on device from a background
+        thread so decode + H2D hide under compute (SURVEY.md P6); 0
+        disables it (frames are transferred inline).
+        """
         self.reset()
+        if prefetch > 0:
+            from optical_flow_tpu.io.prefetch import prefetch_to_device
+
+            frames = prefetch_to_device(frames, depth=prefetch)
         for frame in frames:
             result = self.push(frame)
             if result is not None:

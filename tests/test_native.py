@@ -102,3 +102,19 @@ def test_frame_pipe_early_close(lib):
     it = iter(pipe)
     next(it)
     pipe.close()  # must return promptly
+
+
+def test_read_frames_start_stride(lib):
+    from optical_flow_tpu.io.video_reader import read_frames
+    from optical_flow_tpu.utils.goldens import reference_dir
+
+    ref = reference_dir()
+    if ref is None or not (ref / "pacman.mp4").exists():
+        pytest.skip("pacman.mp4 not available")
+    all_frames = list(read_frames(ref / "pacman.mp4", max_frames=6))
+    strided = list(read_frames(ref / "pacman.mp4", max_frames=2, start=1, stride=2))
+    assert len(strided) == 2
+    np.testing.assert_array_equal(strided[0], all_frames[1])
+    np.testing.assert_array_equal(strided[1], all_frames[3])
+    with pytest.raises(ValueError):
+        next(read_frames(ref / "pacman.mp4", stride=0))
