@@ -48,6 +48,8 @@ def coarse_to_fine_with_images(
     """
     if levels is None:
         levels = config.levels or max_pyramid_levels(img1.shape)
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
     max_levels = max_pyramid_levels(img1.shape)
     if levels > max_levels:
         # pyr_up(ceil(n/2)) only matches n when n is even, so depth is

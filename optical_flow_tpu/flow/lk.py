@@ -33,6 +33,8 @@ def _use_pallas(impl: str) -> bool:
         return True
     if impl == "jnp":
         return False
+    if impl != "auto":
+        raise ValueError(f"impl must be 'jnp', 'pallas' or 'auto', got {impl!r}")
     return jax.default_backend() == "tpu"
 
 

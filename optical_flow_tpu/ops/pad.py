@@ -15,8 +15,3 @@ def pad_last2(x, top: int, bottom: int, left: int, right: int, mode: str = "refl
     """Pad the trailing two axes only."""
     widths = [(0, 0)] * (x.ndim - 2) + [(top, bottom), (left, right)]
     return jnp.pad(x, widths, mode=mode)
-
-
-def pad_reflect101(x, amount: int):
-    """Symmetric BORDER_REFLECT_101 pad of the spatial axes."""
-    return pad_last2(x, amount, amount, amount, amount, mode="reflect")

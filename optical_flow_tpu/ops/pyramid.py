@@ -90,4 +90,6 @@ def max_pyramid_levels(shape: Tuple[int, int]) -> int:
         return p
 
     h, w = int(shape[-2]), int(shape[-1])
+    if h <= 0 or w <= 0:
+        raise ValueError(f"image dimensions must be positive, got {h}x{w}")
     return min(v2_plus1(w), v2_plus1(h))

@@ -19,7 +19,11 @@ import jax.numpy as jnp
 
 
 def safe_divide(num, den):
-    """num / den with den == 0 -> 0, and no NaN/Inf leaking through."""
+    """num / den with den == 0 -> 0 (cv::divide semantics).
+
+    Only zero denominators are masked; nonfinite inputs propagate, exactly
+    as they would through cv::divide.
+    """
     ok = den != 0
     return jnp.where(ok, num, 0) / jnp.where(ok, den, 1)
 

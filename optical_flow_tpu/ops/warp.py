@@ -5,11 +5,13 @@ The reference builds float32 warp maps ``map1 = (x + u/2, y + v/2)``,
 each other with INTER_LINEAR and the default constant-0 border
 (LKof.cpp:213-226).
 
-Two parity details verified against cv2.remap:
-  - OpenCV remap with CV_32FC2 maps quantizes coordinates to fixed point
-    with 5 fractional bits: ``s = round_half_even(coord * 32)``; the integer
-    part is ``s >> 5`` and the fraction ``(s & 31)/32``. With this
-    quantization our output matches cv2.remap bit-for-bit on float images.
+Two parity details:
+  - Reference-era OpenCV (and therefore the golden flow fields) quantizes
+    float map coordinates to fixed point with 5 fractional bits:
+    ``s = round_half_even(coord * 32)``, integer part ``s >> 5``, fraction
+    ``(s & 31)/32`` — our default ``quantize=True``. Modern OpenCV (cv2 5.0
+    verified) interpolates float images at full float precision instead:
+    ``quantize=False`` matches it to ~1e-5. Golden parity requires True.
   - Any of the four bilinear taps falling outside the image contributes 0
     (BORDER_CONSTANT with value 0), it is not clamped.
 
@@ -49,7 +51,8 @@ def remap_bilinear(src, map_x, map_y, *, quantize: bool = True, index_offset=(0,
     """cv2.remap(src, map_x, map_y, INTER_LINEAR, BORDER_CONSTANT 0).
 
     src: (..., H, W); map_x/map_y: (H2, W2) float (float32 for exact OpenCV
-    parity). Returns (..., H2, W2) in src.dtype.
+    parity). Returns (..., H2, W2) in src.dtype (integer sources are
+    interpolated in float32 and rounded/saturated back, like cv2).
 
     index_offset (dy, dx) is added to the integer tap indices AFTER
     coordinate quantization — for tiled gathers where the maps are in
@@ -57,6 +60,10 @@ def remap_bilinear(src, map_x, map_y, *, quantize: bool = True, index_offset=(0,
     post-quantization keeps fractions bit-identical to a global remap
     (shifting the float maps instead would round differently).
     """
+    out_dtype = src.dtype
+    is_int = jnp.issubdtype(out_dtype, jnp.integer)
+    if is_int:
+        src = src.astype(jnp.float32)  # avoid wraparound in tap differences
     compute_dtype = src.dtype
     if quantize:
         sx = jnp.rint(map_x.astype(jnp.float32) * _INTER_TAB_SIZE).astype(jnp.int32)
@@ -81,7 +88,11 @@ def remap_bilinear(src, map_x, map_y, *, quantize: bool = True, index_offset=(0,
     v11 = _gather2d(src, iy + 1, ix + 1)
     top = v00 + fx * (v01 - v00)
     bot = v10 + fx * (v11 - v10)
-    return top + fy * (bot - top)
+    out = top + fy * (bot - top)
+    if is_int:
+        info = jnp.iinfo(out_dtype)
+        out = jnp.clip(jnp.rint(out), info.min, info.max).astype(out_dtype)
+    return out
 
 
 def symmetric_warp(img1, img2, u, v, *, quantize: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -29,18 +29,12 @@ def _box3_cols(x):
 
 
 def sum3x3_interior(x):
-    """3x3 box sum on the interior; the 1-px border ring is zero."""
+    """3x3 box sum on the interior; the 1-px border ring is zero.
+
+    The reference calls get_Sum9_Mat five times per LK solve
+    (LKof.cpp:164-168); lucas_kanade_jnp stacks the five product planes on
+    a leading axis so one call vectorises all the shifts.
+    """
     s = _box3_cols(_box3_rows(x))
     out = jnp.zeros_like(x)
     return out.at[..., 1:-1, 1:-1].set(s[..., 1:-1, 1:-1])
-
-
-def sum3x3_interior_multi(*arrays):
-    """Apply sum3x3_interior to several same-shaped arrays.
-
-    The reference calls get_Sum9_Mat five times per LK solve
-    (LKof.cpp:164-168); stacking them lets XLA vectorise the shifts once.
-    """
-    stacked = jnp.stack(arrays, axis=0)
-    summed = sum3x3_interior(stacked)
-    return tuple(summed[k] for k in range(len(arrays)))

@@ -67,6 +67,8 @@ def sharded_coarse_to_fine(
     cols_n = mesh.shape[AXIS_COLS]
     if levels is None:
         levels = config.levels or max_pyramid_levels(img1.shape)
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
     if levels > max_pyramid_levels(img1.shape):
         raise ValueError(
             f"levels={levels} too deep for {img1.shape[-2]}x{img1.shape[-1]} "

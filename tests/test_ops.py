@@ -146,3 +146,38 @@ class TestWarp:
         out1 = np.asarray(remap_bilinear(src[1], mx, my))
         np.testing.assert_allclose(out[0], out0, atol=1e-12)
         np.testing.assert_allclose(out[1], out1, atol=1e-12)
+
+
+class TestReviewRegressions:
+    def test_remap_uint8_no_wraparound(self):
+        """Integer sources must interpolate in float (uint8 tap differences
+        previously wrapped modulo 256) and round/saturate back."""
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.RandomState(11)
+        src = (rng.rand(40, 60) * 255).astype(np.uint8)
+        mx = (rng.rand(40, 60) * 59).astype(np.float32)
+        my = (rng.rand(40, 60) * 39).astype(np.float32)
+        # quantize=False matches modern cv2 (5.0 interpolates floats at full
+        # precision); quantize=True matches reference-era OpenCV / goldens.
+        ours = np.asarray(
+            remap_bilinear(jnp.asarray(src), jnp.asarray(mx), jnp.asarray(my), quantize=False)
+        )
+        ref = cv2.remap(src, mx, my, cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT)
+        assert ours.dtype == np.uint8
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+        # quantized path: still close (1/32-px coordinate grid)
+        ours_q = np.asarray(
+            remap_bilinear(jnp.asarray(src), jnp.asarray(mx), jnp.asarray(my))
+        )
+        assert np.abs(ours_q.astype(int) - ref.astype(int)).max() <= 8
+
+    def test_max_pyramid_levels_rejects_empty(self):
+        with pytest.raises(ValueError):
+            max_pyramid_levels((0, 640))
+
+    def test_invalid_impl_rejected(self):
+        from optical_flow_tpu.flow.lk import lucas_kanade
+
+        img = jnp.ones((8, 8))
+        with pytest.raises(ValueError, match="impl"):
+            lucas_kanade(img, img, impl="xla")
