@@ -83,6 +83,26 @@ def main():
     levels = args.levels or max_pyramid_levels((H, W))  # 1080 -> 4 (reference)
     fps = measure(args.size, args.batch, args.impl, args.iters, args.warmup, levels)
     mpix_s = fps * H * W / 1e6
+    # accuracy companion metric: f32 mean EPE vs the reference goldens
+    epe = None
+    try:
+        from optical_flow_tpu.utils import goldens
+
+        if goldens.reference_dir() is not None:
+            img1, img2 = goldens.load_table_pair()
+            cfg7 = FlowConfig(impl=args.impl, levels=7)
+            u, v = jax.jit(lambda a, b: coarse_to_fine(a, b, 7, config=cfg7))(
+                jnp.asarray(img1.astype(np.float32)),
+                jnp.asarray(img2.astype(np.float32)),
+            )
+            gu = goldens.load_mat(goldens.reference_dir() / "UPyrTest.txt")
+            gv = goldens.load_mat(goldens.reference_dir() / "VPyrTest.txt")
+            epe = float(
+                np.mean(np.hypot(np.asarray(u) - gu, np.asarray(v) - gv))
+            )
+    except Exception:
+        pass
+
     result = {
         "metric": f"dense_pyramidal_lk_{args.size}p_fps",
         "value": round(fps, 2),
@@ -95,6 +115,7 @@ def main():
             {
                 "detail": {
                     "mpix_per_s": round(mpix_s, 1),
+                    "f32_mean_epe_px_vs_goldens": None if epe is None else round(epe, 5),
                     "levels": levels,
                     "impl": args.impl,
                     "batch": args.batch,

@@ -191,3 +191,31 @@ def test_pacman_video_smoke():
     results = list(pipe.run(read_frames(ref / "pacman.mp4", max_frames=5)))
     assert len(results) == 3
     assert all(np.isfinite(np.asarray(r.u)).all() for r in results)
+
+
+def test_batched_pipeline_with_mesh():
+    """Frame-DP + spatial tiling through the full batched video pipeline."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from optical_flow_tpu.parallel import flow_mesh
+
+    mesh = flow_mesh(frames=2, rows=2, cols=2)
+    cfg = VideoConfig(
+        preprocess=PreprocessConfig(size=(96, 96)),
+        flow=FlowConfig(impl="jnp", warp_clamp=8.0),
+        faithful_prev_diff=False,
+    )
+    frames = np.stack(
+        [np.roll((np.random.RandomState(5).rand(120, 160, 3) * 255).astype(np.uint8),
+                 3 * i, axis=1) for i in range(6)]
+    )
+    unsharded = VideoPipeline(cfg).run_batched(frames)
+    sharded = VideoPipeline(cfg, mesh=mesh).run_batched(frames)
+    np.testing.assert_allclose(
+        np.asarray(unsharded.u), np.asarray(sharded.u), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(unsharded.v), np.asarray(sharded.v), atol=1e-5
+    )
