@@ -23,7 +23,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=540)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend (the TPU plugin ignores JAX_PLATFORMS)")
     args = ap.parse_args()
+    if getattr(args, 'cpu', False):
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     import jax
     import jax.numpy as jnp

@@ -24,7 +24,11 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--corners", type=int, default=500)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend (the TPU plugin ignores JAX_PLATFORMS)")
     args = ap.parse_args()
+    if getattr(args, 'cpu', False):
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     from optical_flow_tpu.io.video_reader import read_frames
     from optical_flow_tpu.pipeline.preprocess import bgr_to_gray

@@ -23,7 +23,11 @@ def main():
     ap.add_argument("--reference", default=None)
     ap.add_argument("--out", default=None, help="write U2/V2/UPyr/VPyr .txt dumps here")
     ap.add_argument("--f32", action="store_true", help="run in float32 (TPU dtype) and report EPE instead")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend (the TPU plugin ignores JAX_PLATFORMS)")
     args = ap.parse_args()
+    if getattr(args, 'cpu', False):
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     if args.reference:
         os.environ["OPTICAL_FLOW_REFERENCE_DIR"] = args.reference

@@ -22,7 +22,11 @@ def main():
     ap.add_argument("--input", required=True)
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--corners", type=int, default=300)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend (the TPU plugin ignores JAX_PLATFORMS)")
     args = ap.parse_args()
+    if getattr(args, 'cpu', False):
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     import jax.numpy as jnp
 

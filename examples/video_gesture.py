@@ -28,7 +28,11 @@ def main():
     ap.add_argument("--size", type=int, default=256, help="square preprocess size (reference: 1080)")
     ap.add_argument("--out", default=None, help="directory for flow/overlay PNG dumps")
     ap.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"])
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend (the TPU plugin ignores JAX_PLATFORMS)")
     args = ap.parse_args()
+    if getattr(args, 'cpu', False):
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     from optical_flow_tpu.config import FlowConfig, PreprocessConfig, VideoConfig
     from optical_flow_tpu.io.video_reader import read_frames
