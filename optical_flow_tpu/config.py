@@ -32,6 +32,18 @@ class FlowConfig:
     # Clamp per-level flow used for warping (needed to bound halo width when
     # spatially sharded; None = unbounded, faithful to the reference).
     warp_clamp: Optional[float] = None
+    # Warp-and-solve passes per pyramid level. 1 = the reference's single
+    # pass (golden-parity mode). >1 iteratively re-warps the level by the
+    # accumulated flow and solves the residual (cv2-tracker-style),
+    # improving accuracy for larger or non-integer motions.
+    level_iters: int = 1
+    # 'reference': the reference's exact coarse-to-fine scheme (flow NOT
+    #   doubled on pyrUp — its output is the goldens' quirky quantity, not
+    #   pixel displacement).
+    # 'corrected': standard pyramidal LK — flow doubled when upsampled,
+    #   output is true pixel displacement (use with level_iters >= 2 for
+    #   accurate flow; this is the mode real applications want).
+    mode: str = "reference"
 
 
 @dataclasses.dataclass(frozen=True)

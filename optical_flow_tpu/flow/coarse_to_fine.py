@@ -7,8 +7,9 @@ i = levels-1 .. 0:
   (c) if i == 0: emit (tmpu, tmpv) and stop;
   (d) upu = pyrUp(tmpu) — flow values are deliberately NOT doubled
       (a quirk of the reference carried into every variant);
-  (e) warp both level i-1 images half-way toward each other along
-      (upu, upv) and replace them in the pyramid.
+  (e) warp both level i-1 images along (upu, upv) and replace them in the
+      pyramid (the reference's map construction drives the frames APART —
+      see FlowConfig.mode for the displacement-true 'corrected' variant).
 
 The reference mutates the pyramids in place, and pyramid level 0 aliases the
 caller's images (getGaussianPyramid pushes the input Mat header,
@@ -17,9 +18,9 @@ functional; `coarse_to_fine_with_images` additionally returns the warped
 finest-level images for callers that rely on that aliasing (the video loop
 keeps the warped diff as the next prevDiff, ParallelVideoPyr.cpp:841).
 
-Shapes are static per level, so under `jax.jit` the Python loop unrolls into
-one fused program; all levels of one frame pair compile into a single XLA
-executable.
+The level loop itself lives in flow/pyramid_loop.py, shared with the
+mesh-sharded controller. Shapes are static per level, so under `jax.jit`
+the loop unrolls into one fused program.
 """
 
 from __future__ import annotations
@@ -30,8 +31,25 @@ import jax.numpy as jnp
 
 from optical_flow_tpu.config import FlowConfig
 from optical_flow_tpu.flow.lk import lucas_kanade
-from optical_flow_tpu.ops.pyramid import gaussian_pyramid, max_pyramid_levels, pyr_up
+from optical_flow_tpu.flow.pyramid_loop import run_pyramid
+from optical_flow_tpu.ops.pyramid import gaussian_pyramid, max_pyramid_levels
 from optical_flow_tpu.ops.warp import symmetric_warp
+
+
+def _validate_levels(levels: Optional[int], shape, config: FlowConfig) -> int:
+    if levels is None:
+        levels = config.levels or max_pyramid_levels(shape)
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    max_levels = max_pyramid_levels(shape)
+    if levels > max_levels:
+        # pyr_up(ceil(n/2)) only matches n when n is even, so depth is
+        # bounded by the 2-adic valuation (the reference's getMaxLayer).
+        raise ValueError(
+            f"levels={levels} too deep for {shape[-2]}x{shape[-1]} "
+            f"(max {max_levels}, LKof.cpp:230-249 getMaxLayer)"
+        )
+    return levels
 
 
 def coarse_to_fine_with_images(
@@ -46,40 +64,17 @@ def coarse_to_fine_with_images(
     warped_img1/2 are the finest-level images after the last warp — what the
     reference leaves in the caller's Mats via in-place pyramid mutation.
     """
-    if levels is None:
-        levels = config.levels or max_pyramid_levels(img1.shape)
-    if levels < 1:
-        raise ValueError(f"levels must be >= 1, got {levels}")
-    max_levels = max_pyramid_levels(img1.shape)
-    if levels > max_levels:
-        # pyr_up(ceil(n/2)) only matches n when n is even, so depth is
-        # bounded by the 2-adic valuation (the reference's getMaxLayer).
-        raise ValueError(
-            f"levels={levels} too deep for {img1.shape[-2]}x{img1.shape[-1]} "
-            f"(max {max_levels}, LKof.cpp:230-249 getMaxLayer)"
-        )
+    levels = _validate_levels(levels, img1.shape, config)
     pyr1 = gaussian_pyramid(img1, levels)
     pyr2 = gaussian_pyramid(img2, levels)
 
-    upu = upv = None
-    for i in range(levels - 1, -1, -1):
-        u, v = lucas_kanade(pyr1[i], pyr2[i], impl=config.impl)
-        if i != levels - 1:
-            u = u + upu
-            v = v + upv
-        if i == 0:
-            return u, v, pyr1[0], pyr2[0]
-        upu = pyr_up(u)  # NOTE: no *2 on flow, faithful to the reference
-        upv = pyr_up(v)
-        wu, wv = upu, upv
-        if config.warp_clamp is not None:
-            wu = jnp.clip(wu, -config.warp_clamp, config.warp_clamp)
-            wv = jnp.clip(wv, -config.warp_clamp, config.warp_clamp)
-        pyr1[i - 1], pyr2[i - 1] = symmetric_warp(
-            pyr1[i - 1], pyr2[i - 1], wu, wv, quantize=config.quantize_warp
-        )
-    # levels == 0 can't happen (max_pyramid_levels >= 1); single level returns above
-    raise AssertionError("unreachable")
+    def solve(_i, a, b):
+        return lucas_kanade(a, b, impl=config.impl)
+
+    def warp(_i, a, b, u, v):
+        return symmetric_warp(a, b, u, v, quantize=config.quantize_warp)
+
+    return run_pyramid(pyr1, pyr2, solve, warp, config)
 
 
 def coarse_to_fine(

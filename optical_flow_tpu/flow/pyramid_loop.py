@@ -1,0 +1,80 @@
+"""The shared coarse-to-fine level loop.
+
+Both controllers — single-device (flow/coarse_to_fine.py) and
+mesh-sharded (parallel/sharded_flow.py) — run exactly this loop; they
+differ only in HOW a level is solved and warped, injected as callables.
+Keeping one copy keeps the two modes ('reference' parity vs 'corrected'
+displacement-true) and level_iters semantics from drifting apart.
+
+solve(level_index, img1, img2) -> (u, v)
+warp(level_index, img1, img2, u, v) -> (w1, w2)   # symmetric half-flow
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Tuple
+
+import jax.numpy as jnp
+
+from optical_flow_tpu.config import FlowConfig
+from optical_flow_tpu.ops.pyramid import pyr_up
+
+
+def run_pyramid(
+    pyr1: List[jnp.ndarray],
+    pyr2: List[jnp.ndarray],
+    solve: Callable,
+    warp: Callable,
+    config: FlowConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (u, v, finest_img1, finest_img2) per the reference's
+    in-place-mutation contract (LKof.cpp:191-228)."""
+    if config.mode not in ("reference", "corrected"):
+        raise ValueError(
+            f"mode must be 'reference' or 'corrected', got {config.mode!r}"
+        )
+    corrected = config.mode == "corrected"
+    levels = len(pyr1)
+    orig1 = list(pyr1)
+    orig2 = list(pyr2)
+
+    def _clamped(u, v):
+        if config.warp_clamp is None:
+            return u, v
+        c = config.warp_clamp
+        return jnp.clip(u, -c, c), jnp.clip(v, -c, c)
+
+    upu = upv = None
+    for i in range(levels - 1, -1, -1):
+        u, v = solve(i, pyr1[i], pyr2[i])
+        if i != levels - 1:
+            u = u + upu
+            v = v + upv
+        # optional extra warp-and-solve passes at this level (level_iters=1
+        # is the reference's single pass and the golden-parity mode)
+        for _ in range(config.level_iters - 1):
+            wu, wv = _clamped(u, v)
+            if corrected:
+                wu, wv = -wu, -wv  # convergent warp (see mode note below)
+            w1, w2 = warp(i, orig1[i], orig2[i], wu, wv)
+            du, dv = solve(i, w1, w2)
+            u = u + du
+            v = v + dv
+        if i == 0:
+            return u, v, pyr1[0], pyr2[0]
+        if corrected:
+            # standard pyramidal LK: coordinates double between levels, and
+            # the warp must bring the frames TOGETHER (the reference's
+            # symmetric warp — img1 sampled at x + u/2, img2 at x - u/2 —
+            # INCREASES their separation for positive flow; a faithful
+            # quirk in 'reference' mode, negated here)
+            upu = 2.0 * pyr_up(u)
+            upv = 2.0 * pyr_up(v)
+            wu, wv = _clamped(upu, upv)
+            wu, wv = -wu, -wv
+        else:
+            upu = pyr_up(u)  # flow NOT doubled: faithful to the reference
+            upv = pyr_up(v)
+            wu, wv = _clamped(upu, upv)
+        pyr1[i - 1], pyr2[i - 1] = warp(i - 1, pyr1[i - 1], pyr2[i - 1], wu, wv)
+    raise AssertionError("unreachable")

@@ -30,7 +30,7 @@ from jax.sharding import Mesh
 
 from optical_flow_tpu.config import FlowConfig
 from optical_flow_tpu.flow.lk import lucas_kanade
-from optical_flow_tpu.ops.pyramid import gaussian_pyramid, max_pyramid_levels, pyr_up
+from optical_flow_tpu.ops.pyramid import gaussian_pyramid
 from optical_flow_tpu.ops.warp import symmetric_warp
 from optical_flow_tpu.parallel.mesh import AXIS_COLS, AXIS_ROWS
 from optical_flow_tpu.parallel.sharded_lk import sharded_lucas_kanade
@@ -65,55 +65,35 @@ def sharded_coarse_to_fine(
     """
     rows_n = mesh.shape[AXIS_ROWS]
     cols_n = mesh.shape[AXIS_COLS]
-    if levels is None:
-        levels = config.levels or max_pyramid_levels(img1.shape)
-    if levels < 1:
-        raise ValueError(f"levels must be >= 1, got {levels}")
-    if levels > max_pyramid_levels(img1.shape):
-        raise ValueError(
-            f"levels={levels} too deep for {img1.shape[-2]}x{img1.shape[-1]} "
-            f"(max {max_pyramid_levels(img1.shape)})"
-        )
+    from optical_flow_tpu.flow.coarse_to_fine import _validate_levels
+    from optical_flow_tpu.flow.pyramid_loop import run_pyramid
+
+    levels = _validate_levels(levels, img1.shape, config)
     pyr1 = gaussian_pyramid(img1, levels)
     pyr2 = gaussian_pyramid(img2, levels)
 
-    upu = upv = None
-    for i in range(levels - 1, -1, -1):
-        if _tileable(pyr1[i].shape, rows_n, cols_n, min_tile):
-            u, v = sharded_lucas_kanade(pyr1[i], pyr2[i], mesh, impl=config.impl)
-        else:
-            u, v = lucas_kanade(pyr1[i], pyr2[i], impl=config.impl)
-        if i != levels - 1:
-            u = u + upu
-            v = v + upv
-        if i == 0:
-            return u, v
-        upu = pyr_up(u)  # flow deliberately NOT doubled (reference quirk)
-        upv = pyr_up(v)
-        wu, wv = upu, upv
-        if config.warp_clamp is not None:
-            wu = jnp.clip(wu, -config.warp_clamp, config.warp_clamp)
-            wv = jnp.clip(wv, -config.warp_clamp, config.warp_clamp)
-        halo_k = (
-            None
-            if config.warp_clamp is None
-            else int(-(-config.warp_clamp // 2)) + 1
-        )
+    halo_k = (
+        None if config.warp_clamp is None else int(-(-config.warp_clamp // 2)) + 1
+    )
+
+    def solve(i, a, b):
+        if _tileable(a.shape, rows_n, cols_n, min_tile):
+            return sharded_lucas_kanade(a, b, mesh, impl=config.impl)
+        return lucas_kanade(a, b, impl=config.impl)
+
+    def warp(i, a, b, u, v):
         if (
             halo_k is not None
-            and _tileable(pyr1[i - 1].shape, rows_n, cols_n, min_tile)
+            and _tileable(a.shape, rows_n, cols_n, min_tile)
             # the warp halo must fit within one neighbour tile
-            and halo_k
-            <= min(pyr1[i - 1].shape[-2] // rows_n, pyr1[i - 1].shape[-1] // cols_n)
+            and halo_k <= min(a.shape[-2] // rows_n, a.shape[-1] // cols_n)
         ):
             from optical_flow_tpu.parallel.sharded_warp import sharded_symmetric_warp
 
-            pyr1[i - 1], pyr2[i - 1] = sharded_symmetric_warp(
-                pyr1[i - 1], pyr2[i - 1], wu, wv, mesh, config.warp_clamp,
-                quantize=config.quantize_warp,
+            return sharded_symmetric_warp(
+                a, b, u, v, mesh, config.warp_clamp, quantize=config.quantize_warp
             )
-        else:
-            pyr1[i - 1], pyr2[i - 1] = symmetric_warp(
-                pyr1[i - 1], pyr2[i - 1], wu, wv, quantize=config.quantize_warp
-            )
-    raise AssertionError("unreachable")
+        return symmetric_warp(a, b, u, v, quantize=config.quantize_warp)
+
+    u, v, _, _ = run_pyramid(pyr1, pyr2, solve, warp, config)
+    return u, v
