@@ -1,0 +1,138 @@
+"""Two-view SLAM front end: video frames -> tracks -> pose -> 3D map ->
+bundle-adjusted reconstruction.
+
+The complete north-star slice (SURVEY.md section 7.7) as one function:
+seed Shi-Tomasi corners on the first frame, track them with sparse
+pyramidal LK, estimate the essential matrix + relative pose by batched
+RANSAC, triangulate the inlier tracks, and refine cameras + points with
+the Schur-complement bundle adjuster (optionally mesh-sharded). Every
+stage is the batched static-shape machinery from track/ and slam/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from optical_flow_tpu.slam.ba import BAProblem, bundle_adjust, reprojection_rmse
+from optical_flow_tpu.slam.epipolar import (
+    EssentialRansacConfig,
+    estimate_essential,
+    normalize_pixels,
+    recover_pose,
+    triangulate,
+)
+from optical_flow_tpu.track import good_features_to_track, track_features
+from optical_flow_tpu.track.sparse_lk import SparseLKConfig
+
+
+@dataclasses.dataclass
+class TwoViewReconstruction:
+    R: np.ndarray  # (3,3) cam1 -> cam2 rotation
+    t: np.ndarray  # (3,) unit-norm translation
+    points: np.ndarray  # (P,3) in the camera-1 frame
+    pts1: np.ndarray  # (P,2) pixel observations in frame 1
+    pts2: np.ndarray  # (P,2) pixel observations in frame 2
+    rmse_before: float
+    rmse_after: float
+    problem: BAProblem  # the refined BA problem
+
+
+def _rotmat_to_axis_angle(R: np.ndarray) -> np.ndarray:
+    cos = np.clip((np.trace(R) - 1) / 2, -1, 1)
+    th = np.arccos(cos)
+    if th < 1e-8:
+        return np.zeros(3)
+    axis = (
+        np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        / (2 * np.sin(th))
+    )
+    return axis * th
+
+
+def two_view_reconstruct(
+    img1,
+    img2,
+    focal: float,
+    cx: Optional[float] = None,
+    cy: Optional[float] = None,
+    max_corners: int = 300,
+    ba_iters: int = 8,
+    lk_config: SparseLKConfig = SparseLKConfig(),
+    ransac: EssentialRansacConfig = EssentialRansacConfig(),
+) -> Optional[TwoViewReconstruction]:
+    """Structure-from-motion on one frame pair (grayscale images).
+
+    Returns None when too few inlier tracks survive (<16).
+    """
+    img1 = np.asarray(img1)
+    img2 = np.asarray(img2)
+    h, w = img1.shape[-2:]
+    cx = w / 2.0 if cx is None else cx
+    cy = h / 2.0 if cy is None else cy
+
+    pts, valid = good_features_to_track(jnp.asarray(img1), max_corners, 0.01, 8)
+    new, status, _ = track_features(img1, img2, np.asarray(pts), lk_config)
+    ok = np.asarray(status) & np.asarray(valid)
+    if ok.sum() < 16:
+        return None
+
+    n1 = normalize_pixels(np.asarray(pts), focal, cx, cy)
+    n2 = normalize_pixels(np.asarray(new), focal, cx, cy)
+    E, inl, count = estimate_essential(n1, n2, ok, ransac)
+    inl = np.asarray(inl)
+    if inl.sum() < 16:
+        return None
+
+    R, t, _ = recover_pose(E, jnp.asarray(n1)[inl], jnp.asarray(n2)[inl])
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    P2 = jnp.concatenate([R, t[:, None]], axis=1)
+    X = triangulate(P1, P2, np.asarray(n1)[inl], np.asarray(n2)[inl])
+
+    # keep points with positive depth in both views
+    z1 = np.asarray(X[:, 2])
+    z2 = np.asarray((X @ np.asarray(R).T) + np.asarray(t))[:, 2]
+    keep = (z1 > 1e-6) & (z2 > 1e-6)
+    if keep.sum() < 16:
+        return None
+    X = np.asarray(X)[keep]
+    p1_px = np.asarray(pts)[inl][keep]
+    p2_px = np.asarray(new)[inl][keep]
+
+    # assemble the BA problem in pixel units (cameras: axis-angle + t)
+    P = len(X)
+    cams = np.zeros((2, 6))
+    cams[1, :3] = _rotmat_to_axis_angle(np.asarray(R))
+    cams[1, 3:] = np.asarray(t)
+    cam_idx = np.concatenate([np.zeros(P, np.int32), np.ones(P, np.int32)])
+    pt_idx = np.concatenate([np.arange(P, dtype=np.int32)] * 2)
+    obs = np.concatenate(
+        [p1_px - np.array([cx, cy]), p2_px - np.array([cx, cy])]
+    ).astype(np.float64)
+    prob = BAProblem(
+        jnp.asarray(cams),
+        jnp.asarray(X, jnp.float64),
+        jnp.asarray(cam_idx),
+        jnp.asarray(pt_idx),
+        jnp.asarray(obs),
+        focal,
+    )
+    rmse0 = float(reprojection_rmse(prob))
+    refined, _ = bundle_adjust(prob, iters=ba_iters, lam=1e-3)
+    rmse1 = float(reprojection_rmse(refined))
+    if not np.isfinite(rmse1) or rmse1 > rmse0:
+        refined, rmse1 = prob, rmse0  # keep the better model
+
+    return TwoViewReconstruction(
+        R=np.asarray(R),
+        t=np.asarray(t),
+        points=np.asarray(refined.points),
+        pts1=p1_px,
+        pts2=p2_px,
+        rmse_before=rmse0,
+        rmse_after=rmse1,
+        problem=refined,
+    )

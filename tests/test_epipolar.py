@@ -1,0 +1,142 @@
+"""Epipolar geometry + two-view SLAM front-end tests (synthetic scenes
+with exact ground truth)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from optical_flow_tpu.slam.epipolar import (
+    EssentialRansacConfig,
+    estimate_essential,
+    normalize_pixels,
+    recover_pose,
+    triangulate,
+)
+
+
+def _rot(axis, th):
+    axis = np.asarray(axis, float)
+    axis /= np.linalg.norm(axis)
+    K = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def _synthetic_pair(n=120, seed=0, noise=0.0, outliers=0.0):
+    rng = np.random.RandomState(seed)
+    # deep, well-conditioned structure: near-planar scenes are degenerate
+    # for the 8-point algorithm (E only determined up to a family)
+    X = np.stack(
+        [rng.randn(n) * 1.5, rng.randn(n) * 1.0, rng.uniform(3.0, 12.0, n)], axis=1
+    )
+    R = _rot([0.2, 1.0, 0.1], 0.08)
+    t = np.array([1.0, 0.15, 0.1])
+    t /= np.linalg.norm(t)
+    x1 = X[:, :2] / X[:, 2:3]
+    X2 = X @ R.T + t
+    x2 = X2[:, :2] / X2[:, 2:3]
+    x1 = x1 + rng.randn(n, 2) * noise
+    x2 = x2 + rng.randn(n, 2) * noise
+    out = rng.rand(n) < outliers
+    x2[out] = rng.randn(out.sum(), 2) * 0.4
+    return x1.astype(np.float32), x2.astype(np.float32), X, R, t, out
+
+
+def _pose_errors(E, x1, x2, mask, R_true, t_true):
+    R, t, _ = recover_pose(E, jnp.asarray(x1)[mask], jnp.asarray(x2)[mask])
+    R, t = np.asarray(R), np.asarray(t)
+    ang = np.degrees(np.arccos(np.clip((np.trace(R.T @ R_true) - 1) / 2, -1, 1)))
+    tdir = np.degrees(np.arccos(np.clip(abs(t @ t_true), -1, 1)))
+    return ang, tdir
+
+
+def test_essential_and_pose_recovery_clean():
+    """Noise- and outlier-free: the 8-point estimate is essentially exact."""
+    x1, x2, X, R_true, t_true, _ = _synthetic_pair(noise=0.0, outliers=0.0)
+    E, inl, count = estimate_essential(x1, x2, config=EssentialRansacConfig(seed=1))
+    assert int(count) >= 110
+    ang, tdir = _pose_errors(E, x1, x2, np.asarray(inl), R_true, t_true)
+    assert ang < 0.1, ang
+    assert tdir < 0.5, tdir
+
+
+def test_essential_and_pose_recovery_outliers():
+    """20% gross outliers: a few can sit on epipolar lines by chance and
+    leak through any geometric gate — 8-point accuracy then degrades to a
+    few degrees (the known limitation; 5-point + LO is the upgrade)."""
+    x1, x2, X, R_true, t_true, out = _synthetic_pair(noise=0.0, outliers=0.2)
+    E, inl, count = estimate_essential(x1, x2, config=EssentialRansacConfig(seed=1))
+    inl = np.asarray(inl)
+    assert int(count) >= 80
+    assert inl[~out].mean() > 0.9  # true correspondences kept
+    assert inl[out].mean() < 0.5  # most outliers rejected
+    # MEDSAC hypothesis selection keeps the pure-sample model: accuracy
+    # survives 20% outliers (median-residual scoring, slam/epipolar.py)
+    ang, tdir = _pose_errors(E, x1, x2, inl, R_true, t_true)
+    assert ang < 1.0, ang
+    assert tdir < 3.0, tdir
+
+
+def test_triangulation_recovers_structure():
+    x1, x2, X, R, t, _ = _synthetic_pair(n=60, seed=3)
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    P2 = jnp.concatenate([jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32)[:, None]], axis=1)
+    Xh = np.asarray(triangulate(P1, P2, x1, x2))
+    # up-to-scale: compare after scaling by median depth ratio
+    s = np.median(X[:, 2]) / np.median(Xh[:, 2])
+    err = np.linalg.norm(Xh * s - X, axis=1)
+    assert np.median(err) < 0.02, np.median(err)
+
+
+def test_normalize_pixels_roundtrip():
+    px = np.array([[320.0, 240.0], [0.0, 0.0]], np.float32)
+    n = np.asarray(normalize_pixels(px, 500.0, 320.0, 240.0))
+    np.testing.assert_allclose(n[0], [0, 0])
+    np.testing.assert_allclose(n[1], [-0.64, -0.48])
+
+
+def test_two_view_frontend_synthetic_images():
+    cv2 = pytest.importorskip("cv2")
+    from optical_flow_tpu.slam.frontend import two_view_reconstruct
+
+    # A textured scene with REAL parallax: depth varies smoothly across the
+    # image (ramp 4 -> 10), camera translates in x; per-pixel disparity
+    # f*tx/Z(x,y) rendered with cv2.remap. Planar scenes would be
+    # degenerate for the essential matrix.
+    rng = np.random.RandomState(5)
+    h, w = 320, 416
+    # high-frequency texture (trackable corners everywhere) and a modest
+    # baseline: LK tracks 4-10 px disparity accurately; 30 px on blobby
+    # low-frequency texture defeats LK and cv2 alike
+    base = cv2.resize(
+        rng.rand(80, 104).astype(np.float32), (w, h), interpolation=cv2.INTER_CUBIC
+    )
+    base = (255 * (base - base.min()) / np.ptp(base)).astype(np.uint8)
+    focal = 400.0
+    tx = 0.12
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    # rocky random depth field (smooth ramps are near-critical surfaces for
+    # two-view SfM and make the translation direction ambiguous)
+    depth = 4.0 + 6.0 * cv2.resize(
+        rng.rand(10, 13).astype(np.float32), (w, h), interpolation=cv2.INTER_CUBIC
+    )
+    depth = np.clip(depth, 3.0, 12.0)
+    disp = focal * tx / depth
+    img2 = cv2.remap(base, xs + disp, ys, cv2.INTER_LINEAR,
+                     borderMode=cv2.BORDER_REFLECT_101)
+    rec = two_view_reconstruct(base, img2, focal)
+    assert rec is not None
+    assert rec.rmse_after <= rec.rmse_before + 1e-9
+    assert rec.rmse_after < 5.0, rec.rmse_after
+    assert (rec.points[:, 2] > 0).mean() > 0.9
+    # recovered translation is dominantly along x
+    t = rec.t / np.linalg.norm(rec.t)
+    assert abs(t[0]) > 0.9, t
+    # recovered depths correlate with the ground-truth depth ramp at the
+    # tracked pixels (up to global scale)
+    gx = np.clip(rec.pts1[:, 0].astype(int), 0, w - 1)
+    gy = np.clip(rec.pts1[:, 1].astype(int), 0, h - 1)
+    rho = np.corrcoef(depth[gy, gx], rec.points[:, 2])[0, 1]
+    assert rho > 0.7, rho
