@@ -14,6 +14,14 @@ from optical_flow_tpu.slam.ba import (
     reprojection_rmse,
     sharded_bundle_adjust,
 )
+from optical_flow_tpu.slam.epipolar import (
+    EssentialRansacConfig,
+    estimate_essential,
+    normalize_pixels,
+    recover_pose,
+    triangulate,
+)
+from optical_flow_tpu.slam.frontend import TwoViewReconstruction, two_view_reconstruct
 
 __all__ = [
     "BAProblem",
@@ -21,4 +29,11 @@ __all__ = [
     "project",
     "reprojection_rmse",
     "sharded_bundle_adjust",
+    "EssentialRansacConfig",
+    "estimate_essential",
+    "normalize_pixels",
+    "recover_pose",
+    "triangulate",
+    "TwoViewReconstruction",
+    "two_view_reconstruct",
 ]

@@ -30,6 +30,16 @@ from optical_flow_tpu.track.sparse_lk import SparseLKConfig
 
 
 @dataclasses.dataclass
+class MultiViewReconstruction:
+    cams: np.ndarray  # (N, 6) axis-angle + translation (camera 0 = identity)
+    points: np.ndarray  # (P, 3) in the camera-0 frame
+    tracks: np.ndarray  # (N, P, 2) pixel observations of the kept tracks
+    rmse_before: float
+    rmse_after: float
+    problem: "BAProblem"
+
+
+@dataclasses.dataclass
 class TwoViewReconstruction:
     R: np.ndarray  # (3,3) cam1 -> cam2 rotation
     t: np.ndarray  # (3,) unit-norm translation
@@ -112,9 +122,10 @@ def two_view_reconstruct(
     obs = np.concatenate(
         [p1_px - np.array([cx, cy]), p2_px - np.array([cx, cy])]
     ).astype(np.float64)
+    # float64 when x64 is enabled (CPU oracle); silently f32 otherwise
     prob = BAProblem(
         jnp.asarray(cams),
-        jnp.asarray(X, jnp.float64),
+        jnp.asarray(np.asarray(X, np.float64)),
         jnp.asarray(cam_idx),
         jnp.asarray(pt_idx),
         jnp.asarray(obs),
@@ -132,6 +143,110 @@ def two_view_reconstruct(
         points=np.asarray(refined.points),
         pts1=p1_px,
         pts2=p2_px,
+        rmse_before=rmse0,
+        rmse_after=rmse1,
+        problem=refined,
+    )
+
+
+def multi_view_reconstruct(
+    frames,
+    focal: float,
+    cx: Optional[float] = None,
+    cy: Optional[float] = None,
+    max_corners: int = 300,
+    ba_iters: int = 8,
+    lk_config: SparseLKConfig = SparseLKConfig(),
+    ransac: EssentialRansacConfig = EssentialRansacConfig(),
+) -> Optional[MultiViewReconstruction]:
+    """Incremental SfM over N >= 3 grayscale frames (the keyframe chain of
+    SURVEY.md section 7.7).
+
+    Corners seeded on frame 0 are tracked through every frame (chained
+    sparse LK; a track dies when any link fails); the widest-baseline pair
+    (0, N-1) initializes pose + map via the essential matrix; intermediate
+    keyframes are localized against the map by DLT PnP; one global
+    Schur-complement BA refines all cameras and points. Returns None when
+    fewer than 16 tracks survive.
+    """
+    frames = [np.asarray(f) for f in frames]
+    N = len(frames)
+    if N < 3:
+        raise ValueError("multi_view_reconstruct needs >= 3 frames")
+    h, w = frames[0].shape[-2:]
+    cx = w / 2.0 if cx is None else cx
+    cy = h / 2.0 if cy is None else cy
+
+    # --- track chains ------------------------------------------------------
+    pts0, valid = good_features_to_track(jnp.asarray(frames[0]), max_corners, 0.01, 8)
+    K = pts0.shape[0]
+    tracks = np.zeros((N, K, 2), np.float32)
+    tracks[0] = np.asarray(pts0)
+    alive = np.asarray(valid).copy()
+    for i in range(1, N):
+        new, status, _ = track_features(frames[i - 1], frames[i], tracks[i - 1], lk_config)
+        tracks[i] = np.asarray(new)
+        alive &= np.asarray(status)
+    if alive.sum() < 16:
+        return None
+
+    # --- two-view init on the widest baseline (0, N-1) ---------------------
+    norm = [
+        np.asarray(normalize_pixels(tracks[i], focal, cx, cy)) for i in range(N)
+    ]
+    E, inl, count = estimate_essential(norm[0], norm[-1], alive, ransac)
+    inl = np.asarray(inl) & alive
+    if inl.sum() < 16:
+        return None
+    R_last, t_last, _ = recover_pose(E, jnp.asarray(norm[0])[inl], jnp.asarray(norm[-1])[inl])
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    P2 = jnp.concatenate([R_last, t_last[:, None]], axis=1)
+    X = triangulate(P1, P2, norm[0][inl], norm[-1][inl])
+    z0 = np.asarray(X[:, 2])
+    zl = np.asarray(X @ R_last.T + t_last)[:, 2]
+    keep = (z0 > 1e-6) & (zl > 1e-6)
+    if keep.sum() < 16:
+        return None
+    X = np.asarray(X)[keep]
+    sel = np.where(inl)[0][keep]  # indices into the K corner slots
+    P = len(sel)
+
+    # --- localize intermediate frames by PnP -------------------------------
+    from optical_flow_tpu.slam.pnp import pnp_dlt
+
+    cams = np.zeros((N, 6))
+    cams[N - 1, :3] = _rotmat_to_axis_angle(np.asarray(R_last))
+    cams[N - 1, 3:] = np.asarray(t_last)
+    for i in range(1, N - 1):
+        Ri, ti = pnp_dlt(X, norm[i][sel])
+        cams[i, :3] = _rotmat_to_axis_angle(np.asarray(Ri))
+        cams[i, 3:] = np.asarray(ti)
+
+    # --- global BA ---------------------------------------------------------
+    cam_idx = np.repeat(np.arange(N, dtype=np.int32), P)
+    pt_idx = np.tile(np.arange(P, dtype=np.int32), N)
+    obs = np.concatenate(
+        [tracks[i][sel] - np.array([cx, cy]) for i in range(N)]
+    ).astype(np.float64)
+    # float64 when x64 is enabled (CPU oracle); silently f32 otherwise
+    prob = BAProblem(
+        jnp.asarray(cams),
+        jnp.asarray(np.asarray(X, np.float64)),
+        jnp.asarray(cam_idx),
+        jnp.asarray(pt_idx),
+        jnp.asarray(obs),
+        focal,
+    )
+    rmse0 = float(reprojection_rmse(prob))
+    refined, _ = bundle_adjust(prob, iters=ba_iters, lam=1e-3)
+    rmse1 = float(reprojection_rmse(refined))
+    if not np.isfinite(rmse1) or rmse1 > rmse0:
+        refined, rmse1 = prob, rmse0
+
+    return MultiViewReconstruction(
+        cams=np.asarray(refined.cams),
+        points=np.asarray(refined.points),
+        tracks=tracks[:, sel],
         rmse_before=rmse0,
         rmse_after=rmse1,
         problem=refined,

@@ -140,3 +140,60 @@ def test_two_view_frontend_synthetic_images():
     gy = np.clip(rec.pts1[:, 1].astype(int), 0, h - 1)
     rho = np.corrcoef(depth[gy, gx], rec.points[:, 2])[0, 1]
     assert rho > 0.7, rho
+
+
+def test_pnp_recovers_pose():
+    from optical_flow_tpu.slam.pnp import pnp_dlt, reprojection_errors
+
+    rng = np.random.RandomState(7)
+    X = np.stack(
+        [rng.randn(60) * 1.5, rng.randn(60), rng.uniform(3, 10, 60)], axis=1
+    )
+    R_true = _rot([0.3, 0.7, -0.2], 0.15)
+    t_true = np.array([0.4, -0.2, 0.3])
+    Xc = X @ R_true.T + t_true
+    x = (Xc[:, :2] / Xc[:, 2:3]).astype(np.float32)
+    R, t = pnp_dlt(X.astype(np.float32), x)
+    R, t = np.asarray(R), np.asarray(t)
+    ang = np.degrees(np.arccos(np.clip((np.trace(R.T @ R_true) - 1) / 2, -1, 1)))
+    assert ang < 0.1, ang
+    np.testing.assert_allclose(t, t_true, atol=1e-3)
+    errs = np.asarray(reprojection_errors(jnp.asarray(R), jnp.asarray(t), jnp.asarray(X, jnp.float32), jnp.asarray(x)))
+    assert errs.max() < 1e-4
+
+
+def test_multi_view_reconstruct():
+    cv2 = pytest.importorskip("cv2")
+    from optical_flow_tpu.slam.frontend import multi_view_reconstruct
+
+    rng = np.random.RandomState(9)
+    h, w = 320, 416
+    base = cv2.resize(
+        rng.rand(80, 104).astype(np.float32), (w, h), interpolation=cv2.INTER_CUBIC
+    )
+    base = (255 * (base - base.min()) / np.ptp(base)).astype(np.uint8)
+    focal = 400.0
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    depth = np.clip(
+        4.0 + 6.0 * cv2.resize(rng.rand(10, 13).astype(np.float32), (w, h),
+                               interpolation=cv2.INTER_CUBIC), 3.0, 12.0
+    )
+    frames = [base]
+    for k in (1, 2, 3):
+        tx = 0.05 * k  # camera slides along +x
+        disp = focal * tx / depth
+        frames.append(
+            cv2.remap(base, xs + disp, ys, cv2.INTER_LINEAR,
+                      borderMode=cv2.BORDER_REFLECT_101)
+        )
+    rec = multi_view_reconstruct(frames, focal)
+    assert rec is not None
+    assert rec.rmse_after <= rec.rmse_before + 1e-9
+    assert rec.rmse_after < 3.0, rec.rmse_after
+    # camera translations along x grow monotonically with frame index
+    txs = rec.cams[:, 3] * np.sign(rec.cams[-1, 3])
+    assert txs[0] == 0.0
+    assert np.all(np.diff(txs) > 0), txs
+    # roughly uniform spacing (camera slides at constant speed)
+    steps = np.diff(txs)
+    assert steps.max() / max(steps.min(), 1e-9) < 1.8, steps
