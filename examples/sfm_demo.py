@@ -73,6 +73,8 @@ def main():
         frames, focal = _render_sequence(args.frames)
         focal = args.focal or focal
 
+    if len(frames) < 3:
+        sys.exit(f"need at least 3 frames, got {len(frames)}")
     rec = multi_view_reconstruct(frames, focal)
     if rec is None:
         sys.exit("reconstruction failed: too few surviving tracks")

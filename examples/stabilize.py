@@ -45,7 +45,6 @@ def main():
     H_acc = np.eye(3)
     prev_gray = None
     jitter = []
-    residual = []
     for i, frame in enumerate(read_frames(args.input, max_frames=args.frames)):
         gray = np.asarray(bgr_to_gray(jnp.asarray(frame)))
         h, w = gray.shape
@@ -78,7 +77,6 @@ def main():
             axis=-1,
         )
         jitter.append((H_acc[0, 2], H_acc[1, 2]))
-        residual.append(float(np.abs(stab.astype(int) - frame.astype(int)).mean()))
         print(
             f"frame {i}: cumulative motion ({H_acc[0,2]:+7.2f}, {H_acc[1,2]:+7.2f}) px"
         )

@@ -35,7 +35,8 @@ class FlowConfig:
     # Warp-and-solve passes per pyramid level. 1 = the reference's single
     # pass (golden-parity mode). >1 iteratively re-warps the level by the
     # accumulated flow and solves the residual (cv2-tracker-style),
-    # improving accuracy for larger or non-integer motions.
+    # improving accuracy for large motions — REQUIRES mode='corrected'
+    # (reference-mode flow is not displacement, so re-warping diverges).
     level_iters: int = 1
     # 'reference': the reference's exact coarse-to-fine scheme (flow NOT
     #   doubled on pyrUp — its output is the goldens' quirky quantity, not

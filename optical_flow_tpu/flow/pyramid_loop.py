@@ -34,6 +34,14 @@ def run_pyramid(
             f"mode must be 'reference' or 'corrected', got {config.mode!r}"
         )
     corrected = config.mode == "corrected"
+    if config.level_iters > 1 and not corrected:
+        # In reference mode the accumulated flow is not displacement (and
+        # the reference warp diverges frames), so re-warping by it makes
+        # every extra pass WORSE (verified: 5x EPE on a 1.3 px translation).
+        raise ValueError(
+            "level_iters > 1 requires mode='corrected' (reference-mode flow "
+            "is not displacement; re-warping by it diverges)"
+        )
     levels = len(pyr1)
     orig1 = list(pyr1)
     orig2 = list(pyr2)

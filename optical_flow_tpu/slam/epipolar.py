@@ -27,7 +27,9 @@ import jax.numpy as jnp
 @dataclasses.dataclass(frozen=True)
 class EssentialRansacConfig:
     n_hypotheses: int = 512
-    inlier_thresh: float = 2e-3  # Sampson error in normalized coords
+    # Inlier gate on the LINEAR Sampson distance in normalized coords
+    # (~ pixels / focal): 2e-3 is ~0.8 px at focal 400.
+    inlier_thresh: float = 2e-3
     seed: int = 0
 
 
@@ -72,7 +74,8 @@ def _eight_point(p1, p2, w):
 
 
 def _sampson(E, p1, p2):
-    """Sampson distance per correspondence (K,)."""
+    """Linear Sampson distance per correspondence (K,), in the same units
+    as the coordinates (normalized ~ pixels/focal)."""
     ones = jnp.ones((p1.shape[0], 1), p1.dtype)
     x1 = jnp.concatenate([p1, ones], axis=-1)  # (K,3)
     x2 = jnp.concatenate([p2, ones], axis=-1)
@@ -80,7 +83,7 @@ def _sampson(E, p1, p2):
     Etx2 = x2 @ E
     num = jnp.sum(x2 * Ex1, axis=-1) ** 2
     den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
-    return num / jnp.maximum(den, 1e-12)
+    return jnp.sqrt(num / jnp.maximum(den, 1e-12))
 
 
 @partial(jax.jit, static_argnames=("n_hypotheses",))

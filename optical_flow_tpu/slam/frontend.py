@@ -56,11 +56,63 @@ def _rotmat_to_axis_angle(R: np.ndarray) -> np.ndarray:
     th = np.arccos(cos)
     if th < 1e-8:
         return np.zeros(3)
+    if th > np.pi - 1e-3:
+        # near 180 deg the antisymmetric part vanishes; take the axis from
+        # the dominant column of (R + I)/2 = axis axis^T (stable branch)
+        M = (R + np.eye(3)) / 2.0
+        c = int(np.argmax(np.diag(M)))
+        axis = M[:, c] / max(np.sqrt(M[c, c]), 1e-12)
+        axis /= np.linalg.norm(axis)
+        # sign from the largest antisymmetric component, if any
+        anti = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        if np.dot(anti, axis) < 0:
+            axis = -axis
+        return axis * th
     axis = (
         np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
         / (2 * np.sin(th))
     )
     return axis * th
+
+
+def _init_two_view(n_a, n_b, mask, ransac):
+    """Essential -> pose -> triangulation -> cheirality keep on normalized
+    correspondences. Returns (R, t, X, sel) with sel indexing the original
+    K slots, or None when fewer than 16 points survive any stage."""
+    E, inl, _ = estimate_essential(n_a, n_b, mask, ransac)
+    inl = np.asarray(inl) & np.asarray(mask)
+    if inl.sum() < 16:
+        return None
+    R, t, _ = recover_pose(E, jnp.asarray(n_a)[inl], jnp.asarray(n_b)[inl])
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    P2 = jnp.concatenate([R, t[:, None]], axis=1)
+    X = triangulate(P1, P2, np.asarray(n_a)[inl], np.asarray(n_b)[inl])
+    z_a = np.asarray(X[:, 2])
+    z_b = np.asarray(X @ R.T + t)[:, 2]
+    keep = (z_a > 1e-6) & (z_b > 1e-6)
+    if keep.sum() < 16:
+        return None
+    sel = np.where(inl)[0][keep]
+    return np.asarray(R), np.asarray(t), np.asarray(X)[keep], sel
+
+
+def _refine_ba(cams, X, cam_idx, pt_idx, obs, focal, ba_iters):
+    """Assemble + run BA; returns (refined problem, rmse_before, rmse_after)
+    keeping whichever model reprojects better."""
+    prob = BAProblem(
+        jnp.asarray(cams),
+        jnp.asarray(np.asarray(X, np.float64)),  # f64 under x64, f32 otherwise
+        jnp.asarray(cam_idx),
+        jnp.asarray(pt_idx),
+        jnp.asarray(obs),
+        focal,
+    )
+    rmse0 = float(reprojection_rmse(prob))
+    refined, _ = bundle_adjust(prob, iters=ba_iters, lam=1e-3)
+    rmse1 = float(reprojection_rmse(refined))
+    if not np.isfinite(rmse1) or rmse1 > rmse0:
+        return prob, rmse0, rmse0
+    return refined, rmse0, rmse1
 
 
 def two_view_reconstruct(
@@ -90,52 +142,26 @@ def two_view_reconstruct(
     if ok.sum() < 16:
         return None
 
-    n1 = normalize_pixels(np.asarray(pts), focal, cx, cy)
-    n2 = normalize_pixels(np.asarray(new), focal, cx, cy)
-    E, inl, count = estimate_essential(n1, n2, ok, ransac)
-    inl = np.asarray(inl)
-    if inl.sum() < 16:
+    n1 = np.asarray(normalize_pixels(np.asarray(pts), focal, cx, cy))
+    n2 = np.asarray(normalize_pixels(np.asarray(new), focal, cx, cy))
+    init = _init_two_view(n1, n2, ok, ransac)
+    if init is None:
         return None
-
-    R, t, _ = recover_pose(E, jnp.asarray(n1)[inl], jnp.asarray(n2)[inl])
-    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
-    P2 = jnp.concatenate([R, t[:, None]], axis=1)
-    X = triangulate(P1, P2, np.asarray(n1)[inl], np.asarray(n2)[inl])
-
-    # keep points with positive depth in both views
-    z1 = np.asarray(X[:, 2])
-    z2 = np.asarray((X @ np.asarray(R).T) + np.asarray(t))[:, 2]
-    keep = (z1 > 1e-6) & (z2 > 1e-6)
-    if keep.sum() < 16:
-        return None
-    X = np.asarray(X)[keep]
-    p1_px = np.asarray(pts)[inl][keep]
-    p2_px = np.asarray(new)[inl][keep]
+    R, t, X, sel = init
+    p1_px = np.asarray(pts)[sel]
+    p2_px = np.asarray(new)[sel]
 
     # assemble the BA problem in pixel units (cameras: axis-angle + t)
     P = len(X)
     cams = np.zeros((2, 6))
-    cams[1, :3] = _rotmat_to_axis_angle(np.asarray(R))
-    cams[1, 3:] = np.asarray(t)
+    cams[1, :3] = _rotmat_to_axis_angle(R)
+    cams[1, 3:] = t
     cam_idx = np.concatenate([np.zeros(P, np.int32), np.ones(P, np.int32)])
     pt_idx = np.concatenate([np.arange(P, dtype=np.int32)] * 2)
     obs = np.concatenate(
         [p1_px - np.array([cx, cy]), p2_px - np.array([cx, cy])]
     ).astype(np.float64)
-    # float64 when x64 is enabled (CPU oracle); silently f32 otherwise
-    prob = BAProblem(
-        jnp.asarray(cams),
-        jnp.asarray(np.asarray(X, np.float64)),
-        jnp.asarray(cam_idx),
-        jnp.asarray(pt_idx),
-        jnp.asarray(obs),
-        focal,
-    )
-    rmse0 = float(reprojection_rmse(prob))
-    refined, _ = bundle_adjust(prob, iters=ba_iters, lam=1e-3)
-    rmse1 = float(reprojection_rmse(refined))
-    if not np.isfinite(rmse1) or rmse1 > rmse0:
-        refined, rmse1 = prob, rmse0  # keep the better model
+    refined, rmse0, rmse1 = _refine_ba(cams, X, cam_idx, pt_idx, obs, focal, ba_iters)
 
     return TwoViewReconstruction(
         R=np.asarray(R),
@@ -194,29 +220,18 @@ def multi_view_reconstruct(
     norm = [
         np.asarray(normalize_pixels(tracks[i], focal, cx, cy)) for i in range(N)
     ]
-    E, inl, count = estimate_essential(norm[0], norm[-1], alive, ransac)
-    inl = np.asarray(inl) & alive
-    if inl.sum() < 16:
+    init = _init_two_view(norm[0], norm[-1], alive, ransac)
+    if init is None:
         return None
-    R_last, t_last, _ = recover_pose(E, jnp.asarray(norm[0])[inl], jnp.asarray(norm[-1])[inl])
-    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
-    P2 = jnp.concatenate([R_last, t_last[:, None]], axis=1)
-    X = triangulate(P1, P2, norm[0][inl], norm[-1][inl])
-    z0 = np.asarray(X[:, 2])
-    zl = np.asarray(X @ R_last.T + t_last)[:, 2]
-    keep = (z0 > 1e-6) & (zl > 1e-6)
-    if keep.sum() < 16:
-        return None
-    X = np.asarray(X)[keep]
-    sel = np.where(inl)[0][keep]  # indices into the K corner slots
+    R_last, t_last, X, sel = init  # sel indexes the K corner slots
     P = len(sel)
 
     # --- localize intermediate frames by PnP -------------------------------
     from optical_flow_tpu.slam.pnp import pnp_dlt
 
     cams = np.zeros((N, 6))
-    cams[N - 1, :3] = _rotmat_to_axis_angle(np.asarray(R_last))
-    cams[N - 1, 3:] = np.asarray(t_last)
+    cams[N - 1, :3] = _rotmat_to_axis_angle(R_last)
+    cams[N - 1, 3:] = t_last
     for i in range(1, N - 1):
         Ri, ti = pnp_dlt(X, norm[i][sel])
         cams[i, :3] = _rotmat_to_axis_angle(np.asarray(Ri))
@@ -228,20 +243,7 @@ def multi_view_reconstruct(
     obs = np.concatenate(
         [tracks[i][sel] - np.array([cx, cy]) for i in range(N)]
     ).astype(np.float64)
-    # float64 when x64 is enabled (CPU oracle); silently f32 otherwise
-    prob = BAProblem(
-        jnp.asarray(cams),
-        jnp.asarray(np.asarray(X, np.float64)),
-        jnp.asarray(cam_idx),
-        jnp.asarray(pt_idx),
-        jnp.asarray(obs),
-        focal,
-    )
-    rmse0 = float(reprojection_rmse(prob))
-    refined, _ = bundle_adjust(prob, iters=ba_iters, lam=1e-3)
-    rmse1 = float(reprojection_rmse(refined))
-    if not np.isfinite(rmse1) or rmse1 > rmse0:
-        refined, rmse1 = prob, rmse0
+    refined, rmse0, rmse1 = _refine_ba(cams, X, cam_idx, pt_idx, obs, focal, ba_iters)
 
     return MultiViewReconstruction(
         cams=np.asarray(refined.cams),

@@ -31,7 +31,8 @@ def pnp_dlt(X, x, w=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     _, _, vt = jnp.linalg.svd(A, full_matrices=False)
     P = vt[-1].reshape(3, 4)
     M = P[:, :3]
-    # orthonormalize: R = U V^T, scale = geometric mean of singulars
+    # orthonormalize: R = U V^T; the arithmetic mean of the singular values
+    # estimates the projective scale |lambda|
     u, s, vt2 = jnp.linalg.svd(M)
     R0 = u @ vt2
     det = jnp.linalg.det(R0)

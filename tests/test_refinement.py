@@ -77,3 +77,12 @@ def test_invalid_mode_rejected():
     img = jnp.ones((16, 16))
     with pytest.raises(ValueError, match="mode"):
         coarse_to_fine(img, img, 2, config=FlowConfig(impl="jnp", mode="fancy"))
+
+
+def test_level_iters_requires_corrected_mode():
+    img1, img2 = _scene((1.0, 0.0))
+    with pytest.raises(ValueError, match="corrected"):
+        coarse_to_fine(
+            jnp.asarray(img1), jnp.asarray(img2), 2,
+            config=FlowConfig(impl="jnp", level_iters=2),  # mode='reference'
+        )
