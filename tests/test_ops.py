@@ -181,3 +181,56 @@ class TestReviewRegressions:
         img = jnp.ones((8, 8))
         with pytest.raises(ValueError, match="impl"):
             lucas_kanade(img, img, impl="xla")
+
+
+class TestShiftWarp:
+    def test_shift_matches_gather(self):
+        from optical_flow_tpu.ops.warp import remap_bilinear, remap_bilinear_shift
+
+        rng = np.random.RandomState(3)
+        H, W = 48, 64
+        src = jnp.asarray(rng.rand(H, W).astype(np.float32))
+        xs = np.arange(W, dtype=np.float32)[None, :]
+        ys = np.arange(H, dtype=np.float32)[:, None]
+        dx = np.clip(rng.randn(H, W) * 2, -4, 4).astype(np.float32)
+        dy = np.clip(rng.randn(H, W) * 2, -4, 4).astype(np.float32)
+        mx, my = jnp.asarray(xs + dx), jnp.asarray(ys + dy)
+        for q in (True, False):
+            a = np.asarray(remap_bilinear(src, mx, my, quantize=q))
+            b = np.asarray(remap_bilinear_shift(src, mx, my, 5, quantize=q))
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_symmetric_warp_shift_impl(self):
+        from optical_flow_tpu.ops.warp import symmetric_warp
+
+        rng = np.random.RandomState(4)
+        img1 = jnp.asarray(rng.rand(40, 56).astype(np.float32))
+        img2 = jnp.asarray(rng.rand(40, 56).astype(np.float32))
+        u = jnp.asarray(np.clip(rng.randn(40, 56) * 3, -6, 6).astype(np.float32))
+        v = jnp.asarray(np.clip(rng.randn(40, 56) * 3, -6, 6).astype(np.float32))
+        g1, g2 = symmetric_warp(img1, img2, u, v)
+        s1, s2 = symmetric_warp(img1, img2, u, v, impl="shift", max_disp=4)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(s1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(s2), atol=1e-5)
+
+    def test_pyramid_with_shift_warp_matches_gather(self):
+        from optical_flow_tpu.config import FlowConfig
+        from optical_flow_tpu.flow.coarse_to_fine import coarse_to_fine
+
+        rng = np.random.RandomState(5)
+        a = jnp.asarray(rng.rand(64, 64).astype(np.float32))
+        b = jnp.asarray(np.roll(np.asarray(a), 2, axis=1))
+        ug, vg = coarse_to_fine(a, b, 3, config=FlowConfig(
+            impl="jnp", warp_clamp=8.0, warp_impl="gather"))
+        us, vs = coarse_to_fine(a, b, 3, config=FlowConfig(
+            impl="jnp", warp_clamp=8.0, warp_impl="shift"))
+        np.testing.assert_allclose(np.asarray(ug), np.asarray(us), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(vg), np.asarray(vs), atol=1e-4)
+
+    def test_shift_requires_clamp(self):
+        from optical_flow_tpu.config import FlowConfig
+        from optical_flow_tpu.flow.coarse_to_fine import coarse_to_fine
+
+        a = jnp.ones((16, 16))
+        with pytest.raises(ValueError, match="warp_clamp"):
+            coarse_to_fine(a, a, 2, config=FlowConfig(impl="jnp", warp_impl="shift"))
