@@ -52,10 +52,21 @@ def _run_video(args):
     from optical_flow_tpu.utils.guard import FlowGuard, NumericalFailure
     from optical_flow_tpu.utils.metrics import Metrics
 
-    cfg = VideoConfig(
-        preprocess=PreprocessConfig(size=(args.size, args.size)),
-        flow=FlowConfig(impl=args.impl),
-    )
+    if args.fast:
+        cfg = VideoConfig.fast(size=(args.size, args.size))
+        cfg = VideoConfig(
+            preprocess=cfg.preprocess,
+            flow=FlowConfig(
+                impl=args.impl, mode="corrected", warp_clamp=8.0, warp_impl="auto"
+            ),
+            gesture=cfg.gesture,
+            faithful_prev_diff=False,
+        )
+    else:
+        cfg = VideoConfig(
+            preprocess=PreprocessConfig(size=(args.size, args.size)),
+            flow=FlowConfig(impl=args.impl),
+        )
     pipe = VideoPipeline(cfg)
     guard = FlowGuard(stall_timeout_s=120.0)
     stop_watchdog = guard.start_watchdog()
@@ -122,6 +133,12 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"])
     p.add_argument("--metrics", action="store_true", help="emit JSONL metrics to stderr")
+    p.add_argument(
+        "--fast",
+        action="store_true",
+        help="production preset: displacement-true flow + gather-free warp "
+        "(parity quirks off; see VideoConfig.fast)",
+    )
     p.set_defaults(fn=_run_video)
 
     p = sub.add_parser("track", help="sparse feature tracking")

@@ -219,3 +219,12 @@ def test_batched_pipeline_with_mesh():
     np.testing.assert_allclose(
         np.asarray(unsharded.v), np.asarray(sharded.v), atol=1e-5
     )
+
+
+def test_fast_preset_runs():
+    cfg = VideoConfig.fast(size=(64, 64))
+    assert cfg.flow.mode == "corrected" and cfg.flow.warp_clamp == 8.0
+    pipe = VideoPipeline(cfg)
+    results = list(pipe.run(_synthetic_frames(5)))
+    assert len(results) == 3
+    assert all(np.isfinite(np.asarray(r.u)).all() for r in results)
