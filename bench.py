@@ -124,29 +124,36 @@ def main():
             m = (r.rand(*shape) < 0.15).astype(np.float32)
             return jnp.asarray(base * m), jnp.asarray(np.roll(base * m, 2, axis=-1))
 
-        ps = [mk(s) for s in range(warmup + iters)]
+        # The timed region is on-device lax.map over use-once 8-frame
+        # chunks: per-chunk host/transport overhead (milliseconds on
+        # tunneled devices) amortizes 8x, while the compile stays small.
+        # Each frame is processed independently by the same per-frame
+        # program; one final sync drains the in-order device queue.
+        CHUNK = 8
+        n_chunks = -(-iters // CHUNK)
+        ps = [mk(s) for s in range((1 + n_chunks) * CHUNK)]
         jax.block_until_ready(ps)
 
-        # The whole timed run is ONE on-device lax.map over the use-once
-        # frame stack: a single dispatch + a single sync, so per-call host/
-        # transport overhead (milliseconds on tunneled devices) doesn't
-        # masquerade as device time. Each frame is still processed
-        # independently by the same per-frame program.
         def one(pair):
             a, b = pair
             return coarse_to_fine(a, b, levels, config=cfg)
 
         fn = jax.jit(lambda stack: jax.lax.map(one, stack))
-        # warm with a distinct same-shape stack (same shape -> one compile;
-        # distinct data -> the runtime can't serve it from cache)
-        A = jnp.stack([p[0] for p in ps[warmup : warmup + iters]])
-        B = jnp.stack([p[1] for p in ps[warmup : warmup + iters]])
-        Aw = jnp.roll(A, 1, axis=-1)
-        sync(fn((Aw, B)))
+
+        def chunk(i):
+            sel = ps[i * CHUNK : (i + 1) * CHUNK]
+            return (
+                jnp.stack([p[0] for p in sel]),
+                jnp.stack([p[1] for p in sel]),
+            )
+
+        stacks = [chunk(i) for i in range(1 + n_chunks)]
+        jax.block_until_ready(stacks)
+        sync(fn(stacks[0]))  # compile + warm on the extra chunk
         t0 = time.perf_counter()
-        out = fn((A, B))
-        sync(out)
-        return iters * batch / (time.perf_counter() - t0)
+        outs = [fn(s) for s in stacks[1:]]
+        sync(outs[-1])
+        return n_chunks * CHUNK * batch / (time.perf_counter() - t0)
 
     if args.sweep:
         print("size  batch  impl    fps        Mpix/s", file=sys.stderr)
