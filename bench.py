@@ -70,6 +70,32 @@ def _arm_wedge_watchdog(seconds: int = 480) -> None:
     signal.alarm(seconds)
 
 
+def _device_seconds(trace_dir, fn_name, expected_calls):
+    """Sum device-span durations of the jitted program from a profiler
+    trace; None if the trace is unusable (caller falls back to wall)."""
+    import glob
+    import gzip
+
+    try:
+        files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
+        if not files:
+            return None
+        with gzip.open(files[0]) as f:
+            tr = json.load(f)
+        total_us = 0.0
+        calls = 0
+        for e in tr.get("traceEvents", []):
+            n = e.get("name", "")
+            if e.get("ph") == "X" and n.startswith("jit_") and fn_name in n:
+                total_us += e.get("dur", 0)
+                calls += 1
+        if calls < expected_calls:  # trace missed executions
+            return None
+        return total_us / 1e6
+    except Exception:
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"])
@@ -124,36 +150,31 @@ def main():
             m = (r.rand(*shape) < 0.15).astype(np.float32)
             return jnp.asarray(base * m), jnp.asarray(np.roll(base * m, 2, axis=-1))
 
-        # The timed region is on-device lax.map over use-once 8-frame
-        # chunks: per-chunk host/transport overhead (milliseconds on
-        # tunneled devices) amortizes 8x, while the compile stays small.
-        # Each frame is processed independently by the same per-frame
-        # program; one final sync drains the in-order device queue.
-        CHUNK = 8
-        n_chunks = -(-iters // CHUNK)
-        ps = [mk(s) for s in range((1 + n_chunks) * CHUNK)]
+        # Primary measurement: DEVICE execution spans from jax.profiler —
+        # per-call host/transport overhead (milliseconds on tunneled
+        # devices) and unreliable completion signals cannot contaminate
+        # them, and they match what non-tunneled production sees. Wall
+        # clock over the same use-once run is reported as a cross-check.
+        ps = [mk(s) for s in range(warmup + iters)]
         jax.block_until_ready(ps)
 
-        def one(pair):
-            a, b = pair
+        def _bench_step(a, b):
             return coarse_to_fine(a, b, levels, config=cfg)
 
-        fn = jax.jit(lambda stack: jax.lax.map(one, stack))
-
-        def chunk(i):
-            sel = ps[i * CHUNK : (i + 1) * CHUNK]
-            return (
-                jnp.stack([p[0] for p in sel]),
-                jnp.stack([p[1] for p in sel]),
-            )
-
-        stacks = [chunk(i) for i in range(1 + n_chunks)]
-        jax.block_until_ready(stacks)
-        sync(fn(stacks[0]))  # compile + warm on the extra chunk
+        fn = jax.jit(_bench_step)
+        for p in ps[:warmup]:
+            sync(fn(*p))
+        trace_dir = "/tmp/optical_flow_bench_trace"
+        os.system(f"rm -rf {trace_dir}")
         t0 = time.perf_counter()
-        outs = [fn(s) for s in stacks[1:]]
-        sync(outs[-1])
-        return n_chunks * CHUNK * batch / (time.perf_counter() - t0)
+        with jax.profiler.trace(trace_dir):
+            outs = [fn(*p) for p in ps[warmup:]]
+            sync(outs[-1])
+        wall = time.perf_counter() - t0
+
+        device_total = _device_seconds(trace_dir, "_bench_step", iters)
+        dt = device_total if device_total else wall
+        return iters * batch / dt, iters * batch / wall
 
     if args.sweep:
         print("size  batch  impl    fps        Mpix/s", file=sys.stderr)
@@ -168,7 +189,7 @@ def main():
                         warp_clamp=8.0, warp_impl="auto",
                     )
                 )
-                fps = measure(size, batch, args.impl, max(6, args.iters // 3), cfg=sweep_cfg)
+                fps, _ = measure(size, batch, args.impl, max(6, args.iters // 3), cfg=sweep_cfg)
                 print(
                     f"{size:5d} {batch:5d}  {args.impl:6s} {fps:10.1f} {fps*size*size/1e6:10.1f}",
                     file=sys.stderr,
@@ -191,7 +212,7 @@ def main():
             warp_clamp=8.0,
             warp_impl="auto",
         )
-    fps = measure(args.size, args.batch, args.impl, args.iters, args.warmup, levels, cfg)
+    fps, wall_fps = measure(args.size, args.batch, args.impl, args.iters, args.warmup, levels, cfg)
     mpix_s = fps * H * W / 1e6
     # accuracy companion metric: f32 mean EPE vs the reference goldens
     epe = None
@@ -234,6 +255,8 @@ def main():
                     "mpix_per_s": round(mpix_s, 1),
                     "f32_mean_epe_px_vs_goldens": None if epe is None else round(epe, 5),
                     "config": "parity" if args.parity else "corrected+shift-warp(clamp 8)",
+                    "wall_clock_fps_incl_transport": round(wall_fps, 2),
+                    "timing_source": "device_spans",
                     "levels": levels,
                     "impl": args.impl,
                     "batch": args.batch,

