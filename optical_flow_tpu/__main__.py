@@ -68,7 +68,8 @@ def _run_video(args):
             flow=FlowConfig(impl=args.impl),
         )
     pipe = VideoPipeline(cfg)
-    guard = FlowGuard(stall_timeout_s=120.0)
+    # generous: the first frame includes XLA compilation (minutes at 1080^2)
+    guard = FlowGuard(stall_timeout_s=600.0)
     stop_watchdog = guard.start_watchdog()
     metrics = Metrics(sink=_sys.stderr if args.metrics else None)
     for i, res in enumerate(pipe.run(read_frames(args.input, max_frames=args.frames))):
