@@ -198,6 +198,15 @@ def remap_bilinear_shift(
         # x-pass used THEIR dx — exact only where dx is constant along y.
         # Flow fields here are window-averaged (smooth), and the pyramid's
         # residual solves absorb the remaining error; ~6x fewer flops.
+        # Measured bounds (tests/test_ops.py::TestShiftSepWarp, CPU f32,
+        # unit-scale random-noise image — worst-case content):
+        #   dx constant along y:            exact (<= 6e-8, one ulp)
+        #   9x9-box-smoothed random flow:   max |err| 0.21, mean 0.007
+        #   adversarial dx alternating sign
+        #   every row with fractional dy:   max |err| 0.48, mean 0.12
+        # End-to-end (corrected 4-level pyramid, level_iters=2) the flow
+        # agrees with the exact 'shift' form to ~2e-4 px median and meets
+        # the same EPE budget (test_pyramid_shift_sep_*).
         tmp = jnp.zeros_like(src)
         for kx in range(-C, C + 2):
             wk = jnp.maximum(0.0, one - jnp.abs(dxq - kx))
