@@ -67,3 +67,40 @@ def test_pyramidal_hs_runs():
     u, v = horn_schunck(img, img2, HornSchunckConfig(alpha=1.0, iters=30, levels=3))
     assert u.shape == (64, 64)
     assert np.isfinite(np.asarray(u)).all()
+
+
+def test_pyramidal_hs_large_translation_accuracy():
+    """The displacement-true pyramid must recover a 3 px shift — far
+    beyond single-level HS's linearization range — to sub-0.2 px
+    (VERDICT r1 item 7's acceptance bar). Uses the shared 'corrected'
+    controller: flow doubled on upsample + convergent warp."""
+    try:
+        img = _smooth_texture(128, 128, seed=4)
+    except ImportError:
+        pytest.skip("scipy unavailable")
+    img2 = np.roll(img, 3, axis=1)  # 3 px right
+    u, v = horn_schunck(
+        jnp.asarray(img),
+        jnp.asarray(img2),
+        HornSchunckConfig(alpha=0.5, iters=300, levels=3),
+    )
+    interior_u = np.asarray(u)[24:-24, 24:-24]
+    interior_v = np.asarray(v)[24:-24, 24:-24]
+    assert abs(np.median(interior_u) - 3.0) < 0.2, np.median(interior_u)
+    assert abs(np.median(interior_v)) < 0.1, np.median(interior_v)
+
+
+def test_pyramidal_hs_beats_single_level_on_large_motion():
+    """The reason the corrected pyramid exists: single-level HS cannot see
+    a 3 px displacement at all (gradient linearization), the pyramid can."""
+    try:
+        img = _smooth_texture(128, 128, seed=5)
+    except ImportError:
+        pytest.skip("scipy unavailable")
+    img2 = np.roll(img, 3, axis=1)
+    a, b = jnp.asarray(img), jnp.asarray(img2)
+    u1, _ = horn_schunck(a, b, HornSchunckConfig(alpha=0.5, iters=300, levels=1))
+    u3, _ = horn_schunck(a, b, HornSchunckConfig(alpha=0.5, iters=300, levels=3))
+    err1 = abs(float(np.median(np.asarray(u1)[24:-24, 24:-24])) - 3.0)
+    err3 = abs(float(np.median(np.asarray(u3)[24:-24, 24:-24])) - 3.0)
+    assert err3 < err1 / 2, (err1, err3)
