@@ -17,7 +17,10 @@ The TPU-native equivalents built here:
 from optical_flow_tpu.parallel.mesh import flow_mesh, mesh_factorization
 from optical_flow_tpu.parallel.halo import exchange_halo
 from optical_flow_tpu.parallel.sharded_lk import sharded_lucas_kanade
-from optical_flow_tpu.parallel.sharded_flow import sharded_coarse_to_fine
+from optical_flow_tpu.parallel.sharded_flow import (
+    sharded_coarse_to_fine,
+    sharded_coarse_to_fine_with_images,
+)
 from optical_flow_tpu.parallel.sharded_warp import sharded_symmetric_warp
 
 __all__ = [
@@ -26,5 +29,6 @@ __all__ = [
     "exchange_halo",
     "sharded_lucas_kanade",
     "sharded_coarse_to_fine",
+    "sharded_coarse_to_fine_with_images",
     "sharded_symmetric_warp",
 ]

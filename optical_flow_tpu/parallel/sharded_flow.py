@@ -63,6 +63,26 @@ def sharded_coarse_to_fine(
     Semantics identical to flow.coarse_to_fine (same reference quirks:
     flow not doubled on pyrUp, symmetric half-flow warps).
     """
+    u, v, _, _ = sharded_coarse_to_fine_with_images(
+        img1, img2, mesh, levels, config=config, min_tile=min_tile
+    )
+    return u, v
+
+
+def sharded_coarse_to_fine_with_images(
+    img1,
+    img2,
+    mesh: Mesh,
+    levels: Optional[int] = None,
+    *,
+    config: FlowConfig = FlowConfig(),
+    min_tile: int = MIN_TILE,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Like flow.coarse_to_fine_with_images but mesh-sharded: returns
+    (u, v, warped_img1, warped_img2), the finest-level images after the
+    last warp — the reference's in-place-mutation contract
+    (LKof.cpp:193-226), needed by the video loop's faithful_prev_diff
+    feedback (ParallelVideoPyr.cpp:841)."""
     rows_n = mesh.shape[AXIS_ROWS]
     cols_n = mesh.shape[AXIS_COLS]
     from optical_flow_tpu.flow.coarse_to_fine import _validate_levels
@@ -95,5 +115,4 @@ def sharded_coarse_to_fine(
             )
         return symmetric_warp(a, b, u, v, quantize=config.quantize_warp)
 
-    u, v, _, _ = run_pyramid(pyr1, pyr2, solve, warp, config)
-    return u, v
+    return run_pyramid(pyr1, pyr2, solve, warp, config)

@@ -91,12 +91,13 @@ class VideoPipeline:
     def _flow_step_impl(self, prev_diff, diff):
         levels = max_pyramid_levels(diff.shape)
         if self.mesh is not None:
-            from optical_flow_tpu.parallel.sharded_flow import sharded_coarse_to_fine
+            from optical_flow_tpu.parallel.sharded_flow import (
+                sharded_coarse_to_fine_with_images,
+            )
 
-            u, v = sharded_coarse_to_fine(
+            u, v, _, warped_diff = sharded_coarse_to_fine_with_images(
                 prev_diff, diff, self.mesh, levels, config=self.config.flow
             )
-            warped_diff = diff  # sharded path doesn't carry warped images yet
         else:
             u, v, _, warped_diff = coarse_to_fine_with_images(
                 prev_diff, diff, levels, config=self.config.flow
