@@ -30,8 +30,16 @@ def initialize_distributed(
     process_id: Optional[int] = None,
 ) -> None:
     """jax.distributed.initialize with env-var fallbacks; no-op if already
-    initialized or single-process."""
-    if jax.process_count() > 1:
+    initialized or single-process.
+
+    The already-initialized probe inspects the distributed client state
+    directly — calling jax.process_count() here would itself initialize
+    the XLA backend, after which jax.distributed.initialize refuses to
+    run (found by tests/test_distributed.py::test_two_process_runtime).
+    """
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
         return  # already initialized
     if coordinator_address is None and num_processes is None:
         return  # single process; nothing to do

