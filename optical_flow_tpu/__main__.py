@@ -72,7 +72,22 @@ def _run_video(args):
     guard = FlowGuard(stall_timeout_s=600.0)
     stop_watchdog = guard.start_watchdog()
     metrics = Metrics(sink=_sys.stderr if args.metrics else None)
-    for i, res in enumerate(pipe.run(read_frames(args.input, max_frames=args.frames))):
+    writer = None
+    if args.annotate:
+        from optical_flow_tpu.io.video_writer import VideoWriter
+
+        writer = VideoWriter(args.annotate, fps=args.fps)
+    # push() frame by frame (instead of pipe.run) so each result can be
+    # drawn onto ITS original frame — the reference's live overlay
+    # (ParallelVideoPyr.cpp:884-891: centroid rescaled to frame coords,
+    # radius-35 circle, shown per frame).
+    pipe.reset()
+    i = -1
+    for frame in read_frames(args.input, max_frames=args.frames):
+        res = pipe.push(frame)
+        if res is None:
+            continue
+        i += 1
         with metrics.timer("frame"):
             g = res.gesture
             try:
@@ -88,6 +103,28 @@ def _run_video(args):
                 f"frame {i}: votes={int(g.votes)} detected={bool(g.detected)} "
                 f"centroid=({float(g.cx):.1f},{float(g.cy):.1f})"
             )
+            if writer is not None:
+                import numpy as np
+
+                from optical_flow_tpu.utils.viz import draw_circle
+
+                rgb = np.asarray(frame)[..., ::-1]  # decoder yields BGR
+                if bool(g.detected):
+                    ph, pw = cfg.preprocess.size
+                    fh, fw = rgb.shape[:2]
+                    rgb = draw_circle(
+                        rgb,
+                        float(g.cx) * fw / pw,
+                        float(g.cy) * fh / ph,
+                        radius=max(
+                            1, round(cfg.gesture.circle_radius * fw / pw)
+                        ),
+                        color=(255, 0, 0),
+                    )
+                writer.write(rgb)
+    if writer is not None:
+        writer.close()
+        print(f"wrote {writer.frames_written} annotated frames to {args.annotate}")
     stop_watchdog()
     metrics.emit()
 
@@ -117,6 +154,10 @@ def _cmd_track(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="optical_flow_tpu")
+    ap.add_argument(
+        "--cpu", action="store_true", help="force the CPU backend (the axon "
+        "TPU plugin ignores JAX_PLATFORMS; this uses jax.config)"
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("flow", help="dense optical flow between two images")
@@ -140,6 +181,15 @@ def main(argv=None):
         help="production preset: displacement-true flow + gather-free warp "
         "(parity quirks off; see VideoConfig.fast)",
     )
+    p.add_argument(
+        "--annotate",
+        default=None,
+        metavar="OUT",
+        help="write an annotated output video (detection circle drawn on "
+        "each live frame, the reference's imshow overlay) to OUT.mp4, or "
+        "to a PNG directory if OUT has no extension",
+    )
+    p.add_argument("--fps", type=float, default=30.0, help="annotated output fps")
     p.set_defaults(fn=_run_video)
 
     p = sub.add_parser("track", help="sparse feature tracking")
@@ -157,6 +207,13 @@ def main(argv=None):
     args, extra = ap.parse_known_args(argv)
     if args.cmd != "bench" and extra:
         ap.error(f"unrecognized arguments: {' '.join(extra)}")
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from optical_flow_tpu.utils.compat import enable_persistent_cache
+
+    enable_persistent_cache()
     if args.cmd == "bench":
         import runpy
         from pathlib import Path
