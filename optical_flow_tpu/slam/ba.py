@@ -46,6 +46,33 @@ class BAProblem(NamedTuple):
     weight: jnp.ndarray | None = None  # (M,) optional per-obs weights
 
 
+def build_track_table(pt_idx, P: int, K: int | None = None):
+    """Host-side (numpy) observation table: (P, K) int32 of observation
+    indices per point, padded with -1. K defaults to the longest track.
+
+    This is the sparsity structure of the W (camera-point) off-diagonal
+    block: point p couples only the <= K cameras observing it, so the
+    Schur complement assembles in O(P K^2) instead of densifying a
+    (P, C, 6, 3) block over ALL cameras (VERDICT r1 item 8)."""
+    import numpy as np
+
+    pt = np.asarray(pt_idx)
+    counts = np.bincount(pt, minlength=P)
+    k_needed = int(counts.max()) if len(pt) else 1
+    if K is None:
+        K = max(k_needed, 1)
+    elif k_needed > K:
+        raise ValueError(f"track length {k_needed} exceeds table width {K}")
+    table = np.full((P, K), -1, np.int32)
+    slot = np.zeros(P, np.int64)
+    order = np.argsort(pt, kind="stable")
+    for m in order:
+        p = pt[m]
+        table[p, slot[p]] = m
+        slot[p] += 1
+    return table
+
+
 def _rodrigues(r):
     """Axis-angle (3,) -> rotation matrix (3,3), smooth at 0."""
     th2 = jnp.sum(r * r)
@@ -84,8 +111,13 @@ def _residual_jac(cam, X, uv, focal):
     return r, Jc, Jp
 
 
-def _assemble(problem: BAProblem, C: int, P: int):
-    """Per-observation residuals/Jacobians and block accumulations."""
+def _assemble(problem: BAProblem, C: int, P: int, table):
+    """Per-observation residuals/Jacobians and block accumulations.
+
+    table: (P, K) int32 observation indices per point, -1-padded
+    (build_track_table) — the W block's sparsity structure. Padded slots
+    carry zero W blocks and camera index 0, so they contribute exact
+    zeros everywhere downstream."""
     f = jnp.asarray(problem.focal, problem.points.dtype)
     r, Jc, Jp = jax.vmap(_residual_jac, in_axes=(0, 0, 0, None))(
         problem.cams[problem.cam_idx], problem.points[problem.pt_idx], problem.obs, f
@@ -104,30 +136,50 @@ def _assemble(problem: BAProblem, C: int, P: int):
     )  # (P,3,3)
     bc = jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jc, r), problem.cam_idx, C)
     bp = jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jp, r), problem.pt_idx, P)
-    # W blocks per (point, cam): dense (P, C, 6, 3) via scatter-add
-    Wpc = jnp.zeros((P, C, 6, 3), r.dtype)
-    Wpc = Wpc.at[problem.pt_idx, problem.cam_idx].add(
-        jnp.einsum("mki,mkj->mij", Jc, Jp)
-    )
-    return Hcc, Hpp, bc, bp, Wpc, r
+    # W blocks gathered per (point, track slot): (P, K, 6, 3). Memory is
+    # O(observations), never O(P*C) — each point couples only the cameras
+    # that see it.
+    Wm = jnp.einsum("mki,mkj->mij", Jc, Jp)  # (M,6,3)
+    mask = table >= 0
+    tt = jnp.where(mask, table, 0)
+    Wp = Wm[tt] * mask[..., None, None]
+    camT = jnp.where(mask, problem.cam_idx[tt], 0)
+    return Hcc, Hpp, bc, bp, Wp, camT, r
 
 
-def _schur_reduce(Hcc, Hpp, bc, bp, Wpc, lam):
-    """Partial reduced camera system from a (possibly sharded) point set."""
-    P = Hpp.shape[0]
+def _schur_reduce(Hpp, bp, Wp, camT, lam, C: int):
+    """Partial reduced camera system from a (possibly sharded) point set.
+
+    S_partial = - sum_p W_p Vinv_p W_p^T, assembled per track-slot pair
+    (k, q) and scatter-added into camera blocks: O(P K^2) work, O(P K)
+    memory per slot — the sparse Schur assembly."""
+    P, K = camT.shape
     eye3 = jnp.eye(3, dtype=Hpp.dtype)
     Vinv = jnp.linalg.inv(Hpp + lam * eye3[None])  # (P,3,3)
-    # S_partial = - sum_p W_p Vinv_p W_p^T ; rhs_partial = + W Vinv bp
-    # (the reduced system is S dc = -bc + W Vinv bp)
-    WV = jnp.einsum("pcij,pjk->pcik", Wpc, Vinv)  # (P,C,6,3)
-    S = -jnp.einsum("pcik,pdjk->cidj", WV, Wpc)  # (C,6,C,6)
-    rhs = jnp.einsum("pcik,pk->ci", WV, bp)  # (C,6)
+    WV = jnp.einsum("pkij,pjl->pkil", Wp, Vinv)  # (P,K,6,3)
+    S = jnp.zeros((C * C, 6, 6), Hpp.dtype)
+    for k in range(K):  # static unroll; K = longest track
+        contrib = -jnp.einsum("pil,pqjl->pqij", WV[:, k], Wp)  # (P,K,6,6)
+        seg = camT[:, k][:, None] * C + camT  # (P,K) -> flat cam-pair ids
+        S = S + jax.ops.segment_sum(
+            contrib.reshape(P * K, 6, 6), seg.reshape(P * K), C * C
+        )
+    S = S.reshape(C, C, 6, 6).transpose(0, 2, 1, 3)  # (C,6,C,6)
+    rhs = jax.ops.segment_sum(
+        jnp.einsum("pkil,pl->pki", WV, bp).reshape(P * K, 6),
+        camT.reshape(P * K),
+        C,
+    )  # (C,6): + W Vinv bp
     return S, rhs, Vinv
 
 
-def _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam):
+def _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam, fixed=None):
     """Dense solve of the reduced camera system
-    S = blockdiag(Hcc + lam I) - W Vinv W^T (the latter is S_partial)."""
+    S = blockdiag(Hcc + lam I) - W Vinv W^T (the latter is S_partial).
+
+    fixed: optional (C,) bool — cameras whose delta is constrained to 0
+    (windowed BA holds out-of-window cameras). Defaults to camera 0 only
+    (gauge anchor)."""
     C = Hcc.shape[0]
     block = Hcc + lam * jnp.eye(6, dtype=Hcc.dtype)[None]
 
@@ -137,30 +189,31 @@ def _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam):
 
     S = lax.fori_loop(0, C, add_block, S_partial.reshape(C * 6, C * 6))
     rhs = (-bc + rhs_partial).reshape(C * 6)
-    # Gauge fix INSIDE the system: constrain delta_c[0] = 0 (replace camera
-    # 0's rows/cols with identity) so the point back-substitution sees the
-    # pinned solution — zeroing delta after the solve would let each
-    # iteration's point updates track a camera-0 motion that is then
-    # discarded, and leaves the gauge direction to lam alone.
+    # Gauge fix INSIDE the system: constrain pinned cameras' deltas to 0
+    # (replace their rows/cols with identity) so the point
+    # back-substitution sees the pinned solution — zeroing delta after the
+    # solve would let each iteration's point updates track a camera motion
+    # that is then discarded, and leaves the gauge direction to lam alone.
+    if fixed is None:
+        fixed = jnp.arange(C) == 0
+    free = jnp.repeat(~fixed, 6)  # (6C,) True where the solve is live
     n = S.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    keep = (row >= 6) & (col >= 6)
+    keep = free[:, None] & free[None, :]
     S = jnp.where(keep, S, 0.0)
-    S = S + jnp.diag(jnp.where(jnp.arange(n) < 6, 1.0, 0.0).astype(S.dtype))
-    rhs = jnp.where(jnp.arange(n) < 6, 0.0, rhs)
+    S = S + jnp.diag(jnp.where(free, 0.0, 1.0).astype(S.dtype))
+    rhs = jnp.where(free, rhs, 0.0)
     return jnp.linalg.solve(S, rhs).reshape(C, 6)
 
 
-def _back_substitute(Vinv, Wpc, bp, delta_c):
+def _back_substitute(Vinv, Wp, camT, bp, delta_c):
     """Point updates given camera updates (local to each point shard)."""
-    corr = jnp.einsum("pcij,ci->pj", Wpc, delta_c)  # (P,3)
+    corr = jnp.einsum("pkij,pki->pj", Wp, delta_c[camT])  # (P,3)
     return jnp.einsum("pij,pj->pi", Vinv, -(bp + corr))
 
 
-def _gn_step(problem: BAProblem, lam, C: int, P: int, psum_axes=None):
-    Hcc, Hpp, bc, bp, Wpc, r = _assemble(problem, C, P)
-    S_partial, rhs_partial, Vinv = _schur_reduce(Hcc, Hpp, bc, bp, Wpc, lam)
+def _gn_step(problem: BAProblem, lam, C: int, P: int, table, psum_axes=None, fixed=None):
+    Hcc, Hpp, bc, bp, Wp, camT, r = _assemble(problem, C, P, table)
+    S_partial, rhs_partial, Vinv = _schur_reduce(Hpp, bp, Wp, camT, lam, C)
     if psum_axes is not None:
         # Points (and their observations) are sharded; the camera system is
         # the one global object. A single psum assembles it over the mesh.
@@ -168,29 +221,49 @@ def _gn_step(problem: BAProblem, lam, C: int, P: int, psum_axes=None):
         rhs_partial = lax.psum(rhs_partial, psum_axes)
         Hcc = lax.psum(Hcc, psum_axes)
         bc = lax.psum(bc, psum_axes)
-    delta_c = _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam)  # cam 0 pinned
-    delta_p = _back_substitute(Vinv, Wpc, bp, delta_c)
+    delta_c = _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam, fixed=fixed)
+    delta_p = _back_substitute(Vinv, Wp, camT, bp, delta_c)
     cams = problem.cams + delta_c
     points = problem.points + delta_p
     return problem._replace(cams=cams, points=points), jnp.mean(r * r)
 
 
 @partial(jax.jit, static_argnames=("iters",))
-def bundle_adjust(
-    problem: BAProblem, iters: int = 10, lam: float = 1e-3
-) -> Tuple[BAProblem, jnp.ndarray]:
-    """Gauss-Newton BA; returns (refined problem, per-iter mean sq residual)."""
+def _bundle_adjust_jit(problem: BAProblem, table, fixed, iters: int, lam):
     C = problem.cams.shape[0]
     P = problem.points.shape[0]
-    lam = jnp.asarray(lam, problem.points.dtype)
 
     def body(carry, _):
         prob, l = carry
-        prob, msr = _gn_step(prob, l, C, P)
+        prob, msr = _gn_step(prob, l, C, P, table, fixed=fixed)
         return (prob, l), msr
 
     (out, _), hist = lax.scan(body, (problem, lam), None, length=iters)
     return out, hist
+
+
+def bundle_adjust(
+    problem: BAProblem,
+    iters: int = 10,
+    lam: float = 1e-3,
+    fixed_cams=None,
+) -> Tuple[BAProblem, jnp.ndarray]:
+    """Gauss-Newton BA; returns (refined problem, per-iter mean sq residual).
+
+    The observation table (W-block sparsity) is built host-side from
+    pt_idx, so this entry point needs concrete (non-traced) indices — call
+    it from the host loop, not from inside jit.
+
+    fixed_cams: optional (C,) bool mask of cameras held constant (windowed
+    BA); camera 0 is always pinned as the gauge anchor."""
+    P = problem.points.shape[0]
+    C = problem.cams.shape[0]
+    table = jnp.asarray(build_track_table(problem.pt_idx, P))
+    fixed = jnp.zeros((C,), bool).at[0].set(True)
+    if fixed_cams is not None:
+        fixed = fixed | jnp.asarray(fixed_cams, bool)
+    lam = jnp.asarray(lam, problem.points.dtype)
+    return _bundle_adjust_jit(problem, table, fixed, iters, lam)
 
 
 def reprojection_rmse(problem: BAProblem) -> jnp.ndarray:
@@ -227,13 +300,32 @@ def sharded_bundle_adjust(
     C = problem.cams.shape[0]
     lamv = jnp.asarray(lam, problem.points.dtype)
     P_local = P_pts // n
+    M_local = M // n
 
-    def local_ba(cams, points, cam_idx, pt_idx, obs, weight):
+    # Per-shard observation tables (host-side): shard d's observations are
+    # rows [d*M_local, (d+1)*M_local) and reference its local points, so
+    # its table indexes into the LOCAL observation slice. One global K
+    # keeps the stacked table rectangular (jit-static).
+    import numpy as np
+
+    pt_np = np.asarray(problem.pt_idx)
+    K = max(
+        int(np.bincount(pt_np[d * M_local : (d + 1) * M_local], minlength=1).max())
+        for d in range(n)
+    )
+    tables = np.stack(
+        [
+            build_track_table(pt_np[d * M_local : (d + 1) * M_local], P_local, K)
+            for d in range(n)
+        ]
+    ).reshape(n * P_local, K)
+
+    def local_ba(cams, points, cam_idx, pt_idx, obs, weight, table):
         prob = BAProblem(cams, points, cam_idx, pt_idx, obs, problem.focal, weight)
 
         def body(carry, _):
             pr, l = carry
-            pr, msr = _gn_step(pr, l, C, P_local, psum_axes=axes)
+            pr, msr = _gn_step(pr, l, C, P_local, table, psum_axes=axes)
             return (pr, l), lax.psum(msr, axes) / n
 
         (out, _), hist = lax.scan(body, (prob, lamv), None, length=iters)
@@ -244,7 +336,7 @@ def sharded_bundle_adjust(
     fn = jax.shard_map(
         local_ba,
         mesh=mesh,
-        in_specs=(spec_rep, spec_pt, spec_pt, spec_pt, spec_pt, spec_pt),
+        in_specs=(spec_rep, spec_pt, spec_pt, spec_pt, spec_pt, spec_pt, spec_pt),
         out_specs=(spec_rep, spec_pt, spec_rep),
     )
     weight = (
@@ -253,6 +345,12 @@ def sharded_bundle_adjust(
         else jnp.ones((M,), problem.obs.dtype)
     )
     cams, points, hist = fn(
-        problem.cams, problem.points, problem.cam_idx, problem.pt_idx, problem.obs, weight
+        problem.cams,
+        problem.points,
+        problem.cam_idx,
+        problem.pt_idx,
+        problem.obs,
+        weight,
+        jnp.asarray(tables),
     )
     return problem._replace(cams=cams, points=points), hist

@@ -113,6 +113,43 @@ def test_ba_noisy_observations_converge():
     assert float(reprojection_rmse(refined)) < 1.5
 
 
+def test_ba_scales_to_10k_points_50_cams():
+    """The sparse track-table Schur assembly's scaling claim (VERDICT r1
+    item 8): 10k points / 50 cameras / ~60k observations with SPARSE
+    visibility (each point seen by ~6 nearby cameras) optimizes within
+    memory — the old dense (P, C, 6, 3) W block would have needed
+    O(P*C) = 500k blocks here regardless of visibility."""
+    from optical_flow_tpu.slam.ba import project
+
+    rng = np.random.RandomState(11)
+    C, P = 50, 10_000
+    pts = rng.randn(P, 3) * np.array([4.0, 4.0, 1.0]) + np.array([0, 0, 10.0])
+    cams = np.zeros((C, 6))
+    cams[:, 3] = np.linspace(-3, 3, C)
+    cams[:, :3] = rng.randn(C, 3) * 0.01
+    focal = 500.0
+    # each point observed by 6 consecutive cameras starting at a random one
+    first = rng.randint(0, C - 5, size=P)
+    cam_idx = (first[:, None] + np.arange(6)[None, :]).reshape(-1).astype(np.int32)
+    pt_idx = np.repeat(np.arange(P), 6).astype(np.int32)
+    proj = jax.jit(jax.vmap(project, in_axes=(0, 0, None)))
+    obs = np.asarray(
+        proj(jnp.asarray(cams)[cam_idx], jnp.asarray(pts)[pt_idx], focal)
+    )
+    prob = BAProblem(
+        jnp.asarray(cams + rng.randn(C, 6) * 0.002),
+        jnp.asarray(pts + rng.randn(P, 3) * 0.02),
+        jnp.asarray(cam_idx),
+        jnp.asarray(pt_idx),
+        jnp.asarray(obs),
+        focal,
+    )
+    rmse0 = float(reprojection_rmse(prob))
+    refined, _ = bundle_adjust(prob, iters=5, lam=1e-4)
+    rmse1 = float(reprojection_rmse(refined))
+    assert rmse1 < 0.1 * rmse0, (rmse0, rmse1)
+
+
 def test_sharded_ba_matches_unsharded():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
