@@ -140,6 +140,69 @@ def symmetric_warp(
     return w1, w2
 
 
+def shift_disp_fields(map_x, map_y, xs, ys, max_disp: int, *, quantize: bool, dtype):
+    """Per-pixel displacement fields (dx, dy) = map - identity, quantized
+    like cv2.remap's 5-bit fixed-point tables and clamped to
+    [-max_disp, max_disp] — the weights input of the shift-decomposed warp.
+
+    xs/ys are the identity coordinates the maps are relative to; passing
+    GLOBAL coordinates from a tiled caller reproduces the unsharded
+    arithmetic bit-for-bit (integer-valued f32 adds are exact below 2^24).
+    """
+    if quantize:
+        sx = jnp.rint(map_x.astype(jnp.float32) * _INTER_TAB_SIZE).astype(jnp.int32)
+        sy = jnp.rint(map_y.astype(jnp.float32) * _INTER_TAB_SIZE).astype(jnp.int32)
+        dxq = sx.astype(dtype) / _INTER_TAB_SIZE - xs.astype(dtype)
+        dyq = sy.astype(dtype) / _INTER_TAB_SIZE - ys.astype(dtype)
+    else:
+        dxq = (map_x - xs).astype(dtype)
+        dyq = (map_y - ys).astype(dtype)
+    C = int(max_disp)
+    return jnp.clip(dxq, -C, C), jnp.clip(dyq, -C, C)
+
+
+def shift_warp_sum(p, dxq, dyq, max_disp: int, *, separable: bool):
+    """The shift-decomposition kernel shared by the global
+    (`remap_bilinear_shift`) and mesh-tiled (`parallel/sharded_warp.py`)
+    warps — one copy so the two paths cannot drift and stay bit-identical.
+
+    p:   source extended with margin M = max_disp+1 on both spatial axes
+         (zero padding globally; halo-exchanged data + 1 zero ring when
+         tiled — the outermost ring always has exactly-zero hat weight
+         since |d| <= max_disp, so tile vs global data there is irrelevant).
+    dxq: clamped x-displacement per OUTPUT pixel. Non-separable: (..., H, W).
+         Separable: (..., H+2M, W) — the x-pass runs over the extended rows
+         (out-of-image rows of p are zero, so their tmp rows are exactly 0,
+         matching a zero-padded tmp).
+    dyq: clamped y-displacement, (..., H, W).
+    """
+    C = int(max_disp)
+    M = C + 1
+    H, W = dyq.shape[-2], dyq.shape[-1]
+    one = jnp.asarray(1.0, p.dtype)
+    if separable:
+        batch = jnp.broadcast_shapes(p.shape[:-2], dxq.shape[:-2])
+        tmp = jnp.zeros(batch + (H + 2 * M, W), p.dtype)
+        for kx in range(-C, C + 2):
+            wk = jnp.maximum(0.0, one - jnp.abs(dxq - kx))
+            tmp = tmp + wk * p[..., :, M + kx : M + kx + W]
+        out = jnp.zeros(batch + (H, W), p.dtype)
+        for ky in range(-C, C + 2):
+            wk = jnp.maximum(0.0, one - jnp.abs(dyq - ky))
+            out = out + wk * tmp[..., M + ky : M + ky + H, :]
+        return out
+    batch = jnp.broadcast_shapes(p.shape[:-2], dxq.shape[:-2])
+    wx = {k: jnp.maximum(0.0, one - jnp.abs(dxq - k)) for k in range(-C, C + 2)}
+    out = jnp.zeros(batch + (H, W), p.dtype)
+    for ky in range(-C, C + 2):
+        wy = jnp.maximum(0.0, one - jnp.abs(dyq - ky))
+        inner = jnp.zeros(batch + (H, W), p.dtype)
+        for kx in range(-C, C + 2):
+            inner = inner + wx[kx] * p[..., M + ky : M + ky + H, M + kx : M + kx + W]
+        out = out + wy * inner
+    return out
+
+
 def remap_bilinear_shift(
     src, map_x, map_y, max_disp: int, *, quantize: bool = True, separable: bool = False
 ):
@@ -168,30 +231,16 @@ def remap_bilinear_shift(
     H, W = src.shape[-2], src.shape[-1]
     xs = jnp.arange(W, dtype=jnp.float32)[None, :]
     ys = jnp.arange(H, dtype=jnp.float32)[:, None]
-
-    if quantize:
-        sx = jnp.rint(map_x.astype(jnp.float32) * _INTER_TAB_SIZE).astype(jnp.int32)
-        sy = jnp.rint(map_y.astype(jnp.float32) * _INTER_TAB_SIZE).astype(jnp.int32)
-        dxq = sx.astype(src.dtype) / _INTER_TAB_SIZE - xs.astype(src.dtype)
-        dyq = sy.astype(src.dtype) / _INTER_TAB_SIZE - ys.astype(src.dtype)
-    else:
-        dxq = (map_x - xs).astype(src.dtype)
-        dyq = (map_y - ys).astype(src.dtype)
-    C = int(max_disp)
-    dxq = jnp.clip(dxq, -C, C)
-    dyq = jnp.clip(dyq, -C, C)
-
+    dxq, dyq = shift_disp_fields(
+        map_x, map_y, xs, ys, max_disp, quantize=quantize, dtype=src.dtype
+    )
     # Pad ONCE; every shifted term is then a pure slice of the same padded
     # operand (XLA fuses slices of one array; per-term jnp.pad materialized
     # 144 planes and dominated the warp).
+    C = int(max_disp)
     M = C + 1
     pads = [(0, 0)] * (src.ndim - 2) + [(M, M), (M, M)]
     p = jnp.pad(src, pads)
-
-    def shifted(ky, kx):
-        return p[..., M + ky : M + ky + H, M + kx : M + kx + W]
-
-    one = jnp.asarray(1.0, src.dtype)
     if separable:
         # O(C) two-pass approximation: the x-pass interpolates each row
         # with the OUTPUT pixel's dx; the y-pass then mixes rows whose
@@ -207,23 +256,6 @@ def remap_bilinear_shift(
         # End-to-end (corrected 4-level pyramid, level_iters=2) the flow
         # agrees with the exact 'shift' form to ~2e-4 px median and meets
         # the same EPE budget (test_pyramid_shift_sep_*).
-        tmp = jnp.zeros_like(src)
-        for kx in range(-C, C + 2):
-            wk = jnp.maximum(0.0, one - jnp.abs(dxq - kx))
-            tmp = tmp + wk * shifted(0, kx)
-        pt = jnp.pad(tmp, pads)
-        for_y = lambda ky: pt[..., M + ky : M + ky + H, M : M + W]
-        out = jnp.zeros_like(src)
-        for ky in range(-C, C + 2):
-            wk = jnp.maximum(0.0, one - jnp.abs(dyq - ky))
-            out = out + wk * for_y(ky)
-        return out
-    wx = {k: jnp.maximum(0.0, one - jnp.abs(dxq - k)) for k in range(-C, C + 2)}
-    out = jnp.zeros_like(src)
-    for ky in range(-C, C + 2):
-        wy = jnp.maximum(0.0, one - jnp.abs(dyq - ky))
-        inner = jnp.zeros_like(src)
-        for kx in range(-C, C + 2):
-            inner = inner + wx[kx] * shifted(ky, kx)
-        out = out + wy * inner
-    return out
+        dxq_ext = jnp.pad(dxq, [(0, 0)] * (dxq.ndim - 2) + [(M, M), (0, 0)])
+        return shift_warp_sum(p, dxq_ext, dyq, max_disp, separable=True)
+    return shift_warp_sum(p, dxq, dyq, max_disp, separable=False)

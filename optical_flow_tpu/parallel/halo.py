@@ -60,6 +60,20 @@ def _exchange_1d(x, k: int, axis_name: str, axis: int, n: int, border: str):
     return jnp.concatenate([lo, x, hi], axis=axis)
 
 
+def exchange_halo_rows(
+    x,
+    k: int,
+    *,
+    rows_axis: str = "rows",
+    rows_n: int = 1,
+    border: str = "reflect",
+):
+    """Extend a (..., h, w) tile to (..., h+2k, w) with row-neighbour halo
+    only — used by the tiled separable shift warp, whose x-pass needs the
+    neighbour rows' displacement field but never their columns."""
+    return _exchange_1d(x, k, rows_axis, -2, rows_n, border)
+
+
 def exchange_halo(
     x,
     k: int,

@@ -29,14 +29,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from optical_flow_tpu.ops.warp import remap_bilinear
-from optical_flow_tpu.parallel.halo import exchange_halo
+from optical_flow_tpu.ops.warp import remap_bilinear, shift_disp_fields, shift_warp_sum
+from optical_flow_tpu.parallel.halo import exchange_halo, exchange_halo_rows
 from optical_flow_tpu.parallel.mesh import AXIS_COLS, AXIS_FRAMES, AXIS_ROWS
 
 shard_map = jax.shard_map
 
 
-def _warp_tile(img1, img2, u, v, *, k, rows_n, cols_n, quantize):
+def _warp_tile(img1, img2, u, v, *, k, rows_n, cols_n, quantize, impl):
     e1 = exchange_halo(img1, k, rows_n=rows_n, cols_n=cols_n, border="zero")
     e2 = exchange_halo(img2, k, rows_n=rows_n, cols_n=cols_n, border="zero")
     h, w = img1.shape[-2], img1.shape[-1]
@@ -50,9 +50,44 @@ def _warp_tile(img1, img2, u, v, *, k, rows_n, cols_n, quantize):
     ys = row0.astype(jnp.float32) + jnp.arange(h, dtype=jnp.float32)[:, None]
     hx = u.astype(jnp.float32) / jnp.float32(2)
     hy = v.astype(jnp.float32) / jnp.float32(2)
-    off = (k - row0, k - col0)
-    w1 = remap_bilinear(e1, xs + hx, ys + hy, quantize=quantize, index_offset=off)
-    w2 = remap_bilinear(e2, xs - hx, ys - hy, quantize=quantize, index_offset=off)
+    if impl == "gather":
+        off = (k - row0, k - col0)
+        w1 = remap_bilinear(e1, xs + hx, ys + hy, quantize=quantize, index_offset=off)
+        w2 = remap_bilinear(e2, xs - hx, ys - hy, quantize=quantize, index_offset=off)
+        return w1, w2
+
+    # Gather-free tile warp (VERDICT r1 item 3): the shift decomposition's
+    # reach C equals the halo width k, so the halo already ships every tap;
+    # one extra ZERO ring supplies the margin M = C+1 that shift_warp_sum
+    # expects — the outermost ring always carries an exactly-zero hat
+    # weight (|d| <= C after clamping), so zero vs neighbour data there
+    # cannot change the result, and weights/taps/sum order are the
+    # unsharded `remap_bilinear_shift`'s bit for bit (displacements are
+    # computed from GLOBAL coordinates via the shared shift_disp_fields).
+    ring = [(0, 0)] * (e1.ndim - 2) + [(1, 1), (1, 1)]
+    p1 = jnp.pad(e1, ring)
+    p2 = jnp.pad(e2, ring)
+    dtype = img1.dtype
+    dx1, dy1 = shift_disp_fields(xs + hx, ys + hy, xs, ys, k, quantize=quantize, dtype=dtype)
+    dx2, dy2 = shift_disp_fields(xs - hx, ys - hy, xs, ys, k, quantize=quantize, dtype=dtype)
+    if impl == "shift_sep":
+        # the separable x-pass runs over the halo rows too, so it needs the
+        # NEIGHBOUR rows' displacement field (zero at global borders, where
+        # the source rows are zero anyway)
+        row_ring = [(0, 0)] * (dx1.ndim - 2) + [(1, 1), (0, 0)]
+
+        def ext(d):
+            return jnp.pad(
+                exchange_halo_rows(d, k, rows_n=rows_n, border="zero"), row_ring
+            )
+
+        w1 = shift_warp_sum(p1, ext(dx1), dy1, k, separable=True)
+        w2 = shift_warp_sum(p2, ext(dx2), dy2, k, separable=True)
+        return w1, w2
+    if impl != "shift":
+        raise ValueError(f"unknown tiled warp impl {impl!r}")
+    w1 = shift_warp_sum(p1, dx1, dy1, k, separable=False)
+    w2 = shift_warp_sum(p2, dx2, dy2, k, separable=False)
     return w1, w2
 
 
@@ -65,11 +100,17 @@ def sharded_symmetric_warp(
     max_disp: float,
     *,
     quantize: bool = True,
+    impl: str = "gather",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Warp both frames half-way toward each other, tiled over the mesh.
 
     u/v MUST already be clamped to [-max_disp, max_disp] (the controller
     does this); the halo covers exactly that reach.
+
+    impl: 'gather' (exact remap on the halo tile), 'shift' (gather-free
+    static-shift decomposition — the TPU production path; bit-identical to
+    the unsharded shift warp) or 'shift_sep' (its separable O(C) form,
+    bit-identical to the unsharded shift_sep warp).
     """
     rows_n = mesh.shape[AXIS_ROWS]
     cols_n = mesh.shape[AXIS_COLS]
@@ -85,7 +126,9 @@ def sharded_symmetric_warp(
         )
     spec = P(*([AXIS_FRAMES] if img1.ndim == 3 else []), AXIS_ROWS, AXIS_COLS)
     fn = shard_map(
-        partial(_warp_tile, k=k, rows_n=rows_n, cols_n=cols_n, quantize=quantize),
+        partial(
+            _warp_tile, k=k, rows_n=rows_n, cols_n=cols_n, quantize=quantize, impl=impl
+        ),
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=(spec, spec),

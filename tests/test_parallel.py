@@ -129,6 +129,44 @@ def test_sharded_pyramid_with_tiled_warp(rng, mesh222):
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
 
 
+@pytest.mark.parametrize("impl", ["shift", "shift_sep"])
+def test_sharded_shift_warp_bit_identical(rng, mesh222, impl):
+    """The gather-free tile warp (the TPU production path) is bit-identical
+    to the unsharded shift warp of the same form: displacements come from
+    GLOBAL coordinates via the shared shift_disp_fields, taps from the halo
+    + one zero ring, weights/sum order from the shared shift_warp_sum."""
+    from optical_flow_tpu.ops.warp import symmetric_warp
+    from optical_flow_tpu.parallel import sharded_symmetric_warp
+
+    img1, img2 = _pair(rng, (64, 128))
+    clamp = 6.0
+    max_disp = int(-(-clamp // 2)) + 1  # resolve_warp_impl's bound
+    u = jnp.asarray(np.clip(rng.randn(64, 128) * 3, -clamp, clamp))
+    v = jnp.asarray(np.clip(rng.randn(64, 128) * 3, -clamp, clamp))
+    w1_0, w2_0 = symmetric_warp(
+        jnp.asarray(img1), jnp.asarray(img2), u, v, impl=impl, max_disp=max_disp
+    )
+    w1_1, w2_1 = sharded_symmetric_warp(img1, img2, u, v, mesh222, clamp, impl=impl)
+    np.testing.assert_array_equal(np.asarray(w1_0), np.asarray(w1_1))
+    np.testing.assert_array_equal(np.asarray(w2_0), np.asarray(w2_1))
+
+
+@pytest.mark.parametrize("impl", ["shift", "shift_sep"])
+def test_sharded_pyramid_with_shift_warp(rng, mesh222, impl):
+    """Full sharded coarse-to-fine with the gather-free tiled warp ==
+    unsharded controller with the same warp impl, bit for bit — including
+    the corrected production mode."""
+    img1, img2 = _pair(rng, (128, 128))
+    for mode in ("reference", "corrected"):
+        cfg = FlowConfig(impl="jnp", warp_clamp=8.0, warp_impl=impl, mode=mode)
+        u0, v0 = coarse_to_fine(jnp.asarray(img1), jnp.asarray(img2), 3, config=cfg)
+        from optical_flow_tpu.parallel.sharded_flow import sharded_coarse_to_fine as scf
+
+        u1, v1 = scf(img1, img2, mesh222, 3, config=cfg, min_tile=16)
+        np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
 def test_sharded_warp_rejects_oversized_halo(rng, mesh222):
     from optical_flow_tpu.parallel import sharded_symmetric_warp
 
