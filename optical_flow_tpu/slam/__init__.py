@@ -22,8 +22,10 @@ from optical_flow_tpu.slam.epipolar import (
     triangulate,
 )
 from optical_flow_tpu.slam.frontend import TwoViewReconstruction, two_view_reconstruct
+from optical_flow_tpu.slam.window import WindowedBA
 
 __all__ = [
+    "WindowedBA",
     "BAProblem",
     "bundle_adjust",
     "project",

@@ -46,19 +46,24 @@ class BAProblem(NamedTuple):
     weight: jnp.ndarray | None = None  # (M,) optional per-obs weights
 
 
-def build_track_table(pt_idx, P: int, K: int | None = None):
+def build_track_table(pt_idx, P: int, K: int | None = None, valid=None):
     """Host-side (numpy) observation table: (P, K) int32 of observation
     indices per point, padded with -1. K defaults to the longest track.
 
     This is the sparsity structure of the W (camera-point) off-diagonal
     block: point p couples only the <= K cameras observing it, so the
     Schur complement assembles in O(P K^2) instead of densifying a
-    (P, C, 6, 3) block over ALL cameras (VERDICT r1 item 8)."""
+    (P, C, 6, 3) block over ALL cameras (VERDICT r1 item 8).
+
+    valid: optional (M,) bool — observations excluded from the table
+    (zero-weight padding rows; their W blocks are exactly zero, so
+    skipping them is exact and keeps K tight)."""
     import numpy as np
 
     pt = np.asarray(pt_idx)
-    counts = np.bincount(pt, minlength=P)
-    k_needed = int(counts.max()) if len(pt) else 1
+    live = np.ones(len(pt), bool) if valid is None else np.asarray(valid, bool)
+    counts = np.bincount(pt[live], minlength=P)
+    k_needed = int(counts.max()) if live.any() else 1
     if K is None:
         K = max(k_needed, 1)
     elif k_needed > K:
@@ -67,6 +72,8 @@ def build_track_table(pt_idx, P: int, K: int | None = None):
     slot = np.zeros(P, np.int64)
     order = np.argsort(pt, kind="stable")
     for m in order:
+        if not live[m]:
+            continue
         p = pt[m]
         table[p, slot[p]] = m
         slot[p] += 1
@@ -256,9 +263,12 @@ def bundle_adjust(
 
     fixed_cams: optional (C,) bool mask of cameras held constant (windowed
     BA); camera 0 is always pinned as the gauge anchor."""
+    import numpy as np
+
     P = problem.points.shape[0]
     C = problem.cams.shape[0]
-    table = jnp.asarray(build_track_table(problem.pt_idx, P))
+    valid = None if problem.weight is None else np.asarray(problem.weight) > 0
+    table = jnp.asarray(build_track_table(problem.pt_idx, P, valid=valid))
     fixed = jnp.zeros((C,), bool).at[0].set(True)
     if fixed_cams is not None:
         fixed = fixed | jnp.asarray(fixed_cams, bool)
@@ -267,11 +277,17 @@ def bundle_adjust(
 
 
 def reprojection_rmse(problem: BAProblem) -> jnp.ndarray:
+    """RMS pixel reprojection error; zero-weight (padding) observations
+    are excluded from the mean."""
     f = jnp.asarray(problem.focal, problem.points.dtype)
     pred = jax.vmap(project, in_axes=(0, 0, None))(
         problem.cams[problem.cam_idx], problem.points[problem.pt_idx], f
     )
-    return jnp.sqrt(jnp.mean(jnp.sum((pred - problem.obs) ** 2, axis=-1)))
+    sq = jnp.sum((pred - problem.obs) ** 2, axis=-1)
+    if problem.weight is None:
+        return jnp.sqrt(jnp.mean(sq))
+    live = (problem.weight > 0).astype(sq.dtype)
+    return jnp.sqrt(jnp.sum(sq * live) / jnp.maximum(jnp.sum(live), 1))
 
 
 def sharded_bundle_adjust(
