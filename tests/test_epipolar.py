@@ -79,6 +79,53 @@ def test_essential_and_pose_recovery_outliers():
     assert tdir < 3.0, tdir
 
 
+def test_five_point_minimal_exact():
+    """The 5-point solver recovers the TRUE essential matrix to machine
+    precision from exactly 5 perfect correspondences (8-point cannot: it
+    needs 8 and only satisfies the essential constraints approximately)."""
+    from optical_flow_tpu.slam.epipolar import five_point
+
+    for seed in range(4):
+        x1, x2, _, R_true, t_true, _ = _synthetic_pair(n=5, seed=seed)
+        tx = np.array(
+            [[0, -t_true[2], t_true[1]], [t_true[2], 0, -t_true[0]],
+             [-t_true[1], t_true[0], 0]]
+        )
+        E_true = tx @ R_true
+        E_true /= np.linalg.norm(E_true)
+        Es = five_point(x1, x2)
+        assert 1 <= len(Es) <= 10
+        q1 = np.concatenate([x1, np.ones((5, 1))], 1)
+        q2 = np.concatenate([x2, np.ones((5, 1))], 1)
+        for E in Es:
+            # every candidate satisfies the epipolar + essential constraints
+            assert np.abs(np.einsum("ki,ij,kj->k", q2, E, q1)).max() < 1e-9
+            assert abs(np.linalg.det(E)) < 1e-9
+            assert np.linalg.norm(2 * E @ E.T @ E - np.trace(E @ E.T) * E) < 1e-9
+        best = min(
+            min(np.linalg.norm(E - E_true), np.linalg.norm(E + E_true)) for E in Es
+        )
+        assert best < 1e-6, (seed, best)
+
+
+def test_five_point_ransac_beats_gate_leakage():
+    """RANSAC over 5-point minimal hypotheses on the 20%-outlier scene:
+    pose accuracy at least matches the 8-point path (the ROADMAP upgrade
+    the 8-point docstring self-prescribes)."""
+    from optical_flow_tpu.slam.epipolar import ransac_essential_5pt
+
+    x1, x2, X, R_true, t_true, out = _synthetic_pair(noise=0.0, outliers=0.2)
+    E, inl, count = ransac_essential_5pt(
+        x1, x2, config=EssentialRansacConfig(seed=3), n_samples=32
+    )
+    inl = np.asarray(inl)
+    assert int(count) >= 80
+    assert inl[~out].mean() > 0.9
+    ang, tdir = _pose_errors(E, x1, x2, inl, R_true, t_true)
+    assert ang < 1.0, ang
+    assert tdir < 3.0, tdir
+
+
 def test_triangulation_recovers_structure():
     x1, x2, X, R, t, _ = _synthetic_pair(n=60, seed=3)
     P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
