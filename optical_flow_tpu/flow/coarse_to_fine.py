@@ -82,12 +82,46 @@ def _validate_levels(levels: Optional[int], shape, config: FlowConfig) -> int:
     return levels
 
 
+def _resolve_warp_solve(config: FlowConfig, warp_impl: str, max_disp: int, solve, warp):
+    """Fused warp+LK callable for run_pyramid, or None.
+
+    Applies on the TPU production path only: pallas LK + the separable
+    quantized shift warp with a clamp (the fused kernel implements exactly
+    that composition; kernels/warp_lk_kernel.py). Shapes the band kernel
+    can't tile fall back to the unfused pair per level.
+    """
+    from optical_flow_tpu.flow.lk import _use_pallas
+
+    if not (
+        _use_pallas(config.impl)
+        and warp_impl == "shift_sep"
+        and config.quantize_warp
+        and config.warp_clamp is not None
+    ):
+        return None
+    from optical_flow_tpu.kernels.warp_lk_kernel import warp_lk_band, warp_lk_pallas
+
+    clamp = float(config.warp_clamp)
+
+    def warp_solve(i, a, b, wu, wv):
+        # (wu, wv) arrive already clamped/negated by the loop; the kernel's
+        # own clip is idempotent on them, so negate=False + same clamp
+        # reproduces the unfused composition bit-for-bit.
+        if warp_lk_band(a.shape[-2], a.shape[-1], max_disp) is None:
+            w1, w2 = warp(i, a, b, wu, wv)
+            return solve(i, w1, w2)
+        return warp_lk_pallas(a, b, wu, wv, max_disp=max_disp, clamp=clamp, negate=False)
+
+    return warp_solve
+
+
 def coarse_to_fine_with_images(
     img1,
     img2,
     levels: Optional[int] = None,
     *,
     config: FlowConfig = FlowConfig(),
+    _need_images: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pyramidal LK; returns (u, v, warped_img1, warped_img2).
 
@@ -108,7 +142,11 @@ def coarse_to_fine_with_images(
             a, b, u, v, quantize=config.quantize_warp, impl=warp_impl, max_disp=max_disp
         )
 
-    return run_pyramid(pyr1, pyr2, solve, warp, config)
+    warp_solve = _resolve_warp_solve(config, warp_impl, max_disp, solve, warp)
+    return run_pyramid(
+        pyr1, pyr2, solve, warp, config,
+        warp_solve=warp_solve, need_images=_need_images,
+    )
 
 
 def coarse_to_fine(
@@ -119,5 +157,7 @@ def coarse_to_fine(
     config: FlowConfig = FlowConfig(),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pyramidal dense LK flow; returns (u, v)."""
-    u, v, _, _ = coarse_to_fine_with_images(img1, img2, levels, config=config)
+    u, v, _, _ = coarse_to_fine_with_images(
+        img1, img2, levels, config=config, _need_images=False
+    )
     return u, v

@@ -8,11 +8,18 @@ displacement-true) and level_iters semantics from drifting apart.
 
 solve(level_index, img1, img2) -> (u, v)
 warp(level_index, img1, img2, u, v) -> (w1, w2)   # symmetric half-flow
+warp_solve(level_index, img1, img2, u, v) -> (du, dv)   # optional fusion
+
+`warp_solve`, when given, computes solve(warp(...)) without materializing
+the warped frames (the fused Pallas kernel, kernels/warp_lk_kernel.py) —
+it receives the SAME already-clamped/negated (u, v) the warp would. It is
+used at every level except, when `need_images` is True, the finest (whose
+warped frames are part of the return contract, LKof.cpp:191-228).
 """
 
 from __future__ import annotations
 
-from typing import Callable, List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -26,9 +33,14 @@ def run_pyramid(
     solve: Callable,
     warp: Callable,
     config: FlowConfig,
+    *,
+    warp_solve: Optional[Callable] = None,
+    need_images: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (u, v, finest_img1, finest_img2) per the reference's
-    in-place-mutation contract (LKof.cpp:191-228)."""
+    in-place-mutation contract (LKof.cpp:191-228). With `warp_solve` and
+    need_images=False the finest frames are returned UNWARPED (the fused
+    path never materializes warped frames)."""
     if config.mode not in ("reference", "corrected"):
         raise ValueError(
             f"mode must be 'reference' or 'corrected', got {config.mode!r}"
@@ -53,9 +65,18 @@ def run_pyramid(
         return jnp.clip(u, -c, c), jnp.clip(v, -c, c)
 
     upu = upv = None
+    pending = None  # clamped (and in corrected mode negated) flow whose
+    # warp of level i's frames was deferred so it can fuse with the solve
     for i in range(levels - 1, -1, -1):
-        u, v = solve(i, pyr1[i], pyr2[i])
-        if i != levels - 1:
+        if pending is None:
+            u, v = solve(i, pyr1[i], pyr2[i])
+        else:
+            wu, wv = pending
+            if warp_solve is not None and not (i == 0 and need_images):
+                u, v = warp_solve(i, pyr1[i], pyr2[i], wu, wv)
+            else:
+                pyr1[i], pyr2[i] = warp(i, pyr1[i], pyr2[i], wu, wv)
+                u, v = solve(i, pyr1[i], pyr2[i])
             u = u + upu
             v = v + upv
         # optional extra warp-and-solve passes at this level (level_iters=1
@@ -64,8 +85,11 @@ def run_pyramid(
             wu, wv = _clamped(u, v)
             if corrected:
                 wu, wv = -wu, -wv  # convergent warp (see mode note below)
-            w1, w2 = warp(i, orig1[i], orig2[i], wu, wv)
-            du, dv = solve(i, w1, w2)
+            if warp_solve is not None:
+                du, dv = warp_solve(i, orig1[i], orig2[i], wu, wv)
+            else:
+                w1, w2 = warp(i, orig1[i], orig2[i], wu, wv)
+                du, dv = solve(i, w1, w2)
             u = u + du
             v = v + dv
         if i == 0:
@@ -84,5 +108,5 @@ def run_pyramid(
             upu = pyr_up(u)  # flow NOT doubled: faithful to the reference
             upv = pyr_up(v)
             wu, wv = _clamped(upu, upv)
-        pyr1[i - 1], pyr2[i - 1] = warp(i - 1, pyr1[i - 1], pyr2[i - 1], wu, wv)
+        pending = (wu, wv)
     raise AssertionError("unreachable")

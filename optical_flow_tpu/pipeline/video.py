@@ -100,7 +100,8 @@ class VideoPipeline:
             )
         else:
             u, v, _, warped_diff = coarse_to_fine_with_images(
-                prev_diff, diff, levels, config=self.config.flow
+                prev_diff, diff, levels, config=self.config.flow,
+                _need_images=self.config.faithful_prev_diff,
             )
         gesture = detect_gesture(u, v, self.config.gesture)
         next_prev = warped_diff if self.config.faithful_prev_diff else diff
@@ -116,7 +117,8 @@ class VideoPipeline:
             )
         else:
             u, v, _, _ = coarse_to_fine_with_images(
-                prev_diffs, diffs, levels, config=self.config.flow
+                prev_diffs, diffs, levels, config=self.config.flow,
+                _need_images=False,
             )
         return FrameResult(u, v, detect_gesture(u, v, self.config.gesture))
 
