@@ -20,8 +20,12 @@ tap/sum order; on hardware the fusion changes float contraction only at
 the 1e-6 level — pinned in tests/test_kernels.py).
 
 Constraints (caller falls back to the unfused pair otherwise, see
-`warp_lk_band`): H divisible by the band height (keeps the bottom
-REFLECT_101 row fix at a static in-band position), W >= 4, H >= 8.
+`warp_lk_band`): W >= 4, H >= 8. Rows are padded to a multiple of 8
+(Hp) and the band divides Hp; output rows H..Hp-1 are discarded. The
+interior mask (rows 0 and H-1 zeroed, LKof.cpp isInsideImage) means a
+kept output row gr <= H-2 reads warped rows gr-2..gr+1 <= H-1 only, so
+the pad rows never feed a kept output and no bottom REFLECT fix is
+needed; the top fix (rows -2,-1 := 2,1) still is, for gr == 1.
 """
 
 from __future__ import annotations
@@ -45,21 +49,21 @@ def _round_up(x: int, m: int) -> int:
 def warp_lk_band(H: int, W: int, max_disp: int) -> Optional[int]:
     """Band height for the fused kernel, or None if (H, W) doesn't fit.
 
-    The band must divide H (so the bottom REFLECT_101 fix sits at a static
-    in-band row) and be a multiple of 8 (f32 sublane tile). ~64 rows keeps
-    the 4 double-buffered input slabs + ~12 working planes within VMEM.
+    Rows are padded to Hp = round_up(H, 8); the band must divide Hp (so
+    every REFLECT_101 row fix sits at a static in-band offset) and be a
+    multiple of 8 (f32 sublane tile). ~64 rows keeps the 4 double-buffered
+    input slabs + ~12 working planes within VMEM.
     """
-    if H < 8 or W < 4 or H % 8:
+    if H < 8 or W < 4:
         return None
+    Hp = _round_up(H, 8)
     best = None
-    for band in range(8, min(H, 257), 8):
-        if H % band == 0:
+    for band in range(8, min(Hp, 256) + 1, 8):
+        if Hp % band == 0:
             if band <= 96:
                 best = band
             elif best is None:
                 best = band
-    if best is not None and best > 256:
-        return None
     return best
 
 
@@ -123,7 +127,10 @@ def _warp_lk_kernel(
         d = jnp.round((xs + hxs) * _INTER_TAB) / _INTER_TAB - xs
         d = jnp.clip(d, -C, C)
         tmp = jnp.zeros((Ht, Wt), f32)
-        for k in range(-C, C + 2):
+        # taps -C..C: d is clipped to [-C, C], so the C+1 tap's hat weight
+        # max(0, 1-|d-(C+1)|) is identically zero — dropped (identical
+        # values modulo the sign of exact-zero outputs)
+        for k in range(-C, C + 1):
             w = jnp.maximum(0.0, one - jnp.abs(d - k))
             tmp = tmp + w * img[1:, R - 2 + k : R - 2 + k + Wt]
         return tmp
@@ -135,7 +142,8 @@ def _warp_lk_kernel(
         d = jnp.round((ys + hys) * _INTER_TAB) / _INTER_TAB - ys
         d = jnp.clip(d, -C, C)
         out = jnp.zeros((band + 4, Wt), f32)
-        for k in range(-C, C + 2):
+        # same zero-weight C+1 tap drop as xpass
+        for k in range(-C, C + 1):
             w = jnp.maximum(0.0, one - jnp.abs(d - k))
             # warped row a reads tmp row a + k + (C-1)+... tmp row t holds
             # global row0-(R-1)+t; need global row0-2+a+k -> t = a+k+R-3
@@ -149,8 +157,10 @@ def _warp_lk_kernel(
 
     # REFLECT_101 extension of the warped planes — exactly what the
     # unfused LK reads from jnp.pad(mode='reflect') around the warped
-    # image. Columns are at static positions; rows only matter in the
-    # first/last band (H % band == 0 keeps them static in-band).
+    # image. Columns are at static positions; the top row fix only matters
+    # in band 0 (a kept output row gr reads warped rows gr-2..gr+1, so only
+    # gr == 1 reads row -1). No bottom fix: kept rows stop at gr == H-2,
+    # whose read set ends at row H-1 — pad/junk rows never feed output.
     def reflect(w):
         # (Mosaic has no `rev` lowering; a 2-wide flip is two swapped slices.)
         wl = jnp.concatenate([w[:, 4:5], w[:, 3:4]], 1)  # cols -2,-1 := 2,1
@@ -159,11 +169,7 @@ def _warp_lk_kernel(
         )  # cols W,W+1 := W-2,W-3
         w = jnp.concatenate([wl, w[:, 2 : W + 2], wr, w[:, W + 4 :]], 1)
         top = jnp.concatenate([w[4:5], w[3:4], w[2:]], 0)
-        w = jnp.where(i == 0, top, w)
-        bot = jnp.concatenate(
-            [w[: band + 2], w[band : band + 1], w[band - 1 : band]], 0
-        )
-        return jnp.where(i == nbands - 1, bot, w)
+        return jnp.where(i == 0, top, w)
 
     w1 = reflect(w1)
     w2 = reflect(w2)
@@ -209,15 +215,16 @@ def _warp_lk_kernel(
 def _warp_lk_batched(img1, img2, u, v, band: int, C: int, clamp: float, sign: float):
     B, H, W = img1.shape
     R = C + 3
-    nbands = H // band
+    Hp = _round_up(H, 8)  # band divides Hp (warp_lk_band); rows H..Hp-1 dropped
+    nbands = Hp // band
     Wc = _round_up(W, 128)
     Wp = Wc + _round_up(2 * R, 128)  # cols [-R, Wc+R) live at offset R
 
     def pad(x):
-        # zero borders: the warp's BORDER_CONSTANT taps and the out-of-range
-        # flow rows both want zeros (junk ext rows of the warped plane are
-        # replaced by the in-kernel REFLECT fix before anything reads them)
-        buf = jnp.zeros((x.shape[0], H + 2 * R, Wp), x.dtype)
+        # zero borders: the warp's BORDER_CONSTANT taps, the out-of-range
+        # flow rows, and the Hp-H pad rows all want zeros (junk ext rows of
+        # the warped plane never reach a kept output — see module docstring)
+        buf = jnp.zeros((x.shape[0], Hp + 2 * R, Wp), x.dtype)
         return lax.dynamic_update_slice(buf, x, (0, R, R))
 
     p1, p2, pu, pv = pad(img1), pad(img2), pad(u), pad(v)
@@ -234,15 +241,15 @@ def _warp_lk_batched(img1, img2, u, v, band: int, C: int, clamp: float, sign: fl
             pl.BlockSpec((1, band, Wc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, Wc), img1.dtype),
-            jax.ShapeDtypeStruct((B, H, Wc), img1.dtype),
+            jax.ShapeDtypeStruct((B, Hp, Wc), img1.dtype),
+            jax.ShapeDtypeStruct((B, Hp, Wc), img1.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((4, 2, band + 2 * R, Wp), img1.dtype),
             pltpu.SemaphoreType.DMA((4, 2)),
         ],
     )(p1, p2, pu, pv)
-    return du[:, :, :W], dv[:, :, :W]
+    return du[:, :H, :W], dv[:, :H, :W]
 
 
 def warp_lk_pallas(

@@ -106,9 +106,12 @@ def _compare(shape, *, max_disp, clamp, negate, scale, seed=0, atol=2e-5):
         np.testing.assert_allclose(a, b, atol=atol)
 
 
-@pytest.mark.parametrize("shape", [(64, 96), (48, 40), (2, 32, 130)])
+@pytest.mark.parametrize(
+    "shape", [(64, 96), (48, 40), (2, 32, 130), (50, 40), (61, 37)]
+)
 def test_fused_matches_unfused(shape):
-    # production operating point: warp_clamp=8 -> max_disp=5
+    # production operating point: warp_clamp=8 -> max_disp=5.
+    # (50, 40) and (61, 37): H % 8 != 0 — rows padded to Hp, pad rows dropped
     _compare(shape, max_disp=5, clamp=8.0, negate=True, scale=2.0)
 
 
@@ -124,6 +127,12 @@ def test_multiband_row_seams():
     # H=64 picks band=64; force multiple bands via a taller image: H=128
     # gives band<=96 dividing 128 -> 8..96: 8,16,32,64 -> 64 => 2 bands.
     _compare((128, 40), max_disp=2, clamp=2.5, negate=True, scale=1.0, seed=11)
+
+
+def test_padded_rows_straddle_last_band():
+    # H=122 -> Hp=128, band=64: the last band holds 6 pad rows after the
+    # final real rows — the interior mask must keep them from leaking.
+    _compare((122, 40), max_disp=2, clamp=2.5, negate=True, scale=1.0, seed=13)
 
 
 def test_zero_flow_equals_plain_lk():
@@ -221,7 +230,8 @@ def test_fused_pyramid_end_to_end():
 
 def test_band_constraints():
     assert warp_lk_band(1080, 1080, 5) == 72
-    assert warp_lk_band(540, 540, 5) is None  # 540 % 8 != 0
+    assert warp_lk_band(540, 540, 5) == 32  # Hp=544; largest <=96 divisor
+    assert warp_lk_band(50, 40, 5) == 56  # Hp=56, single band
     assert warp_lk_band(64, 2, 5) is None  # too narrow
     assert warp_lk_band(4, 64, 5) is None  # too short
     with pytest.raises(ValueError):
