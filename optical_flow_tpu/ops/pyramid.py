@@ -64,8 +64,8 @@ def _pad_pyrup(x):
     return jnp.concatenate([left, x, right], axis=-1)
 
 
-def pyr_up(x):
-    """One pyramid level up to exactly (2H, 2W) (cv::pyrUp)."""
+def _pyr_up_stack(x):
+    """pyr_up via stack+reshape parity interleaves (CPU-friendly form)."""
     H, W = x.shape[-2], x.shape[-1]
     p = _pad_pyrup(x)  # (..., H+2, W+2), offset 1
     k = tuple(2.0 * v for v in _K5)
@@ -77,6 +77,37 @@ def pyr_up(x):
     evc = k[0] * rows[..., :, :-2] + k[2] * rows[..., :, 1:-1] + k[4] * rows[..., :, 2:]
     odc = k[1] * rows[..., :, 1:-1] + k[3] * rows[..., :, 2:]
     return jnp.stack([evc, odc], axis=-1).reshape(x.shape[:-2] + (2 * H, 2 * W))
+
+
+def _pyr_up_stuffed(x):
+    """pyr_up via zero-stuffing (lax.pad interior) + one 5-tap pass per axis.
+
+    Same taps in the same order as `_pyr_up_stack` (the stuffed zeros add
+    exact +0.0 terms), so results are bit-identical up to the sign of zero —
+    but the HLO has no stack/reshape interleave, which on TPU costs a
+    cascade of layout copies (~0.1 ms/frame at 1080^2 in the production
+    pyramid, the ROADMAP 'pyr_up strided interleave' item).
+    """
+    from jax import lax
+
+    H, W = x.shape[-2], x.shape[-1]
+    p = _pad_pyrup(x)  # (..., H+2, W+2), offset 1
+    k = tuple(2.0 * v for v in _K5)
+    nd = p.ndim
+    zero = jnp.zeros((), x.dtype)
+    # Rows: s[2i] = p[i], s covers output positions -2 .. 2H+1 (size 2H+4);
+    # output row r sums taps j=0..4 at s[r+j].
+    cfg = [(0, 0, 0)] * (nd - 2) + [(0, 1, 1), (0, 0, 0)]
+    s = lax.pad(p, zero, cfg)
+    rows = sum(kk * s[..., j : j + 2 * H, :] for j, kk in enumerate(k))
+    cfg = [(0, 0, 0)] * (nd - 2) + [(0, 0, 0), (0, 1, 1)]
+    s = lax.pad(rows, zero, cfg)
+    return sum(kk * s[..., :, j : j + 2 * W] for j, kk in enumerate(k))
+
+
+def pyr_up(x):
+    """One pyramid level up to exactly (2H, 2W) (cv::pyrUp)."""
+    return _pyr_up_stack(x)
 
 
 def gaussian_pyramid(img, levels: int) -> List[jnp.ndarray]:

@@ -33,6 +33,7 @@ with jax.profiler.trace(td):
 
 files = glob.glob(td + "/**/*.trace.json.gz", recursive=True)
 agg = defaultdict(lambda: [0.0, 0])
+longname = {}
 jit_total = 0.0
 jit_calls = 0
 with gzip.open(files[0]) as f:
@@ -50,9 +51,19 @@ for e in tr.get("traceEvents", []):
     if e.get("args", {}).get("long_name") or "fusion" in n or "copy" in n or "custom" in n:
         agg[n][0] += d
         agg[n][1] += 1
+        ln = e.get("args", {}).get("long_name")
+        if ln:
+            longname[n] = ln
 print(f"jit total: {jit_total/max(jit_calls,1)/1e3:.3f} ms/frame over {jit_calls} calls")
 rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
 tot = sum(v[0] for v in agg.values())
 print(f"op-event coverage: {tot/max(jit_total,1)*100:.0f}% of jit span")
-for n, (d, c) in rows[:25]:
-    print(f"{d/12/1e3:8.4f} ms  x{c:4d}  {n[:90]}")
+for n, (d, c) in rows[:40]:
+    print(f"{d/12/1e3:8.4f} ms  x{c:4d}  {n[:24]:24s} {longname.get(n, '')[:140]}")
+import re
+cls = defaultdict(float)
+for n, (d, c) in agg.items():
+    cls[re.sub(r"[.\d]+$", "", n)] += d
+print("--- by class (ms/frame) ---")
+for n, d in sorted(cls.items(), key=lambda kv: -kv[1]):
+    print(f"{d/12/1e3:8.4f}  {n}")

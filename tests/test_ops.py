@@ -104,6 +104,30 @@ class TestPyramid:
         assert max_pyramid_levels((7, 10)) == 1
         assert max_pyramid_levels((512, 512)) == 10
 
+    @pytest.mark.parametrize("shape", [(5, 6), (7, 10), (14, 20), (3, 9, 13)])
+    def test_pyr_up_stuffed_bit_identical(self, rng, shape):
+        # the interleave-free (TPU) form must match the stack form exactly
+        from optical_flow_tpu.ops.pyramid import _pyr_up_stack, _pyr_up_stuffed
+
+        m = np.asarray(rng.rand(*shape) * 2 - 1, dtype=np.float32)
+        a = np.asarray(_pyr_up_stack(m))
+        b = np.asarray(_pyr_up_stuffed(m))
+        assert a.shape == b.shape
+        assert (a == b).all()
+
+    @pytest.mark.parametrize("pads", [(2, 2, 2, 2), (0, 0, 2, 2), (1, 0, 0, 3), (4, 4, 4, 4)])
+    def test_pad_last2_reflect_small_matches_numpy(self, rng, pads):
+        from optical_flow_tpu.ops.pad import pad_last2
+
+        t, b, l, r = pads
+        for shape in [(7, 9), (2, 6, 8)]:
+            m = np.asarray(rng.rand(*shape), dtype=np.float32)
+            widths = [(0, 0)] * (m.ndim - 2) + [(t, b), (l, r)]
+            want = np.pad(m, widths, mode="reflect")
+            got = np.asarray(pad_last2(m, t, b, l, r))
+            assert got.shape == want.shape
+            assert (got == want).all()
+
 
 class TestWarp:
     def test_remap_vs_cv2(self, rng):
