@@ -58,6 +58,10 @@ def resolve_warp_impl(config: FlowConfig):
     if impl in ("shift", "shift_sep"):
         if config.warp_clamp is None:
             raise ValueError(f"warp_impl={impl!r} requires warp_clamp (bounded reach)")
+        if impl == "shift_sep":
+            # flow-space quantization keeps |d| <= clamp/2 exactly — no
+            # fixed-point rounding slack needed (ops/warp.py quantize_disp)
+            return impl, int(-(-config.warp_clamp // 2))
         return impl, int(-(-config.warp_clamp // 2)) + 1
     if impl != "gather":
         raise ValueError(

@@ -15,9 +15,16 @@ sums -> Cramer solve, writing only du/dv: 4 reads + 2 writes total.
 Semantics match the unfused composition
     symmetric_warp(img1, img2, s*clip(u), s*clip(v), impl='shift_sep',
                    max_disp=C, quantize=True)  ->  lucas_kanade
-bit-for-bit in exact arithmetic (same global-coordinate quantization, same
-tap/sum order; on hardware the fusion changes float contraction only at
-the 1e-6 level — pinned in tests/test_kernels.py).
+bit-for-bit in exact arithmetic (same flow-space quantization
+(ops/warp.py quantize_disp), same tap/sum order; on hardware the fusion
+changes float contraction only at the 1e-6 level — pinned in
+tests/test_warp_lk_kernel.py).
+
+Flow-space quantization makes the displacement position-independent:
+image2's displacement is exactly -d, so each hat-weight plane is computed
+ONCE per tap and applied to img1 at +k and img2 at -k (half the weight
+arithmetic of two independent warps), taps k in [-C, C] suffice with no
+fixed-point rounding slack, and no coordinate iotas are needed.
 
 Constraints (caller falls back to the unfused pair otherwise, see
 `warp_lk_band`): W >= 4, H >= 8. Rows are padded to a multiple of 8
@@ -71,7 +78,9 @@ def _warp_lk_kernel(
     i1_hbm, i2_hbm, u_hbm, v_hbm, du_ref, dv_ref, bufs, sems,
     *, H, W, Wc, band, C, clamp, sign,
 ):
-    R = C + 3  # input halo: warped ext (2) + shift taps (C+1)
+    # input halo: warped ext (2) + shift tap reach (C), rounded up so the
+    # DMA slab height band + 2R stays 8-aligned (Mosaic memref_slice tiling)
+    R = _round_up(C + 2, 4)
     b = pl.program_id(0)
     i = pl.program_id(1)
     nbands = pl.num_programs(1)
@@ -111,49 +120,39 @@ def _warp_lk_kernel(
     half = jnp.asarray(0.5 * sign, f32)
     cl = jnp.asarray(clamp, f32)
     one = jnp.asarray(1.0, f32)
+    Cf = jnp.asarray(float(C), f32)
 
-    # Half-flows on the full slab (rows r0-R .. r0+band+R, cols -R .. Wp-R).
-    hx = jnp.clip(uu, -cl, cl) * half
-    hy = jnp.clip(vv, -cl, cl) * half
+    # Quantized half-flow displacement on the full slab (rows r0-R ..
+    # r0+band+R, cols -R .. Wp-R), flow-space like ops/warp.quantize_disp:
+    # position-independent, so image2's displacement is exactly -d and
+    # both images share each tap's hat weight.
+    def quant(flow):
+        h = jnp.clip(jnp.clip(flow, -cl, cl) * half, -Cf, Cf)
+        return jnp.round(h * _INTER_TAB) / _INTER_TAB
+
+    qx = quant(uu)
+    qy = quant(vv)
 
     Wt = Wc + 4  # tmp/warped plane width: global cols [-2, Wc+2)
-    Ht = band + 2 * R - 1  # tmp rows: global [row0-(R-1), row0+band+R-1)
+    Ht = band + 2 * R  # tmp rows: the full slab, global [row0-R, row0+band+R)
 
-    # x-pass displacement, quantized in GLOBAL coords like ops/warp.py:
-    # xs is integer-valued f32, so map*32 and the rint are exact matches.
-    xs = (lax.broadcasted_iota(jnp.int32, (Ht, Wt), 1) - 2).astype(f32)
+    qx_t = qx[:, R - 2 : R - 2 + Wt]
+    t1 = jnp.zeros((Ht, Wt), f32)
+    t2 = jnp.zeros((Ht, Wt), f32)
+    for k in range(-C, C + 1):
+        w = jnp.maximum(0.0, one - jnp.abs(qx_t - k))
+        t1 = t1 + w * x1[:, R - 2 + k : R - 2 + k + Wt]
+        t2 = t2 + w * x2[:, R - 2 - k : R - 2 - k + Wt]
 
-    def xpass(img, hxs):
-        d = jnp.round((xs + hxs) * _INTER_TAB) / _INTER_TAB - xs
-        d = jnp.clip(d, -C, C)
-        tmp = jnp.zeros((Ht, Wt), f32)
-        # taps -C..C: d is clipped to [-C, C], so the C+1 tap's hat weight
-        # max(0, 1-|d-(C+1)|) is identically zero — dropped (identical
-        # values modulo the sign of exact-zero outputs)
-        for k in range(-C, C + 1):
-            w = jnp.maximum(0.0, one - jnp.abs(d - k))
-            tmp = tmp + w * img[1:, R - 2 + k : R - 2 + k + Wt]
-        return tmp
-
-    # y-pass: warped plane rows = global [row0-2, row0+band+2).
-    ys = (lax.broadcasted_iota(jnp.int32, (band + 4, Wt), 0) + (row0 - 2)).astype(f32)
-
-    def ypass(tmp, hys):
-        d = jnp.round((ys + hys) * _INTER_TAB) / _INTER_TAB - ys
-        d = jnp.clip(d, -C, C)
-        out = jnp.zeros((band + 4, Wt), f32)
-        # same zero-weight C+1 tap drop as xpass
-        for k in range(-C, C + 1):
-            w = jnp.maximum(0.0, one - jnp.abs(d - k))
-            # warped row a reads tmp row a + k + (C-1)+... tmp row t holds
-            # global row0-(R-1)+t; need global row0-2+a+k -> t = a+k+R-3
-            out = out + w * tmp[R - 3 + k : R - 3 + k + band + 4, :]
-        return out
-
-    hx_t = hx[1:, R - 2 : R - 2 + Wt]
-    hy_w = hy[R - 2 : R - 2 + band + 4, R - 2 : R - 2 + Wt]
-    w1 = ypass(xpass(x1, hx_t), hy_w)
-    w2 = ypass(xpass(x2, -hx_t), -hy_w)
+    # y-pass: warped plane rows = global [row0-2, row0+band+2); warped row
+    # a (slab-local a+R) reads tmp rows a+R+k -> slice offset R-2+k.
+    qy_w = qy[R - 2 : R - 2 + band + 4, R - 2 : R - 2 + Wt]
+    w1 = jnp.zeros((band + 4, Wt), f32)
+    w2 = jnp.zeros((band + 4, Wt), f32)
+    for k in range(-C, C + 1):
+        w = jnp.maximum(0.0, one - jnp.abs(qy_w - k))
+        w1 = w1 + w * t1[R - 2 + k : R - 2 + k + band + 4, :]
+        w2 = w2 + w * t2[R - 2 - k : R - 2 - k + band + 4, :]
 
     # REFLECT_101 extension of the warped planes — exactly what the
     # unfused LK reads from jnp.pad(mode='reflect') around the warped
@@ -214,7 +213,7 @@ def _warp_lk_kernel(
 @partial(jax.jit, static_argnames=("band", "C", "clamp", "sign"))
 def _warp_lk_batched(img1, img2, u, v, band: int, C: int, clamp: float, sign: float):
     B, H, W = img1.shape
-    R = C + 3
+    R = _round_up(C + 2, 4)  # must match _warp_lk_kernel
     Hp = _round_up(H, 8)  # band divides Hp (warp_lk_band); rows H..Hp-1 dropped
     nbands = Hp // band
     Wc = _round_up(W, 128)

@@ -113,23 +113,25 @@ def symmetric_warp(
 
     impl='gather' is the exact unbounded path; impl='shift' uses the
     gather-free decomposition (requires |u|,|v| <= 2*max_disp — i.e. a
-    clamped flow; ~1 ulp from the gather path, vastly faster on TPU).
+    clamped flow; ~1 ulp from the gather path, vastly faster on TPU);
+    impl='shift_sep' is its separable O(max_disp) production form with
+    flow-space quantization and weights shared across the pair
+    (symmetric_warp_shift_sep).
     """
-    H, W = img1.shape[-2], img1.shape[-1]
-    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
-    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
     fu = u.astype(jnp.float32)
     fv = v.astype(jnp.float32)
     hx = fu / jnp.float32(2)
     hy = fv / jnp.float32(2)
-    if impl in ("shift", "shift_sep"):
-        sep = impl == "shift_sep"
-        w1 = remap_bilinear_shift(
-            img1, xs + hx, ys + hy, max_disp, quantize=quantize, separable=sep
+    if impl == "shift_sep":
+        return symmetric_warp_shift_sep(
+            img1, img2, hx, hy, max_disp, quantize=quantize
         )
-        w2 = remap_bilinear_shift(
-            img2, xs - hx, ys - hy, max_disp, quantize=quantize, separable=sep
-        )
+    H, W = img1.shape[-2], img1.shape[-1]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    if impl == "shift":
+        w1 = remap_bilinear_shift(img1, xs + hx, ys + hy, max_disp, quantize=quantize)
+        w2 = remap_bilinear_shift(img2, xs - hx, ys - hy, max_disp, quantize=quantize)
         return w1, w2
     if impl != "gather":
         raise ValueError(
@@ -138,6 +140,79 @@ def symmetric_warp(
     w1 = remap_bilinear(img1, xs + hx, ys + hy, quantize=quantize)
     w2 = remap_bilinear(img2, xs - hx, ys - hy, quantize=quantize)
     return w1, w2
+
+
+def quantize_disp(d, max_disp, *, quantize: bool = True):
+    """Clamp a displacement field to [-max_disp, max_disp] and optionally
+    quantize it in FLOW space: d -> rint(d * 32) / 32.
+
+    Unlike the coordinate-space fixed point of cv2.remap (shift_disp_fields
+    quantizes x + d), this is position-independent: a tiled warp computes
+    identical displacements with no global-coordinate plumbing, and a
+    symmetric pair (+d, -d) quantizes to exact negatives, letting both
+    warps share one set of hat weights (symmetric_warp_shift_sep). After
+    the clip |d| <= max_disp holds EXACTLY (rint(C*32)/32 == C), so hat
+    taps k in [-max_disp, max_disp] suffice. Differs from coordinate-space
+    quantization by at most 1/32 px at pixels where the f32 rounding of
+    (x + d) * 32 lands on the other side of a half-integer — irrelevant
+    for the approximation path this serves (the exactness/parity path is
+    impl='shift'/'gather').
+    """
+    C = float(max_disp)
+    d = jnp.clip(d, -C, C)
+    if quantize:
+        d = jnp.rint(d * _INTER_TAB_SIZE) / _INTER_TAB_SIZE
+    return d
+
+
+def _shift_sep_core(planes, signs, dx_ext, dy, max_disp: int):
+    """Separable shift-warp passes over one or more pre-padded planes that
+    SHARE the hat weights: plane i samples at signs[i] * d. hat() is even,
+    so hat(-d - k) == hat(d - (-k)): the sign flips the tap offset, not
+    the weight — each weight plane is computed once per tap.
+
+    planes: sources with margin M = max_disp on both spatial axes.
+    dx_ext: x-displacement on the extended rows (H + 2M, W), for sign +1.
+    dy:     y-displacement per output pixel (H, W), for sign +1.
+    """
+    C = int(max_disp)
+    M = C
+    H, W = dy.shape[-2], dy.shape[-1]
+    one = jnp.asarray(1.0, planes[0].dtype)
+    batch = jnp.broadcast_shapes(
+        *(p.shape[:-2] for p in planes), dx_ext.shape[:-2]
+    )
+    tmps = [jnp.zeros(batch + (H + 2 * M, W), p.dtype) for p in planes]
+    for k in range(-C, C + 1):
+        w = jnp.maximum(0.0, one - jnp.abs(dx_ext - k))
+        tmps = [
+            t + w * p[..., :, M + s * k : M + s * k + W]
+            for t, p, s in zip(tmps, planes, signs)
+        ]
+    outs = [jnp.zeros(batch + (H, W), p.dtype) for p in planes]
+    for k in range(-C, C + 1):
+        w = jnp.maximum(0.0, one - jnp.abs(dy - k))
+        outs = [
+            o + w * t[..., M + s * k : M + s * k + H, :]
+            for o, t, s in zip(outs, tmps, signs)
+        ]
+    return outs
+
+
+def symmetric_shift_sep_sum(p1, p2, dx_ext, dy, max_disp: int):
+    """Both symmetric separable shift warps in one pass with shared hat
+    weights — the core of the production TPU warp, used by the global
+    wrapper (symmetric_warp_shift_sep) and the mesh-tiled warp
+    (parallel/sharded_warp.py); one copy so the two stay bit-identical.
+
+    p1/p2: the frames padded (zero, globally) or halo-extended (tiled)
+    with margin M = max_disp on both spatial axes. dx_ext/dy: the
+    quantize_disp'd half-flow of IMAGE1 (+d); image2 samples at -d via
+    reversed tap offsets. Out-of-image rows of dx_ext must be 0 (their
+    source rows are zero anyway, so any finite value gives tmp == 0).
+    """
+    o1, o2 = _shift_sep_core((p1, p2), (1, -1), dx_ext, dy, max_disp)
+    return o1, o2
 
 
 def shift_disp_fields(map_x, map_y, xs, ys, max_disp: int, *, quantize: bool, dtype):
@@ -161,36 +236,29 @@ def shift_disp_fields(map_x, map_y, xs, ys, max_disp: int, *, quantize: bool, dt
     return jnp.clip(dxq, -C, C), jnp.clip(dyq, -C, C)
 
 
-def shift_warp_sum(p, dxq, dyq, max_disp: int, *, separable: bool):
-    """The shift-decomposition kernel shared by the global
+def shift_warp_sum(p, dxq, dyq, max_disp: int, *, separable: bool = False):
+    """The non-separable shift-decomposition kernel shared by the global
     (`remap_bilinear_shift`) and mesh-tiled (`parallel/sharded_warp.py`)
-    warps — one copy so the two paths cannot drift and stay bit-identical.
+    exact 'shift' warps — one copy so the two paths cannot drift and stay
+    bit-identical. (The separable production form lives in
+    `symmetric_shift_sep_sum`/`_shift_sep_core`.)
 
     p:   source extended with margin M = max_disp+1 on both spatial axes
          (zero padding globally; halo-exchanged data + 1 zero ring when
          tiled — the outermost ring always has exactly-zero hat weight
          since |d| <= max_disp, so tile vs global data there is irrelevant).
-    dxq: clamped x-displacement per OUTPUT pixel. Non-separable: (..., H, W).
-         Separable: (..., H+2M, W) — the x-pass runs over the extended rows
-         (out-of-image rows of p are zero, so their tmp rows are exactly 0,
-         matching a zero-padded tmp).
+    dxq: clamped x-displacement per OUTPUT pixel, (..., H, W).
     dyq: clamped y-displacement, (..., H, W).
     """
+    if separable:
+        raise ValueError(
+            "separable shift warps moved to symmetric_shift_sep_sum "
+            "(flow-space quantization, shared weights)"
+        )
     C = int(max_disp)
     M = C + 1
     H, W = dyq.shape[-2], dyq.shape[-1]
     one = jnp.asarray(1.0, p.dtype)
-    if separable:
-        batch = jnp.broadcast_shapes(p.shape[:-2], dxq.shape[:-2])
-        tmp = jnp.zeros(batch + (H + 2 * M, W), p.dtype)
-        for kx in range(-C, C + 2):
-            wk = jnp.maximum(0.0, one - jnp.abs(dxq - kx))
-            tmp = tmp + wk * p[..., :, M + kx : M + kx + W]
-        out = jnp.zeros(batch + (H, W), p.dtype)
-        for ky in range(-C, C + 2):
-            wk = jnp.maximum(0.0, one - jnp.abs(dyq - ky))
-            out = out + wk * tmp[..., M + ky : M + ky + H, :]
-        return out
     batch = jnp.broadcast_shapes(p.shape[:-2], dxq.shape[:-2])
     wx = {k: jnp.maximum(0.0, one - jnp.abs(dxq - k)) for k in range(-C, C + 2)}
     out = jnp.zeros(batch + (H, W), p.dtype)
@@ -227,35 +295,67 @@ def remap_bilinear_shift(
     Requires |map - identity| <= max_disp (values beyond are clamped).
     src: (..., H, W); map_x/map_y: (H, W) absolute sample coordinates
     (same convention as remap_bilinear, same-size output only).
+
+    `separable=True` selects the O(C) two-pass approximation: the x-pass
+    interpolates each row with the OUTPUT pixel's dx; the y-pass then
+    mixes rows whose x-pass used THEIR dx — exact only where dx is
+    constant along y. Flow fields here are window-averaged (smooth), and
+    the pyramid's residual solves absorb the remaining error; ~6x fewer
+    flops than the double sum, and it quantizes in FLOW space
+    (quantize_disp) rather than cv2's coordinate space — the weights are
+    position-independent, so the tiled warp needs no coordinate plumbing
+    and the symmetric pair shares weights (symmetric_warp_shift_sep).
+    Measured bounds (tests/test_ops.py::TestShiftSepWarp, CPU f32,
+    unit-scale random-noise image — worst-case content):
+      dx constant along y (quantize off): exact (<= 6e-8, one ulp)
+      9x9-box-smoothed random flow:       max |err| ~0.21, mean ~0.007
+      adversarial dx alternating sign
+      every row with fractional dy:       max |err| ~0.48, mean ~0.12
+    End-to-end (corrected 4-level pyramid, level_iters=2) the flow
+    agrees with the exact 'shift' form to ~2e-4 px median and meets
+    the same EPE budget (test_pyramid_shift_sep_*).
     """
     H, W = src.shape[-2], src.shape[-1]
     xs = jnp.arange(W, dtype=jnp.float32)[None, :]
     ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    C = int(max_disp)
+    if separable:
+        dxq = quantize_disp((map_x - xs).astype(src.dtype), C, quantize=quantize)
+        dyq = quantize_disp((map_y - ys).astype(src.dtype), C, quantize=quantize)
+        M = C
+        pads = [(0, 0)] * (src.ndim - 2) + [(M, M), (M, M)]
+        p = jnp.pad(src, pads)
+        dxq_ext = jnp.pad(dxq, [(0, 0)] * (dxq.ndim - 2) + [(M, M), (0, 0)])
+        return _shift_sep_core((p,), (1,), dxq_ext, dyq, C)[0]
     dxq, dyq = shift_disp_fields(
         map_x, map_y, xs, ys, max_disp, quantize=quantize, dtype=src.dtype
     )
     # Pad ONCE; every shifted term is then a pure slice of the same padded
     # operand (XLA fuses slices of one array; per-term jnp.pad materialized
     # 144 planes and dominated the warp).
-    C = int(max_disp)
     M = C + 1
     pads = [(0, 0)] * (src.ndim - 2) + [(M, M), (M, M)]
     p = jnp.pad(src, pads)
-    if separable:
-        # O(C) two-pass approximation: the x-pass interpolates each row
-        # with the OUTPUT pixel's dx; the y-pass then mixes rows whose
-        # x-pass used THEIR dx — exact only where dx is constant along y.
-        # Flow fields here are window-averaged (smooth), and the pyramid's
-        # residual solves absorb the remaining error; ~6x fewer flops.
-        # Measured bounds (tests/test_ops.py::TestShiftSepWarp, CPU f32,
-        # unit-scale random-noise image — worst-case content):
-        #   dx constant along y:            exact (<= 6e-8, one ulp)
-        #   9x9-box-smoothed random flow:   max |err| 0.21, mean 0.007
-        #   adversarial dx alternating sign
-        #   every row with fractional dy:   max |err| 0.48, mean 0.12
-        # End-to-end (corrected 4-level pyramid, level_iters=2) the flow
-        # agrees with the exact 'shift' form to ~2e-4 px median and meets
-        # the same EPE budget (test_pyramid_shift_sep_*).
-        dxq_ext = jnp.pad(dxq, [(0, 0)] * (dxq.ndim - 2) + [(M, M), (0, 0)])
-        return shift_warp_sum(p, dxq_ext, dyq, max_disp, separable=True)
     return shift_warp_sum(p, dxq, dyq, max_disp, separable=False)
+
+
+def symmetric_warp_shift_sep(
+    img1, img2, hx, hy, max_disp: int, *, quantize: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The production TPU symmetric warp: both frames warped half-way
+    toward each other by the separable shift decomposition, sharing hat
+    weights (img1 samples at +d, img2 at -d; see symmetric_shift_sep_sum).
+
+    hx/hy: the HALF-flow (u/2, v/2); |hx|,|hy| beyond max_disp are
+    clamped. Tap reach is exactly max_disp, so callers can size it as
+    ceil(clamp/2) with no rounding slack (flow-space quantization cannot
+    push |d| past the clamp, unlike coordinate-space fixed point).
+    """
+    C = int(max_disp)
+    dx = quantize_disp(hx.astype(jnp.float32), C, quantize=quantize)
+    dy = quantize_disp(hy.astype(jnp.float32), C, quantize=quantize)
+    pads = [(0, 0)] * (img1.ndim - 2) + [(C, C), (C, C)]
+    p1 = jnp.pad(img1, pads)
+    p2 = jnp.pad(img2, pads)
+    dx_ext = jnp.pad(dx, [(0, 0)] * (dx.ndim - 2) + [(C, C), (0, 0)])
+    return symmetric_shift_sep_sum(p1, p2, dx_ext, dy, C)

@@ -6,7 +6,9 @@ clamped to `max_disp` (FlowConfig.warp_clamp — applied identically in the
 unsharded controller, so sharded and single-device results stay
 bit-identical for any clamp value). The halo width is then
 
-    k = ceil(max_disp / 2) + 1      (half-flow warp + bilinear tap)
+    k = ceil(max_disp / 2) + 1      (half-flow warp + bilinear tap;
+                                     shift_sep: no +1 — flow-space
+                                     quantization adds no rounding slack)
 
 Global borders are zero-filled (cv2.remap BORDER_CONSTANT 0 — any tap off
 the image contributes 0, see ops/warp.py), and tile-local coordinates are
@@ -29,7 +31,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from optical_flow_tpu.ops.warp import remap_bilinear, shift_disp_fields, shift_warp_sum
+from optical_flow_tpu.ops.warp import (
+    quantize_disp,
+    remap_bilinear,
+    shift_disp_fields,
+    shift_warp_sum,
+    symmetric_shift_sep_sum,
+)
 from optical_flow_tpu.parallel.halo import exchange_halo, exchange_halo_rows
 from optical_flow_tpu.parallel.mesh import AXIS_COLS, AXIS_FRAMES, AXIS_ROWS
 
@@ -40,6 +48,22 @@ def _warp_tile(img1, img2, u, v, *, k, rows_n, cols_n, quantize, impl):
     e1 = exchange_halo(img1, k, rows_n=rows_n, cols_n=cols_n, border="zero")
     e2 = exchange_halo(img2, k, rows_n=rows_n, cols_n=cols_n, border="zero")
     h, w = img1.shape[-2], img1.shape[-1]
+    hx = u.astype(jnp.float32) / jnp.float32(2)
+    hy = v.astype(jnp.float32) / jnp.float32(2)
+    if impl == "shift_sep":
+        # Gather-free production tile warp: flow-space quantization
+        # (ops/warp.py quantize_disp) is position-independent, so the tile
+        # computes the same displacements as the global warp with NO
+        # global-coordinate plumbing; the halo width equals the tap reach
+        # (margin M = k), and the separable x-pass runs over the halo rows
+        # too, so it needs the NEIGHBOUR rows' displacement field (zero at
+        # global borders, where the source rows are zero anyway). Weights,
+        # taps and sum order are `symmetric_warp_shift_sep`'s bit for bit.
+        dx = quantize_disp(hx, k, quantize=quantize)
+        dy = quantize_disp(hy, k, quantize=quantize)
+        dx_ext = exchange_halo_rows(dx, k, rows_n=rows_n, border="zero")
+        return symmetric_shift_sep_sum(e1, e2, dx_ext, dy, k)
+
     # Maps are built in GLOBAL coordinates (same f32 arithmetic as the
     # unsharded warp — adding the tile offset before quantization would
     # round differently); tap indices shift to tile-local + halo AFTER
@@ -48,42 +72,26 @@ def _warp_tile(img1, img2, u, v, *, k, rows_n, cols_n, quantize, impl):
     col0 = jax.lax.axis_index(AXIS_COLS) * w
     xs = col0.astype(jnp.float32) + jnp.arange(w, dtype=jnp.float32)[None, :]
     ys = row0.astype(jnp.float32) + jnp.arange(h, dtype=jnp.float32)[:, None]
-    hx = u.astype(jnp.float32) / jnp.float32(2)
-    hy = v.astype(jnp.float32) / jnp.float32(2)
     if impl == "gather":
         off = (k - row0, k - col0)
         w1 = remap_bilinear(e1, xs + hx, ys + hy, quantize=quantize, index_offset=off)
         w2 = remap_bilinear(e2, xs - hx, ys - hy, quantize=quantize, index_offset=off)
         return w1, w2
 
-    # Gather-free tile warp (VERDICT r1 item 3): the shift decomposition's
-    # reach C equals the halo width k, so the halo already ships every tap;
-    # one extra ZERO ring supplies the margin M = C+1 that shift_warp_sum
-    # expects — the outermost ring always carries an exactly-zero hat
-    # weight (|d| <= C after clamping), so zero vs neighbour data there
-    # cannot change the result, and weights/taps/sum order are the
-    # unsharded `remap_bilinear_shift`'s bit for bit (displacements are
-    # computed from GLOBAL coordinates via the shared shift_disp_fields).
+    # Gather-free exact tile warp (VERDICT r1 item 3): the shift
+    # decomposition's reach C equals the halo width k, so the halo already
+    # ships every tap; one extra ZERO ring supplies the margin M = C+1 that
+    # shift_warp_sum expects — the outermost ring always carries an
+    # exactly-zero hat weight (|d| <= C after clamping), so zero vs
+    # neighbour data there cannot change the result, and weights/taps/sum
+    # order are the unsharded `remap_bilinear_shift`'s bit for bit
+    # (displacements from GLOBAL coordinates via shared shift_disp_fields).
     ring = [(0, 0)] * (e1.ndim - 2) + [(1, 1), (1, 1)]
     p1 = jnp.pad(e1, ring)
     p2 = jnp.pad(e2, ring)
     dtype = img1.dtype
     dx1, dy1 = shift_disp_fields(xs + hx, ys + hy, xs, ys, k, quantize=quantize, dtype=dtype)
     dx2, dy2 = shift_disp_fields(xs - hx, ys - hy, xs, ys, k, quantize=quantize, dtype=dtype)
-    if impl == "shift_sep":
-        # the separable x-pass runs over the halo rows too, so it needs the
-        # NEIGHBOUR rows' displacement field (zero at global borders, where
-        # the source rows are zero anyway)
-        row_ring = [(0, 0)] * (dx1.ndim - 2) + [(1, 1), (0, 0)]
-
-        def ext(d):
-            return jnp.pad(
-                exchange_halo_rows(d, k, rows_n=rows_n, border="zero"), row_ring
-            )
-
-        w1 = shift_warp_sum(p1, ext(dx1), dy1, k, separable=True)
-        w2 = shift_warp_sum(p2, ext(dx2), dy2, k, separable=True)
-        return w1, w2
     if impl != "shift":
         raise ValueError(f"unknown tiled warp impl {impl!r}")
     w1 = shift_warp_sum(p1, dx1, dy1, k, separable=False)
@@ -114,7 +122,10 @@ def sharded_symmetric_warp(
     """
     rows_n = mesh.shape[AXIS_ROWS]
     cols_n = mesh.shape[AXIS_COLS]
-    k = int(math.ceil(max_disp / 2.0)) + 1
+    # halo = the warp's reach: half the clamped flow, +1 for coordinate
+    # fixed-point rounding slack (gather/shift); the flow-space-quantized
+    # shift_sep needs no slack (ops/warp.py quantize_disp)
+    k = int(math.ceil(max_disp / 2.0)) + (0 if impl == "shift_sep" else 1)
     tile_h = img1.shape[-2] // rows_n
     tile_w = img1.shape[-1] // cols_n
     if k > min(tile_h, tile_w):

@@ -90,10 +90,22 @@ def resize_cubic(img, size: Tuple[int, int], *, as_uint8: Optional[bool] = None)
     return jnp.moveaxis(y, 0, -1) if chan_last else y
 
 
+# OpenCV getGaussianKernel: sigma <= 0 with odd ksize <= 7 selects fixed
+# binomial taps (small_gaussian_tab), NOT the sigma-from-ksize formula.
+_SMALL_GAUSSIAN_TAB = {
+    1: (1.0,),
+    3: (0.25, 0.5, 0.25),
+    5: (0.0625, 0.25, 0.375, 0.25, 0.0625),
+    7: (0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125),
+}
+
+
 @lru_cache(maxsize=16)
 def _gauss_taps(ksize: int, sigma: float) -> Tuple[float, ...]:
     """cv2.getGaussianKernel taps (float64, normalized)."""
     if sigma <= 0:
+        if ksize % 2 == 1 and ksize in _SMALL_GAUSSIAN_TAB:
+            return _SMALL_GAUSSIAN_TAB[ksize]
         sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
     i = np.arange(ksize) - (ksize - 1) * 0.5
     k = np.exp(-(i * i) / (2.0 * sigma * sigma))
@@ -183,7 +195,11 @@ def sobel3(img, dx: int, dy: int, out_dtype=jnp.float32):
 
 
 def _morph3x3(x, mode: str, iterations: int):
-    init = -jnp.inf if mode == "max" else jnp.inf
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        info = jnp.iinfo(x.dtype)
+        init = info.min if mode == "max" else info.max
+    else:
+        init = -jnp.inf if mode == "max" else jnp.inf
     op = lax.max if mode == "max" else lax.min
     nb = x.ndim - 2
     for _ in range(iterations):
