@@ -19,6 +19,7 @@ from optical_flow_tpu.slam.epipolar import (
     estimate_essential,
     normalize_pixels,
     recover_pose,
+    refine_pose,
     triangulate,
 )
 from optical_flow_tpu.slam.frontend import TwoViewReconstruction, two_view_reconstruct
@@ -35,6 +36,7 @@ __all__ = [
     "estimate_essential",
     "normalize_pixels",
     "recover_pose",
+    "refine_pose",
     "triangulate",
     "TwoViewReconstruction",
     "two_view_reconstruct",

@@ -111,21 +111,35 @@ def _ransac_essential(p1, p2, valid, thresh, seed, n_hypotheses: int):
     med_idx = jnp.maximum(n_valid // 2, 0)
     med_scores = jnp.sort(errs_masked, axis=-1)[:, med_idx]
     best = jnp.argmin(med_scores)
+    # Noise-adaptive gate: the winning median residual is a robust scale
+    # estimate (median of |N(0, s)| = 0.674 s, so 2.5x median ~ 1.7 s keeps
+    # ~91% of true matches). Noise-free data leaves the configured gate
+    # untouched (median ~ 0); without this, measurement noise above
+    # thresh/2 made the trim loop collapse to an empty support.
+    thresh = jnp.maximum(thresh, 2.5 * med_scores[best])
     # Trimmed-LS refit: a random outlier can sit ON the (1-D) epipolar
     # line and pass any fixed gate, and squared loss is hypersensitive to
     # it (one leaked outlier costs ~1 deg of rotation). Refitting on the
     # best half of the consensus (by residual) each round suppresses most
     # leakage; residual bias from epipolar-coincident outliers is inherent
-    # to 8-point — a 5-point minimal solver + local optimization is the
-    # known upgrade (ROADMAP).
-    cur = inl[best]
+    # to 8-point — the upgrades are the 5-point minimal solver
+    # (ransac_essential_5pt) and Gauss-Newton local optimization on the
+    # consensus (refine_pose).
+    def floor8(e, cur):
+        # refit support floor: if the gate leaves < 8 points the system is
+        # under-determined — fall back to the 8 smallest residuals
+        em = jnp.where(valid, e, jnp.inf)
+        k8 = em <= jnp.sort(em)[jnp.minimum(7, n_valid - 1)]
+        return jnp.where(jnp.sum(cur) >= 8, cur, k8 & valid)
+
+    cur = floor8(errs[best], (errs[best] <= thresh) & valid)
     E = _eight_point(p1, p2, cur.astype(p1.dtype))
     for _ in range(6):
         e = _sampson(E, p1, p2)
-        cur = (e <= thresh) & valid
+        cur = floor8(e, (e <= thresh) & valid)
         es = jnp.sort(jnp.where(cur, e, jnp.inf))
         med = es[jnp.maximum(jnp.sum(cur) // 2, 0)]
-        trim = cur & (e <= med)
+        trim = floor8(e, cur & (e <= med))
         E = _eight_point(p1, p2, trim.astype(p1.dtype))
     final_inl = (_sampson(E, p1, p2) <= thresh) & valid
     return E, final_inl, jnp.sum(final_inl)
@@ -337,11 +351,12 @@ def ransac_essential_5pt(
                 best_med, best_E = med, E
     if best_E is None:
         raise RuntimeError("no 5-point hypothesis produced a valid model")
-    # trimmed 8-point refit on the consensus (same loop as the jnp path)
+    # trimmed 8-point refit on the consensus (same loop as the jnp path,
+    # including its noise-adaptive gate)
     E = jnp.asarray(best_E, jnp.float32)
     p1j, p2j = jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32)
     vj = jnp.asarray(v)
-    thresh = jnp.float32(config.inlier_thresh)
+    thresh = jnp.float32(max(config.inlier_thresh, 2.5 * best_med))
     for _ in range(6):
         e = _sampson(E, p1j, p2j)
         cur = (e <= thresh) & vj
@@ -351,6 +366,111 @@ def ransac_essential_5pt(
         E = _eight_point(p1j, p2j, trim.astype(p1j.dtype))
     final = (_sampson(E, p1j, p2j) <= thresh) & vj
     return E, final, jnp.sum(final)
+
+
+# ------------------------------------------------- local pose optimization
+#
+# The LO step of LO-RANSAC: after hypothesis selection and consensus refit,
+# minimize the sum of squared Sampson residuals over the 5 pose dofs
+# (3 axis-angle for R, 2 tangent-plane for the unit translation) with
+# Gauss-Newton. Unlike the linear 8-point refit this enforces the essential
+# manifold EXACTLY at every iterate (E = [t]_x R by construction) and
+# optimizes the geometric (first-order) reprojection proxy rather than the
+# algebraic residual.
+
+
+def _skew(t):
+    z = jnp.zeros((), t.dtype)
+    return jnp.asarray(
+        [[z, -t[2], t[1]], [t[2], z, -t[0]], [-t[1], t[0], z]]
+    )
+
+
+def _exp_so3(w):
+    """Rodrigues: exp([w]_x) with the small-angle-safe sinc forms."""
+    th2 = jnp.sum(w * w)
+    th = jnp.sqrt(th2 + 1e-24)
+    K = _skew(w)
+    a = jnp.sin(th) / th
+    b = (1.0 - jnp.cos(th)) / (th2 + 1e-24)
+    return jnp.eye(3, dtype=w.dtype) + a * K + b * (K @ K)
+
+
+def _tangent_basis(t):
+    """(3, 2) orthonormal basis of the plane perpendicular to unit t."""
+    # pick the axis least aligned with t to seed Gram-Schmidt
+    e = jnp.eye(3, dtype=t.dtype)[jnp.argmin(jnp.abs(t))]
+    b1 = e - jnp.dot(e, t) * t
+    b1 = b1 / jnp.linalg.norm(b1)
+    b2 = jnp.cross(t, b1)
+    return jnp.stack([b1, b2], axis=-1)
+
+
+def _sampson_signed(E, x1, x2):
+    """Signed Sampson residual (K,) — the least-squares objective; its
+    absolute value is `_sampson`."""
+    Ex1 = x1 @ E.T
+    Etx2 = x2 @ E
+    num = jnp.sum(x2 * Ex1, axis=-1)
+    den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    return num / jnp.sqrt(jnp.maximum(den, 1e-12))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _refine_pose_gn(R0, t0, x1, x2, w, iters: int):
+    damp = jnp.asarray(1e-10, R0.dtype)
+
+    def residuals(theta, R, t):
+        Rn = R @ _exp_so3(theta[:3])
+        tn = t + _tangent_basis(t) @ theta[3:]
+        tn = tn / jnp.linalg.norm(tn)
+        return _sampson_signed(_skew(tn) @ Rn, x1, x2) * w
+
+    def step(_, carry):
+        R, t = carry
+        z = jnp.zeros((5,), R.dtype)
+        r = residuals(z, R, t)
+        J = jax.jacfwd(residuals)(z, R, t)  # (K, 5)
+        H = J.T @ J + damp * jnp.eye(5, dtype=R.dtype)
+        g = J.T @ r
+        delta = -jnp.linalg.solve(H, g)
+        # accept only if the squared residual does not increase (plain GN
+        # can overshoot near-degenerate inlier sets)
+        r_new = residuals(delta, R, t)
+        better = jnp.sum(r_new * r_new) < jnp.sum(r * r)
+        delta = jnp.where(better, delta, jnp.zeros_like(delta))
+        Rn = R @ _exp_so3(delta[:3])
+        tn = t + _tangent_basis(t) @ delta[3:]
+        tn = tn / jnp.linalg.norm(tn)
+        return Rn, tn
+
+    return jax.lax.fori_loop(0, iters, step, (R0, t0))
+
+
+def refine_pose(R, t, pts1, pts2, inliers=None, iters: int = 10):
+    """Gauss-Newton local optimization of a calibrated relative pose (the
+    LO in LO-RANSAC; upgrade self-prescribed by `_ransac_essential`).
+
+    R/t: initial pose from `recover_pose`; pts1/pts2: (K, 2) normalized
+    correspondences; inliers: boolean (K,) support mask. Returns the
+    refined (R, t (unit), E = [t]_x R).
+    """
+    x1 = jnp.concatenate(
+        [jnp.asarray(pts1, jnp.float32), jnp.ones((len(pts1), 1), jnp.float32)], -1
+    )
+    x2 = jnp.concatenate(
+        [jnp.asarray(pts2, jnp.float32), jnp.ones((len(pts2), 1), jnp.float32)], -1
+    )
+    w = (
+        jnp.ones((x1.shape[0],), jnp.float32)
+        if inliers is None
+        else jnp.asarray(inliers, jnp.float32)
+    )
+    R0 = jnp.asarray(R, jnp.float32)
+    t0 = jnp.asarray(t, jnp.float32)
+    t0 = t0 / jnp.linalg.norm(t0)
+    Rn, tn = _refine_pose_gn(R0, t0, x1, x2, w, iters)
+    return Rn, tn, _skew(tn) @ Rn
 
 
 def triangulate(P1, P2, p1, p2):

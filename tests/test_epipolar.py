@@ -244,3 +244,67 @@ def test_multi_view_reconstruct():
     # roughly uniform spacing (camera slides at constant speed)
     steps = np.diff(txs)
     assert steps.max() / max(steps.min(), 1e-9) < 1.8, steps
+
+
+def test_refine_pose_improves_noisy_estimate():
+    """Gauss-Newton local optimization (refine_pose) on a noisy scene:
+    the refined pose must not be worse than the linear 8-point estimate
+    and must stay on the essential manifold exactly."""
+    from optical_flow_tpu.slam.epipolar import refine_pose
+
+    x1, x2, X, R_true, t_true, _ = _synthetic_pair(noise=2e-3, outliers=0.0, seed=5)
+    E, inl, count = estimate_essential(x1, x2, config=EssentialRansacConfig(seed=2))
+    inl_np = np.asarray(inl)
+    R0, t0, _ = recover_pose(E, jnp.asarray(x1)[inl_np], jnp.asarray(x2)[inl_np])
+    ang0 = np.degrees(
+        np.arccos(np.clip((np.trace(np.asarray(R0).T @ R_true) - 1) / 2, -1, 1))
+    )
+    tdir0 = np.degrees(np.arccos(np.clip(abs(np.asarray(t0) @ t_true), -1, 1)))
+
+    R1, t1, E1 = refine_pose(R0, t0, x1, x2, inliers=inl_np)
+    R1n, t1n = np.asarray(R1), np.asarray(t1)
+    ang1 = np.degrees(
+        np.arccos(np.clip((np.trace(R1n.T @ R_true) - 1) / 2, -1, 1))
+    )
+    tdir1 = np.degrees(np.arccos(np.clip(abs(t1n @ t_true), -1, 1)))
+    # no regression, and t stays unit / R stays a rotation
+    assert ang1 <= ang0 * 1.05 + 1e-3, (ang0, ang1)
+    assert tdir1 <= tdir0 * 1.05 + 1e-3, (tdir0, tdir1)
+    assert abs(np.linalg.norm(t1n) - 1.0) < 1e-5
+    assert np.abs(R1n @ R1n.T - np.eye(3)).max() < 1e-5
+    # E1 is the essential matrix of (R1, t1) by construction
+    s = np.linalg.svd(np.asarray(E1), compute_uv=False)
+    assert s[2] < 1e-6 and abs(s[0] - s[1]) < 1e-5
+
+
+def test_refine_pose_with_outlier_mask():
+    """LO on the inlier support of an outlier-contaminated scene: the
+    Sampson objective is restricted to the mask, so leaked structure
+    cannot drag the pose; accuracy lands near the clean-scene level."""
+    from optical_flow_tpu.slam.epipolar import refine_pose
+
+    x1, x2, X, R_true, t_true, out = _synthetic_pair(noise=1e-3, outliers=0.2, seed=7)
+    E, inl, _ = estimate_essential(x1, x2, config=EssentialRansacConfig(seed=3))
+    inl_np = np.asarray(inl)
+    R0, t0, _ = recover_pose(E, jnp.asarray(x1)[inl_np], jnp.asarray(x2)[inl_np])
+    R1, t1, _ = refine_pose(R0, t0, x1, x2, inliers=inl_np)
+    ang = np.degrees(
+        np.arccos(np.clip((np.trace(np.asarray(R1).T @ R_true) - 1) / 2, -1, 1))
+    )
+    tdir = np.degrees(np.arccos(np.clip(abs(np.asarray(t1) @ t_true), -1, 1)))
+    assert ang < 1.0, ang
+    assert tdir < 3.0, tdir
+
+
+def test_essential_survives_measurement_noise():
+    """Regression: a fixed 2e-3 gate with ~1e-3 coordinate noise used to
+    collapse the trimmed refit to an empty support (0 inliers returned).
+    The gate now adapts to the winning hypothesis's median residual."""
+    x1, x2, X, R_true, t_true, out = _synthetic_pair(noise=1e-3, outliers=0.1, seed=11)
+    E, inl, count = estimate_essential(x1, x2, config=EssentialRansacConfig(seed=4))
+    inl_np = np.asarray(inl)
+    assert int(count) >= 70, int(count)
+    assert inl_np[~out].mean() > 0.7
+    ang, tdir = _pose_errors(E, x1, x2, inl_np, R_true, t_true)
+    assert ang < 2.0, ang
+    assert tdir < 6.0, tdir
