@@ -119,6 +119,48 @@ def _resolve_warp_solve(config: FlowConfig, warp_impl: str, max_disp: int, solve
     return warp_solve
 
 
+def _resolve_level_step(config: FlowConfig, warp_impl: str, max_disp: int, warp_solve):
+    """Fully-fused inter-level callable for run_pyramid, or None.
+
+    Corrected-mode production path only: one Pallas call computes
+    upsample+double+clamp+negate+warp+LK+accumulate per level
+    (kernels/warp_lk_kernel.py::pyrup_warp_lk_pallas) — the XLA-side
+    pyr_up interleave relayouts disappear. Shapes the kernel can't tile
+    fall back to the unfused upsample + (possibly fused) warp+solve with
+    identical arithmetic to the loop's own inter-level path.
+    """
+    if warp_solve is None or config.mode != "corrected":
+        return None
+    from optical_flow_tpu.kernels.warp_lk_kernel import (
+        pyrup_warp_lk_pallas,
+        warp_lk_band,
+    )
+    from optical_flow_tpu.ops.pyramid import pyr_up
+
+    clamp = float(config.warp_clamp)
+
+    def level_step(i, a, b, uc, vc):
+        H, W = a.shape[-2], a.shape[-1]
+        if (
+            warp_lk_band(H, W, max_disp) is not None
+            and H % 2 == 0
+            and W % 2 == 0
+            and uc.shape[-2] * 2 == H
+            and uc.shape[-1] * 2 == W
+        ):
+            return pyrup_warp_lk_pallas(
+                a, b, uc, vc, max_disp=max_disp, clamp=clamp
+            )
+        upu = 2.0 * pyr_up(uc)
+        upv = 2.0 * pyr_up(vc)
+        wu = -jnp.clip(upu, -clamp, clamp)
+        wv = -jnp.clip(upv, -clamp, clamp)
+        du, dv = warp_solve(i, a, b, wu, wv)
+        return du + upu, dv + upv
+
+    return level_step
+
+
 def coarse_to_fine_with_images(
     img1,
     img2,
@@ -147,9 +189,10 @@ def coarse_to_fine_with_images(
         )
 
     warp_solve = _resolve_warp_solve(config, warp_impl, max_disp, solve, warp)
+    level_step = _resolve_level_step(config, warp_impl, max_disp, warp_solve)
     return run_pyramid(
         pyr1, pyr2, solve, warp, config,
-        warp_solve=warp_solve, need_images=_need_images,
+        warp_solve=warp_solve, level_step=level_step, need_images=_need_images,
     )
 
 

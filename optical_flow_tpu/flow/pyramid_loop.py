@@ -9,12 +9,19 @@ displacement-true) and level_iters semantics from drifting apart.
 solve(level_index, img1, img2) -> (u, v)
 warp(level_index, img1, img2, u, v) -> (w1, w2)   # symmetric half-flow
 warp_solve(level_index, img1, img2, u, v) -> (du, dv)   # optional fusion
+level_step(level_index, img1, img2, u_coarse, v_coarse) -> (u, v)
 
 `warp_solve`, when given, computes solve(warp(...)) without materializing
 the warped frames (the fused Pallas kernel, kernels/warp_lk_kernel.py) —
 it receives the SAME already-clamped/negated (u, v) the warp would. It is
 used at every level except, when `need_images` is True, the finest (whose
 warped frames are part of the return contract, LKof.cpp:191-228).
+
+`level_step`, when given (corrected mode only), subsumes the ENTIRE
+inter-level computation — upsample+double+clamp+negate+warp+solve+add —
+taking the coarser level's ACCUMULATED flow and returning this level's
+(kernels/warp_lk_kernel.py::pyrup_warp_lk_pallas). Same finest-level
+exception as warp_solve.
 """
 
 from __future__ import annotations
@@ -35,12 +42,13 @@ def run_pyramid(
     config: FlowConfig,
     *,
     warp_solve: Optional[Callable] = None,
+    level_step: Optional[Callable] = None,
     need_images: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (u, v, finest_img1, finest_img2) per the reference's
-    in-place-mutation contract (LKof.cpp:191-228). With `warp_solve` and
-    need_images=False the finest frames are returned UNWARPED (the fused
-    path never materializes warped frames)."""
+    in-place-mutation contract (LKof.cpp:191-228). With `warp_solve`/
+    `level_step` and need_images=False the finest frames are returned
+    UNWARPED (the fused paths never materialize warped frames)."""
     if config.mode not in ("reference", "corrected"):
         raise ValueError(
             f"mode must be 'reference' or 'corrected', got {config.mode!r}"
@@ -54,6 +62,8 @@ def run_pyramid(
             "level_iters > 1 requires mode='corrected' (reference-mode flow "
             "is not displacement; re-warping by it diverges)"
         )
+    if level_step is not None and not corrected:
+        raise ValueError("level_step fuses the corrected-mode inter-level math")
     levels = len(pyr1)
     orig1 = list(pyr1)
     orig2 = list(pyr2)
@@ -64,27 +74,39 @@ def run_pyramid(
         c = config.warp_clamp
         return jnp.clip(u, -c, c), jnp.clip(v, -c, c)
 
-    upu = upv = None
-    pending = None  # clamped (and in corrected mode negated) flow whose
-    # warp of level i's frames was deferred so it can fuse with the solve
     for i in range(levels - 1, -1, -1):
-        if pending is None:
+        if i == levels - 1:
             u, v = solve(i, pyr1[i], pyr2[i])
+        elif level_step is not None and not (i == 0 and need_images):
+            u, v = level_step(i, pyr1[i], pyr2[i], u, v)
         else:
-            wu, wv = pending
+            if corrected:
+                # standard pyramidal LK: coordinates double between levels,
+                # and the warp must bring the frames TOGETHER (the
+                # reference's symmetric warp — img1 sampled at x + u/2,
+                # img2 at x - u/2 — INCREASES their separation for positive
+                # flow; a faithful quirk in 'reference' mode, negated here)
+                upu = 2.0 * pyr_up(u)
+                upv = 2.0 * pyr_up(v)
+                wu, wv = _clamped(upu, upv)
+                wu, wv = -wu, -wv
+            else:
+                upu = pyr_up(u)  # flow NOT doubled: faithful to the reference
+                upv = pyr_up(v)
+                wu, wv = _clamped(upu, upv)
             if warp_solve is not None and not (i == 0 and need_images):
-                u, v = warp_solve(i, pyr1[i], pyr2[i], wu, wv)
+                du, dv = warp_solve(i, pyr1[i], pyr2[i], wu, wv)
             else:
                 pyr1[i], pyr2[i] = warp(i, pyr1[i], pyr2[i], wu, wv)
-                u, v = solve(i, pyr1[i], pyr2[i])
-            u = u + upu
-            v = v + upv
+                du, dv = solve(i, pyr1[i], pyr2[i])
+            u = du + upu
+            v = dv + upv
         # optional extra warp-and-solve passes at this level (level_iters=1
         # is the reference's single pass and the golden-parity mode)
         for _ in range(config.level_iters - 1):
             wu, wv = _clamped(u, v)
             if corrected:
-                wu, wv = -wu, -wv  # convergent warp (see mode note below)
+                wu, wv = -wu, -wv  # convergent warp (see mode note above)
             if warp_solve is not None:
                 du, dv = warp_solve(i, orig1[i], orig2[i], wu, wv)
             else:
@@ -94,19 +116,4 @@ def run_pyramid(
             v = v + dv
         if i == 0:
             return u, v, pyr1[0], pyr2[0]
-        if corrected:
-            # standard pyramidal LK: coordinates double between levels, and
-            # the warp must bring the frames TOGETHER (the reference's
-            # symmetric warp — img1 sampled at x + u/2, img2 at x - u/2 —
-            # INCREASES their separation for positive flow; a faithful
-            # quirk in 'reference' mode, negated here)
-            upu = 2.0 * pyr_up(u)
-            upv = 2.0 * pyr_up(v)
-            wu, wv = _clamped(upu, upv)
-            wu, wv = -wu, -wv
-        else:
-            upu = pyr_up(u)  # flow NOT doubled: faithful to the reference
-            upv = pyr_up(v)
-            wu, wv = _clamped(upu, upv)
-        pending = (wu, wv)
     raise AssertionError("unreachable")

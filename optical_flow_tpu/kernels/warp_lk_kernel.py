@@ -58,19 +58,31 @@ def warp_lk_band(H: int, W: int, max_disp: int) -> Optional[int]:
 
     Rows are padded to Hp = round_up(H, 8); the band must divide Hp (so
     every REFLECT_101 row fix sits at a static in-band offset) and be a
-    multiple of 8 (f32 sublane tile). ~64 rows keeps the 4 double-buffered
-    input slabs + ~12 working planes within VMEM.
+    multiple of 8 (f32 sublane tile). Among the divisors, pick the LARGEST
+    whose estimated VMEM footprint (double-buffered input slabs + working
+    planes, sized by the actual padded width) fits the budget — narrow
+    levels get tall bands, so the per-band fixed costs (DMA issue,
+    transposes) stop dominating the small pyramid levels.
     """
     if H < 8 or W < 4:
         return None
     Hp = _round_up(H, 8)
+    R = _round_up(max_disp + 2, 4)
+    Wc = _round_up(W, 128)
+    Wp = Wc + _round_up(2 * R, 128)
+    budget = 10 << 20  # ~10 MiB of the ~16 MiB VMEM
     best = None
-    for band in range(8, min(Hp, 256) + 1, 8):
-        if Hp % band == 0:
-            if band <= 96:
-                best = band
-            elif best is None:
-                best = band
+    for band in range(8, Hp + 1, 8):
+        if Hp % band:
+            continue
+        rows = band + 2 * R
+        # 2 imgs x 2 slots slabs at Wp, ~2.5 coarse-flow slabs (pyrup
+        # variant), ~16 working planes at the tmp width
+        vmem = 4 * rows * (4 * Wp + Wp // 2 + 16 * (Wc + 4))
+        if vmem <= budget:
+            best = band
+        elif best is None:
+            best = band  # nothing fits: smallest divisor, let Mosaic try
     return best
 
 
@@ -132,11 +144,30 @@ def _warp_lk_kernel(
 
     qx = quant(uu)
     qy = quant(vv)
+    Wt = Wc + 4
+    qx_t = qx[:, R - 2 : R - 2 + Wt]
+    qy_w = qy[R - 2 : R - 2 + band + 4, R - 2 : R - 2 + Wt]
+    du, dv = _warp_lk_core(
+        x1, x2, qx_t, qy_w, i, row0, H=H, W=W, Wc=Wc, band=band, C=C, R=R
+    )
+    du_ref[0] = du
+    dv_ref[0] = dv
 
+
+def _warp_lk_core(x1, x2, qx_t, qy_w, band_idx, row0, *, H, W, Wc, band, C, R):
+    """Shared warp+LK band computation.
+
+    x1/x2: image slabs (band + 2R, >= Wc + 2R) with the image at col
+    offset R (rows cover global [row0-R, row0+band+R)).
+    qx_t: quantized x-displacement on the tmp grid, (band + 2R, Wt) for
+    tmp cols [-2, Wc+2); qy_w: y-displacement on the warped grid,
+    (band + 4, Wt). Returns (du, dv) (band, Wc), interior-masked.
+    """
+    f32 = x1.dtype
+    one = jnp.asarray(1.0, f32)
     Wt = Wc + 4  # tmp/warped plane width: global cols [-2, Wc+2)
     Ht = band + 2 * R  # tmp rows: the full slab, global [row0-R, row0+band+R)
 
-    qx_t = qx[:, R - 2 : R - 2 + Wt]
     t1 = jnp.zeros((Ht, Wt), f32)
     t2 = jnp.zeros((Ht, Wt), f32)
     for k in range(-C, C + 1):
@@ -146,7 +177,6 @@ def _warp_lk_kernel(
 
     # y-pass: warped plane rows = global [row0-2, row0+band+2); warped row
     # a (slab-local a+R) reads tmp rows a+R+k -> slice offset R-2+k.
-    qy_w = qy[R - 2 : R - 2 + band + 4, R - 2 : R - 2 + Wt]
     w1 = jnp.zeros((band + 4, Wt), f32)
     w2 = jnp.zeros((band + 4, Wt), f32)
     for k in range(-C, C + 1):
@@ -168,7 +198,7 @@ def _warp_lk_kernel(
         )  # cols W,W+1 := W-2,W-3
         w = jnp.concatenate([wl, w[:, 2 : W + 2], wr, w[:, W + 4 :]], 1)
         top = jnp.concatenate([w[4:5], w[3:4], w[2:]], 0)
-        return jnp.where(i == 0, top, w)
+        return jnp.where(band_idx == 0, top, w)
 
     w1 = reflect(w1)
     w2 = reflect(w2)
@@ -206,8 +236,7 @@ def _warp_lk_kernel(
     gr = row0 + lax.broadcasted_iota(jnp.int32, (band, Wc), 0)
     gc = lax.broadcasted_iota(jnp.int32, (band, Wc), 1)
     keep = (gr > 0) & (gr < H - 1) & (gc > 0) & (gc < W - 1)
-    du_ref[0] = jnp.where(keep, du, 0.0)
-    dv_ref[0] = jnp.where(keep, dv, 0.0)
+    return jnp.where(keep, du, 0.0), jnp.where(keep, dv, 0.0)
 
 
 @partial(jax.jit, static_argnames=("band", "C", "clamp", "sign"))
@@ -272,3 +301,236 @@ def warp_lk_pallas(
         sign=-1.0 if negate else 1.0,
     )
     return du.reshape(lead + (H, W)), dv.reshape(lead + (H, W))
+
+
+# --------------------------------------------- fused inter-level step
+#
+# The corrected pyramid's ENTIRE inter-level step in one kernel:
+#     upu, upv = 2 * pyr_up(u_coarse), 2 * pyr_up(v_coarse)
+#     wu, wv   = -clip(upu, +-clamp), -clip(upv, +-clamp)
+#     w1, w2   = symmetric shift_sep warp of (img1, img2) by (wu, wv)
+#     du, dv   = lucas_kanade(w1, w2)
+#     return (du + upu, dv + upv)
+# The 5-tap pyrUp runs in VMEM per band (row interleave: stack+reshape;
+# column interleave: transpose sandwich — Mosaic lowers both; the
+# lane-interleave reshape it rejects is avoided). Same tap order as
+# ops/pyramid._pyr_up_stack, so results are bit-identical to the unfused
+# XLA composition (verified on hardware) while eliminating the fine-flow
+# HBM round-trip and the XLA-side interleave relayout copies (~0.15 ms of
+# the 1080^2 frame).
+
+_K5UP = (0.125, 0.5, 0.75, 0.5, 0.125)  # 2 * [1,4,6,4,1]/16 (per-axis pyrUp)
+
+
+def _pyrup_warp_lk_kernel(
+    i1_hbm, i2_hbm, uc_hbm, vc_hbm, u_ref, v_ref, ibufs, isems, fbufs, fsems,
+    *, H, W, Wc, band, C, clamp, Lc, Wpc,
+):
+    R = _round_up(C + 2, 4)
+    nc = band // 2 + R  # coarse rows covering the fine slab
+    mc = Wc // 2 + 2  # even-parity output cols of the tmp grid [-2, Wc+2)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nbands = pl.num_programs(1)
+    row0 = i * band
+
+    slot = lax.rem(i, jnp.int32(2))
+    nslot = jnp.int32(1) - slot
+    imgs = (i1_hbm, i2_hbm)
+    flows = (uc_hbm, vc_hbm)
+
+    def dma_img(band_idx, buf_slot, k):
+        r0 = band_idx * band
+        return pltpu.make_async_copy(
+            imgs[k].at[b, pl.ds(r0, band + 2 * R), :],
+            ibufs.at[k, buf_slot],
+            isems.at[k, buf_slot],
+        )
+
+    half_band = band // 2  # always a multiple of 4 (band is a multiple of 8)
+    off_stride = half_band % 8  # so the slab offset alternates in {0, 4}
+
+    def dma_flow(band_idx, buf_slot, k):
+        # coarse buffer holds coarse row y at y + R//2 + 1, so the slab
+        # [yc0-1, yc0+nc+1) starts at band_idx * half_band — rounded DOWN
+        # to a multiple of 8 (Mosaic requires provably tile-aligned DMA
+        # starts when it places the small coarse plane in VMEM); the
+        # remainder (0 or off_stride by band parity) is re-sliced inside.
+        rc0 = (band_idx * half_band // 8) * 8
+        return pltpu.make_async_copy(
+            flows[k].at[b, pl.ds(rc0, Lc), :],
+            fbufs.at[k, buf_slot],
+            fsems.at[k, buf_slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(2):
+            dma_img(i, slot, k).start()
+            dma_flow(i, slot, k).start()
+
+    @pl.when(i + 1 < nbands)
+    def _():
+        for k in range(2):
+            dma_img(i + 1, nslot, k).start()
+            dma_flow(i + 1, nslot, k).start()
+
+    for k in range(2):
+        dma_img(i, slot, k).wait()
+        dma_flow(i, slot, k).wait()
+
+    x1 = ibufs[0, slot]
+    x2 = ibufs[1, slot]
+    f32 = x1.dtype
+
+    Wt = Wc + 4
+    K = _K5UP
+    fr = lax.broadcasted_iota(jnp.int32, (band + 2 * R, Wt), 0) + (row0 - R)
+    fc = lax.broadcasted_iota(jnp.int32, (band + 2 * R, Wt), 1) - 2
+    inimg = (fr >= 0) & (fr < H) & (fc >= 0) & (fc < W)
+
+    def upsample(c):
+        # rows: even fine row 2y <- coarse y-1..y+1, odd <- y..y+1
+        # (_pyr_up_stack tap order; slab row j = coarse yc0-1+j)
+        ev = K[0] * c[0:nc, :] + K[2] * c[1 : nc + 1, :] + K[4] * c[2 : nc + 2, :]
+        od = K[1] * c[1 : nc + 1, :] + K[3] * c[2 : nc + 2, :]
+        rows2 = jnp.stack([ev, od], axis=-2).reshape(2 * nc, Wpc)
+        # cols: buffer col m = coarse col m-2; fine col 2n-2 <- cols n-1..n+1.
+        # The lane interleave Mosaic can't lower becomes a sublane (row)
+        # interleave in TRANSPOSED space — one transpose in, one out (see
+        # scripts/tpu_interleave_poc.py); the col pass itself runs on rt
+        # rows, which is the same arithmetic per element.
+        rt = rows2.T  # (Wpc, 2nc)
+        evc = K[0] * rt[0:mc, :] + K[2] * rt[1 : mc + 1, :] + K[4] * rt[2 : mc + 2, :]
+        odc = K[1] * rt[1 : mc + 1, :] + K[3] * rt[2 : mc + 2, :]
+        up = jnp.stack([evc, odc], axis=-2).reshape(2 * mc, 2 * nc).T
+        # corrected-mode doubling AFTER the col pass, like the XLA
+        # `2.0 * pyr_up(u)`; flow outside the image is exactly 0 (matches
+        # the unfused path's zero padding — the asym pyrUp border rows
+        # must not leak past the image edge)
+        return jnp.where(inimg, 2.0 * up, 0.0)
+
+    def flow_slab(k):
+        cfull = fbufs[k, slot]
+        if off_stride == 0:
+            return cfull[0 : nc + 2]
+        # both candidate offsets are STATIC slices; pick by band parity
+        return jnp.where(
+            lax.rem(i * half_band, jnp.int32(8)) == 0,
+            cfull[0 : nc + 2],
+            cfull[off_stride : off_stride + nc + 2],
+        )
+
+    upx = upsample(flow_slab(0))
+    upy = upsample(flow_slab(1))
+
+    half = jnp.asarray(-0.5, f32)  # corrected mode: convergent (negated) warp
+    cl = jnp.asarray(clamp, f32)
+    Cf = jnp.asarray(float(C), f32)
+
+    def quant(up):
+        h = jnp.clip(jnp.clip(up, -cl, cl) * half, -Cf, Cf)
+        return jnp.round(h * _INTER_TAB) / _INTER_TAB
+
+    qx_t = quant(upx)
+    qy_w = quant(upy)[R - 2 : R - 2 + band + 4, :]
+    du, dv = _warp_lk_core(
+        x1, x2, qx_t, qy_w, i, row0, H=H, W=W, Wc=Wc, band=band, C=C, R=R
+    )
+    u_ref[0] = du + upx[R : R + band, 2 : 2 + Wc]
+    v_ref[0] = dv + upy[R : R + band, 2 : 2 + Wc]
+
+
+@partial(jax.jit, static_argnames=("band", "C", "clamp"))
+def _pyrup_warp_lk_batched(img1, img2, uc, vc, band: int, C: int, clamp: float):
+    B, H, W = img1.shape
+    Hc, Wcc = uc.shape[-2], uc.shape[-1]
+    R = _round_up(C + 2, 4)
+    Hp = _round_up(H, 8)
+    nbands = Hp // band
+    Wc = _round_up(W, 128)
+    Wp = Wc + _round_up(2 * R, 128)
+    off_stride = (band // 2) % 8
+    Lc = _round_up(band // 2 + R + 2 + off_stride, 8)
+    Wpc = _round_up(max(Wcc + 4, Wc // 2 + 4), 128)
+    Ocr = R // 2 + 1
+    Hcb = _round_up(max((Hp - band) // 2 + Lc, Hc + Ocr + 1), 8)
+
+    def padimg(x):
+        buf = jnp.zeros((x.shape[0], Hp + 2 * R, Wp), x.dtype)
+        return lax.dynamic_update_slice(buf, x, (0, R, R))
+
+    def padflow(x):
+        # coarse plane with cv::pyrUp's asymmetric border baked in
+        # (ops/pyramid._pad_pyrup: row/col -1 reflect to 1, n to n-1),
+        # image at (Ocr, 2); everything else zero
+        buf = jnp.zeros((B, Hcb, Wpc), x.dtype)
+        buf = lax.dynamic_update_slice(buf, x, (0, Ocr, 2))
+        top = x[:, 1:2, :] if Hc > 1 else x[:, 0:1, :]
+        buf = lax.dynamic_update_slice(buf, top, (0, Ocr - 1, 2))
+        buf = lax.dynamic_update_slice(buf, x[:, Hc - 1 : Hc, :], (0, Ocr + Hc, 2))
+        strip = lax.dynamic_slice(buf, (0, Ocr - 1, 2), (B, Hc + 2, Wcc))
+        left = strip[:, :, 1:2] if Wcc > 1 else strip[:, :, 0:1]
+        buf = lax.dynamic_update_slice(buf, left, (0, Ocr - 1, 1))
+        buf = lax.dynamic_update_slice(
+            buf, strip[:, :, Wcc - 1 : Wcc], (0, Ocr - 1, 2 + Wcc)
+        )
+        return buf
+
+    p1, p2 = padimg(img1), padimg(img2)
+    pu, pv = padflow(uc), padflow(vc)
+
+    kernel = partial(
+        _pyrup_warp_lk_kernel,
+        H=H, W=W, Wc=Wc, band=band, C=C, clamp=clamp, Lc=Lc, Wpc=Wpc,
+    )
+    u, v = pl.pallas_call(
+        kernel,
+        grid=(B, nbands),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[
+            pl.BlockSpec((1, band, Wc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, band, Wc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hp, Wc), img1.dtype),
+            jax.ShapeDtypeStruct((B, Hp, Wc), img1.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, band + 2 * R, Wp), img1.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 2, Lc, Wpc), img1.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )(p1, p2, pu, pv)
+    return u[:, :H, :W], v[:, :H, :W]
+
+
+def pyrup_warp_lk_pallas(
+    img1, img2, u_coarse, v_coarse, *, max_disp: int, clamp: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused corrected-mode inter-level step (see module note above).
+
+    img1/img2: level-i frames (..., H, W) with H, W even; u_coarse/
+    v_coarse: level-(i+1) flow (..., H/2, W/2). Returns the ACCUMULATED
+    level-i flow (du + 2*pyr_up(u_coarse), dv + 2*pyr_up(v_coarse)).
+    Raises ValueError when the shape doesn't fit the band constraints —
+    use warp_lk_band() to decide, or catch and fall back.
+    """
+    H, W = img1.shape[-2], img1.shape[-1]
+    band = warp_lk_band(H, W, max_disp)
+    if band is None or H % 2 or W % 2:
+        raise ValueError(f"shape {img1.shape} unsupported by the fused kernel")
+    if u_coarse.shape[-2] * 2 != H or u_coarse.shape[-1] * 2 != W:
+        raise ValueError(
+            f"coarse flow {u_coarse.shape} is not the ceil-half of {img1.shape}"
+        )
+    dtype = jnp.float32
+    lead = img1.shape[:-2]
+    Hc, Wcc = u_coarse.shape[-2], u_coarse.shape[-1]
+    a = [x.astype(dtype).reshape((-1, H, W)) for x in (img1, img2)]
+    f = [x.astype(dtype).reshape((-1, Hc, Wcc)) for x in (u_coarse, v_coarse)]
+    u, v = _pyrup_warp_lk_batched(
+        a[0], a[1], f[0], f[1], band=band, C=int(max_disp), clamp=float(clamp)
+    )
+    return u.reshape(lead + (H, W)), v.reshape(lead + (H, W))

@@ -30,10 +30,12 @@ def kernel(x_ref, o_ref):
     rows = jnp.stack([ev, od], axis=-2).reshape(2 * Hc, Wc + 2)
     evc = K[0] * rows[:, :-2] + K[2] * rows[:, 1:-1] + K[4] * rows[:, 2:]
     odc = K[1] * rows[:, 1:-1] + K[3] * rows[:, 2:]
-    o_ref[...] = jnp.stack([evc, odc], axis=-1).reshape(2 * Hc, 2 * Wc)
+    inter = jnp.stack([evc.T, odc.T], axis=-2).reshape(2 * Wc, 2 * Hc)
+    o_ref[...] = inter.T
 
 
-@jax.jit
+from functools import partial as _p
+@_p(jax.jit, static_argnames=('Hc','Wc'))
 def pyrup_pallas(xp, Hc, Wc):
     return pl.pallas_call(
         kernel,
@@ -58,7 +60,7 @@ ref = np.asarray(pyr_up(x))
 try:
     got = np.asarray(pyrup_pallas(xp, Hc, Wc))
 except Exception as e:
-    print("PALLAS FAILED:", type(e).__name__, str(e)[:500])
+    print("PALLAS FAILED:", type(e).__name__); print(str(e)[-2500:])
     sys.exit(1)
 print("max|diff| vs pyr_up:", np.abs(got - ref).max())
 

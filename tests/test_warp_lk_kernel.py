@@ -124,14 +124,17 @@ def test_no_negate_reference_direction():
 
 
 def test_multiband_row_seams():
-    # H=64 picks band=64; force multiple bands via a taller image: H=128
-    # gives band<=96 dividing 128 -> 8..96: 8,16,32,64 -> 64 => 2 bands.
-    _compare((128, 40), max_disp=2, clamp=2.5, negate=True, scale=1.0, seed=11)
+    # force multiple bands: at W=40 the VMEM-aware picker allows tall
+    # bands, so use H=1024 -> band 512 => 2 bands (asserted)
+    from optical_flow_tpu.kernels.warp_lk_kernel import warp_lk_band
+
+    assert 1024 // warp_lk_band(1024, 40, 2) >= 2
+    _compare((1024, 40), max_disp=2, clamp=2.5, negate=True, scale=1.0, seed=11)
 
 
 def test_padded_rows_straddle_last_band():
-    # H=122 -> Hp=128, band=64: the last band holds 6 pad rows after the
-    # final real rows — the interior mask must keep them from leaking.
+    # H=122 -> Hp=128: the last band holds 6 pad rows after the final
+    # real rows — the interior mask must keep them from leaking.
     _compare((122, 40), max_disp=2, clamp=2.5, negate=True, scale=1.0, seed=13)
 
 
@@ -229,8 +232,9 @@ def test_fused_pyramid_end_to_end():
 
 
 def test_band_constraints():
-    assert warp_lk_band(1080, 1080, 5) == 72
-    assert warp_lk_band(540, 540, 5) == 32  # Hp=544; largest <=96 divisor
+    assert warp_lk_band(1080, 1080, 5) == 72  # largest divisor within VMEM
+    assert warp_lk_band(540, 540, 5) == 136  # narrow level -> tall band
+    assert warp_lk_band(270, 270, 5) == 272  # single band
     assert warp_lk_band(50, 40, 5) == 56  # Hp=56, single band
     assert warp_lk_band(64, 2, 5) is None  # too narrow
     assert warp_lk_band(4, 64, 5) is None  # too short
