@@ -31,6 +31,7 @@ from optical_flow_tpu.config import (
 from optical_flow_tpu.flow.lk import lucas_kanade
 from optical_flow_tpu.flow.coarse_to_fine import (
     coarse_to_fine,
+    coarse_to_fine_pyramids,
     coarse_to_fine_with_images,
 )
 from optical_flow_tpu.flow.horn_schunck import HornSchunckConfig, horn_schunck
@@ -50,6 +51,7 @@ __all__ = [
     "VideoConfig",
     "lucas_kanade",
     "coarse_to_fine",
+    "coarse_to_fine_pyramids",
     "coarse_to_fine_with_images",
     "horn_schunck",
     "HornSchunckConfig",

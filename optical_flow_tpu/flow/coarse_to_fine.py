@@ -161,6 +161,40 @@ def _resolve_level_step(config: FlowConfig, warp_impl: str, max_disp: int, warp_
     return level_step
 
 
+def coarse_to_fine_pyramids(
+    pyr1,
+    pyr2,
+    *,
+    config: FlowConfig = FlowConfig(),
+    _need_images: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pyramidal LK over PREBUILT Gaussian pyramids (lists/tuples, level 0
+    finest). Streaming video reuses each frame's pyramid for two
+    consecutive pairs (pipeline/video.py), and batched mode solves N-2
+    pairs from N single pyramids — `coarse_to_fine` is this plus
+    `gaussian_pyramid` on both images.
+    """
+    if len(pyr1) != len(pyr2):
+        raise ValueError(f"pyramid depths differ: {len(pyr1)} vs {len(pyr2)}")
+
+    def solve(_i, a, b):
+        return lucas_kanade(a, b, impl=config.impl)
+
+    warp_impl, max_disp = resolve_warp_impl(config)
+
+    def warp(_i, a, b, u, v):
+        return symmetric_warp(
+            a, b, u, v, quantize=config.quantize_warp, impl=warp_impl, max_disp=max_disp
+        )
+
+    warp_solve = _resolve_warp_solve(config, warp_impl, max_disp, solve, warp)
+    level_step = _resolve_level_step(config, warp_impl, max_disp, warp_solve)
+    return run_pyramid(
+        list(pyr1), list(pyr2), solve, warp, config,
+        warp_solve=warp_solve, level_step=level_step, need_images=_need_images,
+    )
+
+
 def coarse_to_fine_with_images(
     img1,
     img2,
@@ -177,22 +211,8 @@ def coarse_to_fine_with_images(
     levels = _validate_levels(levels, img1.shape, config)
     pyr1 = gaussian_pyramid(img1, levels)
     pyr2 = gaussian_pyramid(img2, levels)
-
-    def solve(_i, a, b):
-        return lucas_kanade(a, b, impl=config.impl)
-
-    warp_impl, max_disp = resolve_warp_impl(config)
-
-    def warp(_i, a, b, u, v):
-        return symmetric_warp(
-            a, b, u, v, quantize=config.quantize_warp, impl=warp_impl, max_disp=max_disp
-        )
-
-    warp_solve = _resolve_warp_solve(config, warp_impl, max_disp, solve, warp)
-    level_step = _resolve_level_step(config, warp_impl, max_disp, warp_solve)
-    return run_pyramid(
-        pyr1, pyr2, solve, warp, config,
-        warp_solve=warp_solve, level_step=level_step, need_images=_need_images,
+    return coarse_to_fine_pyramids(
+        pyr1, pyr2, config=config, _need_images=_need_images
     )
 
 

@@ -27,8 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from optical_flow_tpu.config import VideoConfig
-from optical_flow_tpu.flow.coarse_to_fine import coarse_to_fine_with_images
-from optical_flow_tpu.ops.pyramid import max_pyramid_levels
+from optical_flow_tpu.flow.coarse_to_fine import (
+    coarse_to_fine_pyramids,
+    coarse_to_fine_with_images,
+)
+from optical_flow_tpu.ops.pyramid import gaussian_pyramid, max_pyramid_levels
 from optical_flow_tpu.pipeline.gesture import GestureResult, detect_gesture
 from optical_flow_tpu.pipeline.preprocess import diff_features, preprocess_frame
 
@@ -55,11 +58,22 @@ class VideoPipeline:
         self._diff = jax.jit(self._diff_impl)
         self._flow_step = jax.jit(self._flow_step_impl)
         self._batch_flow = jax.jit(self._batch_flow_impl)
+        self._build_pyr = jax.jit(self._build_pyr_impl)
+        self._flow_step_pyr = jax.jit(self._flow_step_pyr_impl)
+        self._batch_flow_pyr = jax.jit(self._batch_flow_pyr_impl)
+        # Streaming pyramid reuse: each frame's Gaussian pyramid serves two
+        # consecutive pairs ((t-1, t) and (t, t+1)), so cache it instead of
+        # rebuilding — ~25% of the per-frame flow work at 1080^2. Only valid
+        # when prevDiff is the RAW diff (faithful_prev_diff warps it in
+        # place, so its pyramid differs) and unsharded (the mesh path
+        # builds pyramids inside its own jit).
+        self._reuse_pyramids = not config.faithful_prev_diff and mesh is None
         self.reset()
 
     def reset(self) -> None:
         self._prev_gray = None
         self._prev_diff = None
+        self._prev_pyr = None
         self._frame_idx = 0
 
     # --- checkpoint / resume (utils/checkpoint.py) -------------------------
@@ -78,6 +92,13 @@ class VideoPipeline:
     def restore(self, state: dict) -> None:
         self._prev_gray = None if state["prev_gray"] is None else jnp.asarray(state["prev_gray"])
         self._prev_diff = None if state["prev_diff"] is None else jnp.asarray(state["prev_diff"])
+        # the cached pyramid is derived state: rebuild it (deterministic,
+        # so resumed streams stay bit-identical to uninterrupted ones)
+        self._prev_pyr = (
+            self._build_pyr(self._prev_diff)
+            if (self._reuse_pyramids and self._prev_diff is not None)
+            else None
+        )
         self._frame_idx = int(state["frame_idx"])
 
     # --- jitted stages -----------------------------------------------------
@@ -107,6 +128,13 @@ class VideoPipeline:
         next_prev = warped_diff if self.config.faithful_prev_diff else diff
         return FrameResult(u, v, gesture), next_prev
 
+    def _build_pyr_impl(self, diff):
+        return tuple(gaussian_pyramid(diff, max_pyramid_levels(diff.shape)))
+
+    def _flow_step_pyr_impl(self, prev_pyr, pyr):
+        u, v, _, _ = coarse_to_fine_pyramids(prev_pyr, pyr, config=self.config.flow)
+        return FrameResult(u, v, detect_gesture(u, v, self.config.gesture))
+
     def _batch_flow_impl(self, prev_diffs, diffs):
         levels = max_pyramid_levels(diffs.shape)
         if self.mesh is not None:
@@ -122,6 +150,15 @@ class VideoPipeline:
             )
         return FrameResult(u, v, detect_gesture(u, v, self.config.gesture))
 
+    def _batch_flow_pyr_impl(self, diffs):
+        # one pyramid per diff; the N-2 pairs are batch SLICES of the same
+        # level arrays (each frame's pyramid serves both its pairs for free)
+        pyr = tuple(gaussian_pyramid(diffs, max_pyramid_levels(diffs.shape)))
+        prev = tuple(p[:-1] for p in pyr)
+        cur = tuple(p[1:] for p in pyr)
+        u, v, _, _ = coarse_to_fine_pyramids(prev, cur, config=self.config.flow)
+        return FrameResult(u, v, detect_gesture(u, v, self.config.gesture))
+
     # --- host loops --------------------------------------------------------
 
     def push(self, frame: np.ndarray) -> Optional[FrameResult]:
@@ -135,6 +172,15 @@ class VideoPipeline:
             return None
         diff = self._diff(gray, self._prev_gray)
         self._prev_gray = gray
+        if self._reuse_pyramids:
+            pyr = self._build_pyr(diff)
+            if self._prev_diff is None:
+                self._prev_diff = diff
+                self._prev_pyr = pyr
+                return None
+            result = self._flow_step_pyr(self._prev_pyr, pyr)
+            self._prev_diff, self._prev_pyr = diff, pyr
+            return result
         if self._prev_diff is None:
             self._prev_diff = diff
             return None
@@ -170,6 +216,8 @@ class VideoPipeline:
             )
         grays = self._preprocess(jnp.asarray(frames))
         diffs = self._diff(grays[1:], grays[:-1])
+        if self.mesh is None:
+            return self._batch_flow_pyr(diffs)
         return self._batch_flow(diffs[:-1], diffs[1:])
 
 

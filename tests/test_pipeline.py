@@ -259,3 +259,22 @@ def test_fast_preset_runs():
     results = list(pipe.run(_synthetic_frames(5)))
     assert len(results) == 3
     assert all(np.isfinite(np.asarray(r.u)).all() for r in results)
+
+
+def test_streaming_pyramid_reuse_matches_unreused():
+    """The cached-pyramid streaming path (reuse active when
+    faithful_prev_diff=False, no mesh) must be bit-identical to solving
+    each pair from scratch via the un-cached step."""
+    r = np.random.RandomState(21)
+    frames = (r.rand(6, 64, 64, 3) * 255).astype(np.uint8)
+    cfg = VideoConfig(preprocess=PreprocessConfig(size=(48, 48)), faithful_prev_diff=False)
+    pipe = VideoPipeline(cfg)
+    assert pipe._reuse_pyramids
+    reused = list(pipe.run(frames, prefetch=0))
+    pipe2 = VideoPipeline(cfg)
+    pipe2._reuse_pyramids = False  # force the legacy step
+    legacy = list(pipe2.run(frames, prefetch=0))
+    assert len(reused) == len(legacy) == len(frames) - 2
+    for a, b in zip(reused, legacy):
+        np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
+        np.testing.assert_array_equal(np.asarray(a.v), np.asarray(b.v))
