@@ -2,7 +2,11 @@
 
 This is the reference's flagship per-frame workload (ParallelVideoPyr.cpp:
 746-747 resize to 1080^2, :831-836 getMaxLayer -> 4 levels ->
-coarseToFineEstimation), timed steady-state on the available device.
+coarseToFineEstimation), timed steady-state on the available device, in
+the STREAMING formulation the flagship loop executes: per frame, one new
+Gaussian pyramid is built and one pair is solved (each frame's pyramid
+serves both its pairs, pipeline/video.py). `--pairwise` measures isolated
+pairs instead; parity mode always does.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -105,6 +109,12 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--levels", type=int, default=None)
     ap.add_argument(
+        "--pairwise",
+        action="store_true",
+        help="measure isolated flow pairs (both pyramids rebuilt per call) "
+        "instead of the streaming-video formulation",
+    )
+    ap.add_argument(
         "--parity",
         action="store_true",
         help="bench the exact reference configuration (unbounded gather "
@@ -183,6 +193,53 @@ def main():
         dt = device_total if device_total else wall
         return iters * batch / dt, iters * batch / wall
 
+    def measure_streaming(size, frames_per_call, impl, iters, warmup=2,
+                          levels=None, cfg=None):
+        """The flagship workload as the VIDEO LOOP sees it: per frame, ONE
+        new Gaussian pyramid is built and one pair is solved — each frame's
+        pyramid serves both its pairs (pipeline/video.py reuse). A call
+        processes frames_per_call pairs from frames_per_call+1 use-once
+        diff planes via batch slices of shared pyramids."""
+        from optical_flow_tpu import coarse_to_fine_pyramids
+        from optical_flow_tpu.ops.pyramid import gaussian_pyramid
+
+        H = W = size
+        levels = levels or max_pyramid_levels((H, W))
+        if cfg is None:
+            cfg = FlowConfig(impl=impl, levels=levels)
+        nb = frames_per_call + 1
+
+        def mk(seed):
+            r = np.random.RandomState(seed)
+            base = (r.rand(nb, H, W) * 2040.0).astype(np.float32)
+            m = (r.rand(nb, H, W) < 0.15).astype(np.float32)
+            return (jnp.asarray(base * m),)
+
+        ps = [mk(s) for s in range(warmup + iters)]
+        jax.block_until_ready(ps)
+
+        def _bench_stream(diffs):
+            pyr = tuple(gaussian_pyramid(diffs, levels))
+            prev = tuple(p[:-1] for p in pyr)
+            cur = tuple(p[1:] for p in pyr)
+            u, v, _, _ = coarse_to_fine_pyramids(prev, cur, config=cfg)
+            return u, v
+
+        fn = jax.jit(_bench_stream)
+        for p in ps[:warmup]:
+            sync(fn(*p))
+        trace_dir = "/tmp/optical_flow_bench_trace_stream"
+        os.system(f"rm -rf {trace_dir}")
+        t0 = time.perf_counter()
+        with jax.profiler.trace(trace_dir):
+            outs = [fn(*p) for p in ps[warmup:]]
+            sync(outs[-1])
+        wall = time.perf_counter() - t0
+
+        device_total = _device_seconds(trace_dir, "_bench_stream", iters)
+        dt = device_total if device_total else wall
+        return iters * frames_per_call / dt, iters * frames_per_call / wall
+
     if args.sweep:
         print("size  batch  impl    fps        Mpix/s", file=sys.stderr)
         for size in (200, 400, 800, 1080):
@@ -219,7 +276,24 @@ def main():
             warp_clamp=8.0,
             warp_impl="auto",
         )
-    fps, wall_fps = measure(args.size, args.batch, args.impl, args.iters, args.warmup, levels, cfg)
+    # Headline: the streaming-video formulation (one new pyramid + one
+    # pair solve per frame — what the flagship loop and pipeline/video.py
+    # actually execute in steady state). `--pairwise` measures isolated
+    # pairs (both pyramids rebuilt per call); parity mode always does.
+    if args.parity or args.pairwise:
+        fps, wall_fps = measure(
+            args.size, args.batch, args.impl, args.iters, args.warmup, levels, cfg
+        )
+        pair_fps = fps
+    else:
+        fps, wall_fps = measure_streaming(
+            args.size, max(args.batch, 4), args.impl, args.iters, args.warmup,
+            levels, cfg,
+        )
+        pair_fps, _ = measure(
+            args.size, args.batch, args.impl, max(6, args.iters // 3),
+            args.warmup, levels, cfg,
+        )
     mpix_s = fps * H * W / 1e6
     # accuracy companion metric: f32 mean EPE vs the reference goldens
     epe = None
@@ -267,6 +341,10 @@ def main():
                     "mpix_per_s": round(mpix_s, 1),
                     "f32_mean_epe_px_vs_goldens": None if epe is None else round(epe, 5),
                     "config": "parity" if args.parity else "corrected+shift-warp(clamp 8)",
+                    "formulation": (
+                        "pairwise" if (args.parity or args.pairwise) else "streaming"
+                    ),
+                    "pairwise_fps": round(pair_fps, 2),
                     "wall_clock_fps_incl_transport": round(wall_fps, 2),
                     "timing_source": "device_spans",
                     "levels": levels,
