@@ -153,6 +153,7 @@ def main():
         return float(np.asarray(u[..., :1, :1]).ravel()[0])
 
     def measure(size, batch, impl, iters, warmup=2, levels=None, cfg=None):
+        signal.alarm(480)  # re-arm per measurement: each config may compile fresh
         H = W = size
         levels = levels or max_pyramid_levels((H, W))
         if cfg is None:
@@ -203,6 +204,7 @@ def main():
         from optical_flow_tpu import coarse_to_fine_pyramids
         from optical_flow_tpu.ops.pyramid import gaussian_pyramid
 
+        signal.alarm(480)  # re-arm per measurement (see measure())
         H = W = size
         levels = levels or max_pyramid_levels((H, W))
         if cfg is None:

@@ -156,13 +156,32 @@ def read_frames(
     """Frames [start::stride], up to max_frames of them.
 
     start/stride cover the reference demo's frame scrubbing
-    (OpticalFlowDemo.cpp:265-274 keyboard stepping); implemented by
-    skipping decoded frames, which is exact for any backend/codec.
+    (OpticalFlowDemo.cpp:265-274 keyboard stepping). With the native
+    decoder, `start` uses container seeking (av_seek_frame to the
+    preceding keyframe + decode-discard to the exact frame — O(GOP)
+    instead of decoding `start` frames); other backends, or streams that
+    can't seek, skip decoded frames, which is exact for any codec.
     """
     if stride < 1:
         raise ValueError("stride must be >= 1 (decode cannot run backwards)")
+    reader = VideoReader(path)
+    source: Iterator[np.ndarray] = iter(reader)
+    base = 0
+    if start > 0 and getattr(reader, "backend", None) == "native":
+        from optical_flow_tpu.native import NativeFramePipe
+
+        try:
+            pipe = NativeFramePipe(reader.path, start=start)
+
+            def _seeked():
+                with pipe:
+                    yield from pipe
+
+            source, base = _seeked(), start
+        except RuntimeError:
+            pass  # unseekable stream: decode-and-skip below
     yielded = 0
-    for i, frame in enumerate(VideoReader(path)):
+    for i, frame in enumerate(source, start=base):
         if i < start or (i - start) % stride:
             continue
         if max_frames is not None and yielded >= max_frames:

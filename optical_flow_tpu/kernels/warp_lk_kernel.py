@@ -75,6 +75,13 @@ def warp_lk_band(H: int, W: int, max_disp: int) -> Optional[int]:
     for band in range(8, Hp + 1, 8):
         if Hp % band:
             continue
+        if band > 160 and Wp > 512 and best is not None:
+            # empirical Mosaic limit: a 200-row band at Wp=640 crashes the
+            # AOT compiler with no diagnostic (exit 1) even though the
+            # VMEM estimate fits, while tall bands at Wp <= 512 (200@384,
+            # 272@512) compile and run. Cap unless nothing smaller
+            # divides Hp.
+            continue
         rows = band + 2 * R
         # 2 imgs x 2 slots slabs at Wp, ~2.5 coarse-flow slabs (pyrup
         # variant), ~16 working planes at the tmp width

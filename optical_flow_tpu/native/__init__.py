@@ -61,6 +61,15 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.fp_open_at.restype = ctypes.c_void_p
+        lib.fp_open_at.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         lib.fp_probe.restype = ctypes.c_int
         lib.fp_probe.argtypes = [
             ctypes.c_char_p,
@@ -102,7 +111,11 @@ def probe_native(path):
 class NativeFramePipe:
     """Ring-buffered libavcodec decode on a C++ thread (overlaps compute)."""
 
-    def __init__(self, path: str, ring: int = 4):
+    def __init__(self, path: str, ring: int = 4, start: int = 0):
+        """start > 0 seeks the container (av_seek_frame to the preceding
+        keyframe + decode-discard to the exact frame) before streaming —
+        O(GOP) instead of decoding `start` frames. Raises RuntimeError if
+        the stream can't seek (caller falls back to decode-and-skip)."""
         lib = load_library()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -110,11 +123,17 @@ class NativeFramePipe:
         w = ctypes.c_int(0)
         h = ctypes.c_int(0)
         fps = ctypes.c_double(0.0)
-        self._h = lib.fp_open(
-            str(path).encode(), ring, ctypes.byref(w), ctypes.byref(h), ctypes.byref(fps)
-        )
+        if start > 0:
+            self._h = lib.fp_open_at(
+                str(path).encode(), ring, start,
+                ctypes.byref(w), ctypes.byref(h), ctypes.byref(fps),
+            )
+        else:
+            self._h = lib.fp_open(
+                str(path).encode(), ring, ctypes.byref(w), ctypes.byref(h), ctypes.byref(fps)
+            )
         if not self._h:
-            raise RuntimeError(f"fp_open failed for {path}")
+            raise RuntimeError(f"fp_open failed for {path} (start={start})")
         self.width = w.value
         self.height = h.value
         self.fps = fps.value

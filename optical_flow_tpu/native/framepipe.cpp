@@ -47,6 +47,9 @@ struct Decoder {
   double fps = 0.0;
   bool draining = false;
   bool have_pending = false;  // pkt holds data the codec hasn't accepted yet
+  bool skipping = false;      // discarding pre-seek-target frames
+  int64_t target_pts = 0;     // first wanted pts after a seek (stream tb)
+  int64_t half_dur = 0;       // half a frame duration for the pts gate
 
   ~Decoder() {
     if (sws) sws_freeContext(sws);
@@ -76,11 +79,45 @@ struct Decoder {
     return frame && pkt && width > 0 && height > 0;
   }
 
+  // Frame-accurate seek to frame index `idx`: av_seek_frame to the last
+  // keyframe at/before the target timestamp, flush the codec, then decode
+  // and DISCARD until the target pts (OpticalFlowDemo.cpp scrubbing, but
+  // container-seek fast instead of decode-from-zero). false if the
+  // container/stream can't seek by timestamp.
+  bool seek_frame_index(long idx) {
+    if (idx <= 0) return true;
+    AVStream* st = fmt->streams[stream];
+    AVRational fr = st->avg_frame_rate;
+    if (fr.num <= 0 || fr.den <= 0) return false;
+    AVRational per_frame = {fr.den, fr.num};  // seconds per frame
+    int64_t start =
+        (st->start_time == AV_NOPTS_VALUE) ? 0 : st->start_time;
+    target_pts = start + av_rescale_q(idx, per_frame, st->time_base);
+    half_dur = av_rescale_q(1, per_frame, st->time_base) / 2;
+    if (av_seek_frame(fmt, stream, target_pts, AVSEEK_FLAG_BACKWARD) < 0)
+      return false;
+    avcodec_flush_buffers(codec);
+    draining = false;
+    have_pending = false;
+    skipping = true;
+    return true;
+  }
+
   // Decode the next frame into out (height x width x 3 BGR24). 1/0.
   int next(unsigned char* out) {
     for (;;) {
       int rc = avcodec_receive_frame(codec, frame);
       if (rc == 0) {
+        if (skipping) {
+          int64_t pts = frame->best_effort_timestamp;
+          // pts-less stream: best effort — stop discarding (a pure
+          // decode-skip fallback lives on the Python side)
+          if (pts != AV_NOPTS_VALUE && pts + half_dur < target_pts) {
+            av_frame_unref(frame);
+            continue;
+          }
+          skipping = false;
+        }
         if (!sws) {
           sws = sws_getContext(width, height, (AVPixelFormat)frame->format,
                                width, height, AV_PIX_FMT_BGR24, SWS_BILINEAR,
@@ -188,6 +225,33 @@ FramePipe* fp_open(const char* path, int ring_capacity, int* out_w, int* out_h,
   if (ring_capacity <= 0) return nullptr;
   auto* fp = new FramePipe();
   if (!fp->dec.open(path)) {
+    delete fp;
+    return nullptr;
+  }
+  if (out_w) *out_w = fp->dec.width;
+  if (out_h) *out_h = fp->dec.height;
+  if (out_fps) *out_fps = fp->dec.fps;
+  fp->ring.frame_bytes =
+      static_cast<size_t>(fp->dec.width) * fp->dec.height * 3;
+  fp->ring.capacity = ring_capacity;
+  fp->ring.data.resize(fp->ring.frame_bytes * ring_capacity);
+  if (pthread_create(&fp->reader, nullptr, reader_main, fp) != 0) {
+    delete fp;
+    return nullptr;
+  }
+  fp->reader_started = true;
+  return fp;
+}
+
+// fp_open starting at frame index `start_frame` via container seek
+// (av_seek_frame to the preceding keyframe + decode-discard to the exact
+// frame). NULL if the stream cannot seek — callers fall back to
+// decode-and-skip from zero.
+FramePipe* fp_open_at(const char* path, int ring_capacity, long start_frame,
+                      int* out_w, int* out_h, double* out_fps) {
+  if (ring_capacity <= 0) return nullptr;
+  auto* fp = new FramePipe();
+  if (!fp->dec.open(path) || !fp->dec.seek_frame_index(start_frame)) {
     delete fp;
     return nullptr;
   }

@@ -1,5 +1,7 @@
 """Native (C++) host runtime tests: build, frame pipe, golden IO."""
 
+import itertools
+
 import numpy as np
 import pytest
 
@@ -118,3 +120,44 @@ def test_read_frames_start_stride(lib):
     np.testing.assert_array_equal(strided[1], all_frames[3])
     with pytest.raises(ValueError):
         next(read_frames(ref / "pacman.mp4", stride=0))
+
+
+def test_native_seek_matches_skip_decode(lib):
+    """Container seek (fp_open_at: av_seek_frame + decode-discard) must
+    yield byte-identical frames to decode-and-skip from zero."""
+    from optical_flow_tpu.native import NativeFramePipe
+    from optical_flow_tpu.utils.goldens import reference_dir
+
+    ref = reference_dir()
+    if ref is None or not (ref / "pacman.mp4").exists():
+        pytest.skip("pacman.mp4 not available")
+    path = str(ref / "pacman.mp4")
+    start = 7
+    with NativeFramePipe(path) as pipe:
+        skipped = list(itertools.islice(iter(pipe), start, start + 3))
+    with NativeFramePipe(path, start=start) as pipe:
+        seeked = list(itertools.islice(iter(pipe), 3))
+    assert len(skipped) == len(seeked) == 3
+    for a, b in zip(skipped, seeked):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_read_frames_uses_seek(lib):
+    """read_frames(start=...) through the native backend returns the same
+    frames as the stride/skip path."""
+    import itertools
+
+    from optical_flow_tpu.io.video_reader import VideoReader, read_frames
+    from optical_flow_tpu.utils.goldens import reference_dir
+
+    ref = reference_dir()
+    if ref is None or not (ref / "pacman.mp4").exists():
+        pytest.skip("pacman.mp4 not available")
+    path = str(ref / "pacman.mp4")
+    if VideoReader(path).backend != "native":
+        pytest.skip("native backend unavailable")
+    via_seek = list(read_frames(path, max_frames=2, start=6, stride=2))
+    all_frames = list(itertools.islice(iter(VideoReader(path)), 12))
+    assert len(via_seek) == 2
+    np.testing.assert_array_equal(via_seek[0], all_frames[6])
+    np.testing.assert_array_equal(via_seek[1], all_frames[8])
