@@ -23,6 +23,15 @@ from optical_flow_tpu.slam.epipolar import (
     triangulate,
 )
 from optical_flow_tpu.slam.frontend import TwoViewReconstruction, two_view_reconstruct
+from optical_flow_tpu.slam.pnp import pnp_dlt, pnp_ransac
+from optical_flow_tpu.slam.pose_graph import (
+    PoseGraph,
+    propose_loop_candidates,
+    relative_pose,
+    relocalize,
+    thumbnail_descriptor,
+    verify_loop_closure,
+)
 from optical_flow_tpu.slam.window import WindowedBA
 
 __all__ = [
@@ -40,4 +49,12 @@ __all__ = [
     "triangulate",
     "TwoViewReconstruction",
     "two_view_reconstruct",
+    "pnp_dlt",
+    "pnp_ransac",
+    "PoseGraph",
+    "propose_loop_candidates",
+    "relative_pose",
+    "relocalize",
+    "thumbnail_descriptor",
+    "verify_loop_closure",
 ]

@@ -387,12 +387,20 @@ def _skew(t):
 
 
 def _exp_so3(w):
-    """Rodrigues: exp([w]_x) with the small-angle-safe sinc forms."""
+    """Rodrigues: exp([w]_x), value- AND gradient-safe at w = 0.
+
+    The epsilon must be large enough that the quotient-rule denominator
+    (th2 + eps)^2 stays a NORMAL f32 (eps = 1e-24 squared underflows to
+    0 and the jacfwd of (1-cos)/th2 silently NaNs — which froze every
+    Gauss-Newton user of this function at the zero-perturbation point).
+    At eps = 1e-12 the small-angle values are exact to f32: sin(1e-6)/1e-6
+    = 1, (1-cos(1e-6))/1e-12 = 0.5.
+    """
     th2 = jnp.sum(w * w)
-    th = jnp.sqrt(th2 + 1e-24)
+    th = jnp.sqrt(th2 + 1e-12)
     K = _skew(w)
     a = jnp.sin(th) / th
-    b = (1.0 - jnp.cos(th)) / (th2 + 1e-24)
+    b = (1.0 - jnp.cos(th)) / (th2 + 1e-12)
     return jnp.eye(3, dtype=w.dtype) + a * K + b * (K @ K)
 
 

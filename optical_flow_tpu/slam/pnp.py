@@ -50,3 +50,53 @@ def reprojection_errors(R, t, X, x) -> jnp.ndarray:
     z = jnp.where(jnp.abs(Xc[:, 2:3]) > 1e-9, Xc[:, 2:3], 1e-9)
     proj = Xc[:, :2] / z
     return jnp.sqrt(jnp.sum((proj - x) ** 2, axis=-1))
+
+
+def pnp_ransac(
+    X,
+    x,
+    valid=None,
+    *,
+    n_hypotheses: int = 256,
+    inlier_thresh: float = 2e-3,
+    seed: int = 0,
+):
+    """Robust PnP: batched 6-point DLT hypotheses, inlier counting on the
+    reprojection error, then a weighted refit on the consensus (same
+    all-hypotheses-in-one-batch shape as epipolar._ransac_essential).
+
+    Returns (R, t, inlier mask). The gate adapts to the winning
+    hypothesis's median residual like the essential RANSAC.
+    """
+    import jax
+
+    X = jnp.asarray(X, jnp.float32)
+    x = jnp.asarray(x, jnp.float32)
+    K = X.shape[0]
+    v = jnp.ones((K,), bool) if valid is None else jnp.asarray(valid, bool)
+    key = jax.random.PRNGKey(seed)
+    scores = jnp.where(v[None, :], jax.random.uniform(key, (n_hypotheses, K)), -jnp.inf)
+    _, idx = jax.lax.top_k(scores, 6)
+
+    def solve_one(ids):
+        w = jnp.zeros((K,), X.dtype).at[ids].set(1.0) * v
+        return pnp_dlt(X, x, w)
+
+    Rs, ts = jax.vmap(solve_one)(idx)
+    errs = jax.vmap(lambda R, t: reprojection_errors(R, t, X, x))(Rs, ts)
+    errs_m = jnp.where(v[None, :], errs, jnp.inf)
+    med_idx = jnp.maximum(jnp.sum(v) // 2, 0)
+    med = jnp.sort(errs_m, axis=-1)[:, med_idx]
+    best = jnp.argmin(med)
+    thresh = jnp.maximum(jnp.asarray(inlier_thresh, X.dtype), 2.5 * med[best])
+    R, t = Rs[best], ts[best]
+    for _ in range(3):
+        e = reprojection_errors(R, t, X, x)
+        cur = (e <= thresh) & v
+        # floor at the 6 best residuals so the DLT never goes degenerate
+        em = jnp.where(v, e, jnp.inf)
+        k6 = em <= jnp.sort(em)[jnp.minimum(5, jnp.sum(v) - 1)]
+        cur = jnp.where(jnp.sum(cur) >= 6, cur, k6 & v)
+        R, t = pnp_dlt(X, x, cur.astype(X.dtype))
+    final = (reprojection_errors(R, t, X, x) <= thresh) & v
+    return R, t, final

@@ -1,0 +1,277 @@
+"""Pose-graph optimization, loop-closure detection, and relocalization.
+
+The drift-correction layer above the incremental front end (SURVEY.md
+section 7.7 north star; the reference has no SLAM at all). Keyframe poses
+are nodes; relative-pose measurements (odometry from the two-view/PnP
+chain, loop closures from place recognition + geometric verification) are
+edges. Gauss-Newton on SE(3) with the first pose fixed distributes the
+accumulated drift around every cycle.
+
+TPU-first shape: all residuals/Jacobians evaluate as one batched jit
+(edges are arrays, not Python objects), the normal equations are a dense
+6(N-1) system solved on the MXU — for the hundreds-of-keyframes scale
+this targets, dense beats sparse bookkeeping.
+
+Pose convention: T_i = (R_i, t_i) maps WORLD -> CAMERA i (X_c = R X_w + t),
+matching epipolar.recover_pose / pnp_dlt. An edge (i, j) measures
+T_ij = T_j * T_i^{-1} (camera-j-from-camera-i).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optical_flow_tpu.slam.epipolar import _exp_so3  # shared SO(3) utils
+
+
+def _log_so3(R):
+    """Axis-angle from a rotation matrix, VALUE- and GRADIENT-safe at the
+    identity — where every pose-graph residual lives. (An arccos(trace)
+    form has an infinite derivative at theta=0, which silently NaNs the
+    Gauss-Newton Jacobian and freezes the optimizer.) Like all skew-part
+    formulas it degrades as theta -> pi; graph residuals never get there.
+    """
+    v = 0.5 * jnp.asarray(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+    )  # sin(theta) * axis
+    c = jnp.clip((R[0, 0] + R[1, 1] + R[2, 2] - 1.0) * 0.5, -1.0, 1.0)
+    s = jnp.sqrt(jnp.sum(v * v) + 1e-12)  # floored: theta/s -> 1 at identity
+    # (1e-12, not smaller: grad paths through 1/s^2 must stay normal f32)
+    return v * (jnp.arctan2(s, c) / s)
+
+
+@dataclasses.dataclass
+class PoseGraph:
+    """Nodes: (N, 3, 3) rotations + (N, 3) translations (world->cam).
+    Edges: index arrays + measured relative poses + scalar weights."""
+
+    Rs: np.ndarray
+    ts: np.ndarray
+    ei: List[int] = dataclasses.field(default_factory=list)
+    ej: List[int] = dataclasses.field(default_factory=list)
+    Rm: List[np.ndarray] = dataclasses.field(default_factory=list)
+    tm: List[np.ndarray] = dataclasses.field(default_factory=list)
+    wt: List[float] = dataclasses.field(default_factory=list)
+
+    def add_edge(self, i: int, j: int, R_ij, t_ij, weight: float = 1.0):
+        self.ei.append(int(i))
+        self.ej.append(int(j))
+        self.Rm.append(np.asarray(R_ij, np.float32))
+        self.tm.append(np.asarray(t_ij, np.float32))
+        self.wt.append(float(weight))
+
+    @staticmethod
+    def from_odometry(Rs, ts, weight: float = 1.0) -> "PoseGraph":
+        """Chain graph: consecutive relative poses measured from the given
+        (possibly drifted) trajectory itself — the usual starting point
+        before loop closures are added."""
+        Rs = np.asarray(Rs, np.float32)
+        ts = np.asarray(ts, np.float32)
+        g = PoseGraph(Rs=Rs.copy(), ts=ts.copy())
+        for i in range(len(Rs) - 1):
+            R_ij, t_ij = relative_pose(Rs[i], ts[i], Rs[i + 1], ts[i + 1])
+            g.add_edge(i, i + 1, R_ij, t_ij, weight)
+        return g
+
+    def optimize(self, iters: int = 12) -> Tuple[np.ndarray, np.ndarray]:
+        """Gauss-Newton; returns optimized (Rs, ts). Pose 0 is the gauge."""
+        E = len(self.ei)
+        if E == 0:
+            return self.Rs.copy(), self.ts.copy()
+        Rn, tn = _optimize_pose_graph(
+            jnp.asarray(self.Rs),
+            jnp.asarray(self.ts),
+            jnp.asarray(self.ei, jnp.int32),
+            jnp.asarray(self.ej, jnp.int32),
+            jnp.asarray(np.stack(self.Rm)),
+            jnp.asarray(np.stack(self.tm)),
+            jnp.asarray(self.wt, jnp.float32),
+            iters,
+        )
+        return np.asarray(Rn), np.asarray(tn)
+
+    def residual_norms(self) -> np.ndarray:
+        """Per-edge residual magnitudes (se3 norm) at the current poses."""
+        r = _edge_residuals(
+            jnp.asarray(self.Rs), jnp.asarray(self.ts),
+            jnp.asarray(self.ei, jnp.int32), jnp.asarray(self.ej, jnp.int32),
+            jnp.asarray(np.stack(self.Rm)), jnp.asarray(np.stack(self.tm)),
+        )
+        return np.asarray(jnp.linalg.norm(r, axis=-1))
+
+
+def relative_pose(Ri, ti, Rj, tj):
+    """T_j * T_i^{-1}: the pose of camera j expressed relative to i."""
+    Ri, ti, Rj, tj = (np.asarray(a, np.float32) for a in (Ri, ti, Rj, tj))
+    R = Rj @ Ri.T
+    t = tj - R @ ti
+    return R, t
+
+
+def _edge_residuals(Rs, ts, ei, ej, Rm, tm):
+    Ri, ti = Rs[ei], ts[ei]
+    Rj, tj = Rs[ej], ts[ej]
+    Rrel = jnp.einsum("eab,ecb->eac", Rj, Ri)  # Rj Ri^T
+    trel = tj - jnp.einsum("eab,eb->ea", Rrel, ti)
+    Re = jnp.einsum("eba,ebc->eac", Rm, Rrel)  # Rm^T Rrel
+    te = jnp.einsum("eba,eb->ea", Rm, trel - tm)
+    rot = jax.vmap(_log_so3)(Re)
+    return jnp.concatenate([rot, te], axis=-1)  # (E, 6)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _optimize_pose_graph(Rs, ts, ei, ej, Rm, tm, wt, iters: int):
+    N = Rs.shape[0]
+    damp = jnp.asarray(1e-8, Rs.dtype)
+
+    def residuals(theta, Rs, ts):
+        # theta: (N-1, 6) left-perturbations of poses 1..N-1 (pose 0 fixed)
+        delta = jnp.concatenate([jnp.zeros((1, 6), Rs.dtype), theta.reshape(-1, 6)])
+        dR = jax.vmap(_exp_so3)(delta[:, :3])
+        Rn = jnp.einsum("nab,nbc->nac", dR, Rs)
+        tn = jnp.einsum("nab,nb->na", dR, ts) + delta[:, 3:]
+        r = _edge_residuals(Rn, tn, ei, ej, Rm, tm)
+        return (r * wt[:, None]).reshape(-1)
+
+    def apply(theta, Rs, ts):
+        delta = jnp.concatenate([jnp.zeros((1, 6), Rs.dtype), theta.reshape(-1, 6)])
+        dR = jax.vmap(_exp_so3)(delta[:, :3])
+        return (
+            jnp.einsum("nab,nbc->nac", dR, Rs),
+            jnp.einsum("nab,nb->na", dR, ts) + delta[:, 3:],
+        )
+
+    def step(_, carry):
+        Rs, ts = carry
+        z = jnp.zeros(((N - 1) * 6,), Rs.dtype)
+        r = residuals(z, Rs, ts)
+        J = jax.jacfwd(residuals)(z, Rs, ts)  # (6E, 6(N-1))
+        H = J.T @ J + damp * jnp.eye((N - 1) * 6, dtype=Rs.dtype)
+        delta = -jnp.linalg.solve(H, J.T @ r)
+        r_new = residuals(delta, Rs, ts)
+        ok = jnp.sum(r_new * r_new) < jnp.sum(r * r)
+        delta = jnp.where(ok, delta, jnp.zeros_like(delta))
+        return apply(delta, Rs, ts)
+
+    return jax.lax.fori_loop(0, iters, step, (Rs, ts))
+
+
+# ------------------------------------------------------------ place index
+
+
+def thumbnail_descriptor(img, size: int = 16) -> np.ndarray:
+    """Tiny normalized-intensity global descriptor (zero mean, unit norm)
+    for loop-closure candidate proposal — deliberately reference-scale
+    (no learned features): nearby viewpoints of the same place correlate
+    strongly at 16x16."""
+    import jax.image
+
+    x = jnp.asarray(np.asarray(img), jnp.float32)
+    d = jax.image.resize(x, (size, size), "linear").reshape(-1)
+    d = d - jnp.mean(d)
+    n = jnp.linalg.norm(d)
+    return np.asarray(d / jnp.maximum(n, 1e-9))
+
+
+def propose_loop_candidates(
+    descriptors, min_separation: int = 10, max_candidates: int = 5
+) -> List[Tuple[int, int, float]]:
+    """(i, j, distance) pairs with |i - j| >= min_separation, closest
+    first — candidates for geometric verification."""
+    D = np.stack([np.asarray(d) for d in descriptors])
+    N = len(D)
+    dist = np.linalg.norm(D[:, None, :] - D[None, :, :], axis=-1)
+    ii, jj = np.triu_indices(N, k=min_separation)
+    if len(ii) == 0:
+        return []
+    order = np.argsort(dist[ii, jj])[:max_candidates]
+    return [(int(ii[k]), int(jj[k]), float(dist[ii[k], jj[k]])) for k in order]
+
+
+def verify_loop_closure(
+    img_i,
+    img_j,
+    focal: float,
+    cx: float,
+    cy: float,
+    *,
+    min_inliers: int = 30,
+    max_corners: int = 300,
+) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    """Geometric verification of a loop candidate: corners on img_i,
+    sparse-LK matches into img_j, essential RANSAC + LO pose refinement.
+    Returns (R_ij, t_ij (unit), n_inliers) — camera-j-from-camera-i with
+    UNOBSERVABLE translation scale (scale it from the map before adding
+    the edge) — or None if support is too weak."""
+    from optical_flow_tpu.slam.epipolar import (
+        estimate_essential,
+        normalize_pixels,
+        recover_pose,
+        refine_pose,
+    )
+    from optical_flow_tpu.track.features import good_features_to_track
+    from optical_flow_tpu.track.sparse_lk import track_features
+
+    pts, valid = good_features_to_track(jnp.asarray(img_i), max_corners, 0.01, 8)
+    new, status, _ = track_features(img_i, img_j, pts)
+    ok = np.asarray(valid) & np.asarray(status)
+    if ok.sum() < 8:
+        return None
+    p1 = np.asarray(normalize_pixels(np.asarray(pts), focal, cx, cy))
+    p2 = np.asarray(normalize_pixels(np.asarray(new), focal, cx, cy))
+    E, inl, count = estimate_essential(p1, p2, valid=ok)
+    if int(count) < min_inliers:
+        return None
+    inl_np = np.asarray(inl)
+    R0, t0, _ = recover_pose(E, jnp.asarray(p1)[inl_np], jnp.asarray(p2)[inl_np])
+    R1, t1, _ = refine_pose(R0, t0, p1, p2, inliers=inl_np)
+    return np.asarray(R1), np.asarray(t1), int(count)
+
+
+# ----------------------------------------------------------- relocalization
+
+
+def relocalize(
+    frame,
+    keyframes,
+    kf_tracks,
+    points,
+    focal: float,
+    cx: float,
+    cy: float,
+    *,
+    min_inliers: int = 20,
+) -> Optional[Tuple[np.ndarray, np.ndarray, int, int]]:
+    """Recover the pose of a 'lost' frame against an existing map.
+
+    Place recognition picks the closest keyframe by thumbnail descriptor;
+    that keyframe's 2D observations of the map points (kf_tracks[k]:
+    (P, 2) pixels, e.g. MultiViewReconstruction.tracks) are sparse-LK
+    tracked into the new frame; robust PnP against the (P, 3) world
+    points yields the absolute pose. Returns (R, t, keyframe_index,
+    n_inliers) — world->camera like pnp_dlt — or None when tracking or
+    PnP support is too weak.
+    """
+    from optical_flow_tpu.slam.epipolar import normalize_pixels
+    from optical_flow_tpu.slam.pnp import pnp_ransac
+    from optical_flow_tpu.track.sparse_lk import track_features
+
+    d = thumbnail_descriptor(frame)
+    dists = [float(np.linalg.norm(thumbnail_descriptor(k) - d)) for k in keyframes]
+    best = int(np.argmin(dists))
+    new, status, _ = track_features(keyframes[best], frame, np.asarray(kf_tracks[best]))
+    ok = np.asarray(status)
+    if ok.sum() < 6:
+        return None
+    xn = np.asarray(normalize_pixels(np.asarray(new), focal, cx, cy))
+    R, t, inl = pnp_ransac(np.asarray(points), xn, valid=ok)
+    n = int(np.asarray(inl).sum())
+    if n < min_inliers:
+        return None
+    return np.asarray(R), np.asarray(t), best, n

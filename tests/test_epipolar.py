@@ -267,9 +267,11 @@ def test_refine_pose_improves_noisy_estimate():
         np.arccos(np.clip((np.trace(R1n.T @ R_true) - 1) / 2, -1, 1))
     )
     tdir1 = np.degrees(np.arccos(np.clip(abs(t1n @ t_true), -1, 1)))
-    # no regression, and t stays unit / R stays a rotation
-    assert ang1 <= ang0 * 1.05 + 1e-3, (ang0, ang1)
-    assert tdir1 <= tdir0 * 1.05 + 1e-3, (tdir0, tdir1)
+    # genuine improvement (a frozen/NaN'd GN once passed a no-regression
+    # check vacuously — require the error to actually drop; measured
+    # 0.93 -> 0.45 deg rotation, 1.11 -> 0.67 deg translation direction)
+    assert ang1 <= ang0 * 0.8, (ang0, ang1)
+    assert tdir1 <= tdir0 * 0.8, (tdir0, tdir1)
     assert abs(np.linalg.norm(t1n) - 1.0) < 1e-5
     assert np.abs(R1n @ R1n.T - np.eye(3)).max() < 1e-5
     # E1 is the essential matrix of (R1, t1) by construction

@@ -1,0 +1,198 @@
+"""Pose-graph optimization, loop closure, relocalization (slam/pose_graph).
+
+Synthetic trajectories with exact ground truth: a drifted odometry chain
+around a loop, a loop-closure edge, and a rendered-scene relocalization.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from optical_flow_tpu.slam.pose_graph import (
+    PoseGraph,
+    _log_so3,
+    propose_loop_candidates,
+    relative_pose,
+    thumbnail_descriptor,
+)
+
+
+def _rot(axis, th):
+    axis = np.asarray(axis, float)
+    axis /= np.linalg.norm(axis)
+    K = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def _circle_trajectory(N=24, radius=5.0):
+    """Ground-truth world->cam poses of a camera circling the origin."""
+    Rs, ts = [], []
+    for k in range(N):
+        th = 2 * np.pi * k / N
+        Rw = _rot([0, 1, 0], th)  # cam-from-world rotation
+        cw = np.array([radius * np.sin(th), 0.0, -radius * np.cos(th)])  # center
+        Rs.append(Rw)
+        ts.append(-Rw @ cw)
+    return np.stack(Rs).astype(np.float32), np.stack(ts).astype(np.float32)
+
+
+def _integrate_with_drift(Rs, ts, rot_noise=0.004, t_noise=0.01, seed=3):
+    """Chain the true relative poses with small per-step errors — the
+    classic drifted odometry trajectory."""
+    rng = np.random.RandomState(seed)
+    N = len(Rs)
+    R_est = [Rs[0]]
+    t_est = [ts[0]]
+    for i in range(N - 1):
+        R_ij, t_ij = relative_pose(Rs[i], ts[i], Rs[i + 1], ts[i + 1])
+        R_ij = _rot(rng.randn(3), rot_noise) @ R_ij
+        t_ij = t_ij + rng.randn(3) * t_noise
+        R_est.append((R_ij @ R_est[-1]).astype(np.float32))
+        t_est.append((R_ij @ t_est[-1] + t_ij).astype(np.float32))
+    return np.stack(R_est), np.stack(t_est)
+
+
+def _pose_errors(Rs_a, ts_a, Rs_b, ts_b):
+    angs, tds = [], []
+    for Ra, ta, Rb, tb in zip(Rs_a, ts_a, Rs_b, ts_b):
+        angs.append(
+            np.degrees(np.arccos(np.clip((np.trace(Ra.T @ Rb) - 1) / 2, -1, 1)))
+        )
+        tds.append(np.linalg.norm(ta - tb))
+    return np.array(angs), np.array(tds)
+
+
+def test_pose_graph_closes_the_loop():
+    Rs_true, ts_true = _circle_trajectory()
+    Rs_drift, ts_drift = _integrate_with_drift(Rs_true, ts_true)
+    ang0, td0 = _pose_errors(Rs_drift, ts_drift, Rs_true, ts_true)
+
+    g = PoseGraph.from_odometry(Rs_drift, ts_drift)
+    # the loop-closure edge: the TRUE relative pose between ends (what
+    # geometric verification of the revisited place would measure)
+    R_lc, t_lc = relative_pose(
+        Rs_true[0], ts_true[0], Rs_true[-1], ts_true[-1]
+    )
+    g.add_edge(0, len(Rs_true) - 1, R_lc, t_lc, weight=4.0)
+    Rn, tn = g.optimize()
+    ang1, td1 = _pose_errors(Rn, tn, Rs_true, ts_true)
+    # gauge: pose 0 untouched
+    np.testing.assert_allclose(Rn[0], Rs_drift[0], atol=1e-6)
+    # drift at the far end shrinks substantially
+    assert ang1[-1] < ang0[-1] * 0.5, (ang0[-1], ang1[-1])
+    assert td1[-1] < td0[-1] * 0.5, (td0[-1], td1[-1])
+    # and the average error improves too
+    assert ang1.mean() < ang0.mean()
+    assert td1.mean() < td0.mean()
+    # rotations stay orthonormal
+    for R in Rn:
+        assert np.abs(R @ R.T - np.eye(3)).max() < 1e-5
+
+
+def test_pose_graph_consistent_chain_is_fixed_point():
+    """With edges exactly equal to the current relative poses, the
+    optimizer must leave the trajectory (essentially) unchanged."""
+    Rs, ts = _circle_trajectory(N=10)
+    g = PoseGraph.from_odometry(Rs, ts)
+    Rn, tn = g.optimize(iters=5)
+    ang, td = _pose_errors(Rn, tn, Rs, ts)
+    assert ang.max() < 1e-3, ang.max()
+    assert td.max() < 1e-4, td.max()
+    assert g.residual_norms().max() < 1e-6
+
+
+def test_log_so3_roundtrip():
+    from optical_flow_tpu.slam.epipolar import _exp_so3
+
+    rng = np.random.RandomState(0)
+    for _ in range(10):
+        d = rng.randn(3)
+        # log inverts exp only for |theta| < pi (and the skew-part formula
+        # degrades approaching pi); residual rotations are tiny in practice
+        w = d / np.linalg.norm(d) * rng.uniform(1e-7, 2.8)
+        R = np.asarray(_exp_so3(jnp.asarray(w, jnp.float32)))
+        w2 = np.asarray(_log_so3(jnp.asarray(R)))
+        np.testing.assert_allclose(w2, w, atol=5e-4)
+
+
+def test_propose_loop_candidates_finds_revisit():
+    rng = np.random.RandomState(1)
+    imgs = [rng.rand(64, 64).astype(np.float32) for _ in range(15)]
+    imgs.append(imgs[0] + rng.randn(64, 64).astype(np.float32) * 0.01)  # revisit
+    descs = [thumbnail_descriptor(im) for im in imgs]
+    cands = propose_loop_candidates(descs, min_separation=10)
+    assert cands[0][:2] == (0, 15), cands[0]
+
+
+def test_pnp_ransac_with_outliers():
+    from optical_flow_tpu.slam.pnp import pnp_ransac
+
+    rng = np.random.RandomState(7)
+    X = np.stack(
+        [rng.randn(80) * 1.5, rng.randn(80), rng.uniform(3, 10, 80)], axis=1
+    ).astype(np.float32)
+    R_true = _rot([0.3, 0.7, -0.2], 0.15)
+    t_true = np.array([0.4, -0.2, 0.3])
+    Xc = X @ R_true.T + t_true
+    x = (Xc[:, :2] / Xc[:, 2:3]).astype(np.float32)
+    out = rng.rand(80) < 0.25
+    x[out] = rng.randn(out.sum(), 2).astype(np.float32) * 0.4
+    R, t, inl = pnp_ransac(X, x)
+    inl = np.asarray(inl)
+    ang = np.degrees(
+        np.arccos(np.clip((np.trace(np.asarray(R).T @ R_true) - 1) / 2, -1, 1))
+    )
+    assert ang < 0.5, ang
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=0.01)
+    assert inl[~out].mean() > 0.9
+    assert inl[out].mean() < 0.2
+
+
+def test_relocalize_against_synthetic_map():
+    cv2 = pytest.importorskip("cv2")
+    from optical_flow_tpu.slam.frontend import multi_view_reconstruct
+    from optical_flow_tpu.slam.pose_graph import relocalize
+
+    rng = np.random.RandomState(9)
+    h, w = 320, 416
+    base = cv2.resize(
+        rng.rand(80, 104).astype(np.float32), (w, h), interpolation=cv2.INTER_CUBIC
+    )
+    base = (255 * (base - base.min()) / np.ptp(base)).astype(np.uint8)
+    focal = 400.0
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    depth = np.clip(
+        4.0 + 6.0 * cv2.resize(rng.rand(10, 13).astype(np.float32), (w, h),
+                               interpolation=cv2.INTER_CUBIC), 3.0, 12.0
+    )
+    disp_unit = focal / depth
+    frames = [base]
+    for k in (1, 2, 3):
+        tx = 0.05 * k
+        frames.append(
+            cv2.remap(base, xs + tx * disp_unit, ys, cv2.INTER_LINEAR,
+                      borderMode=cv2.BORDER_REFLECT_101)
+        )
+    rec = multi_view_reconstruct(frames[:3], focal)
+    assert rec is not None
+    # frame 3 was never used in the reconstruction: relocalize it
+    got = relocalize(
+        frames[3], frames[:3], rec.tracks, rec.points, focal, w / 2.0, h / 2.0
+    )
+    assert got is not None
+    R, t, kf, n = got
+    # nearest keyframe by appearance should be the closest viewpoint (2)
+    assert kf == 2, kf
+    assert n >= 20
+    # the new camera continues the +x slide: its center sits beyond the
+    # last reconstructed camera's along x. center = -R^T t (world == cam0
+    # frame; rec.cams rows are (axis-angle, t)).
+    from optical_flow_tpu.slam.epipolar import _exp_so3
+
+    c3 = -np.asarray(R).T @ np.asarray(t)
+    R2 = np.asarray(_exp_so3(jnp.asarray(rec.cams[2, :3], jnp.float32)))
+    c2 = -R2.T @ rec.cams[2, 3:]
+    assert c3[0] > c2[0], (c3, c2)
