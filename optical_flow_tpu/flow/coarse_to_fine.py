@@ -135,7 +135,7 @@ def _resolve_level_step(config: FlowConfig, warp_impl: str, max_disp: int, warp_
         pyrup_warp_lk_pallas,
         warp_lk_band,
     )
-    from optical_flow_tpu.ops.pyramid import pyr_up
+    from optical_flow_tpu.ops.pyramid import pyr_up_cols_first
 
     clamp = float(config.warp_clamp)
 
@@ -151,8 +151,8 @@ def _resolve_level_step(config: FlowConfig, warp_impl: str, max_disp: int, warp_
             return pyrup_warp_lk_pallas(
                 a, b, uc, vc, max_disp=max_disp, clamp=clamp
             )
-        upu = 2.0 * pyr_up(uc)
-        upv = 2.0 * pyr_up(vc)
+        upu = 2.0 * pyr_up_cols_first(uc)
+        upv = 2.0 * pyr_up_cols_first(vc)
         wu = -jnp.clip(upu, -clamp, clamp)
         wv = -jnp.clip(upv, -clamp, clamp)
         du, dv = warp_solve(i, a, b, wu, wv)

@@ -31,7 +31,7 @@ from typing import Callable, List, Optional, Tuple
 import jax.numpy as jnp
 
 from optical_flow_tpu.config import FlowConfig
-from optical_flow_tpu.ops.pyramid import pyr_up
+from optical_flow_tpu.ops.pyramid import pyr_up, pyr_up_cols_first
 
 
 def run_pyramid(
@@ -86,8 +86,10 @@ def run_pyramid(
                 # reference's symmetric warp — img1 sampled at x + u/2,
                 # img2 at x - u/2 — INCREASES their separation for positive
                 # flow; a faithful quirk in 'reference' mode, negated here)
-                upu = 2.0 * pyr_up(u)
-                upv = 2.0 * pyr_up(v)
+                # cols-first: half the lane-interleave relayout volume
+                # (ops/pyramid.py); the fused kernel mirrors its rounding
+                upu = 2.0 * pyr_up_cols_first(u)
+                upv = 2.0 * pyr_up_cols_first(v)
                 wu, wv = _clamped(upu, upv)
                 wu, wv = -wu, -wv
             else:

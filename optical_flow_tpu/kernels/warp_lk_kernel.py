@@ -397,20 +397,23 @@ def _pyrup_warp_lk_kernel(
     inimg = (fr >= 0) & (fr < H) & (fc >= 0) & (fc < W)
 
     def upsample(c):
+        # COLUMN pass first at coarse height (ops/pyramid.py
+        # _pyr_up_stack_cols_first — the jnp corrected path mirrors this
+        # order, keeping fused == unfused float-for-float). The lane
+        # interleave Mosaic can't lower becomes a sublane (row) interleave
+        # in TRANSPOSED space — one transpose in, one out, at the COARSE
+        # height (half the relayout volume of transposing after the row
+        # pass; see scripts/tpu_interleave_poc.py). Buffer col m = coarse
+        # col m-2; fine col 2n-2 <- coarse cols n-1..n+1.
+        ct = c.T  # (Wpc, nc+2)
+        evc = K[0] * ct[0:mc, :] + K[2] * ct[1 : mc + 1, :] + K[4] * ct[2 : mc + 2, :]
+        odc = K[1] * ct[1 : mc + 1, :] + K[3] * ct[2 : mc + 2, :]
+        cols2 = jnp.stack([evc, odc], axis=-2).reshape(2 * mc, nc + 2).T  # (nc+2, Wt)
         # rows: even fine row 2y <- coarse y-1..y+1, odd <- y..y+1
-        # (_pyr_up_stack tap order; slab row j = coarse yc0-1+j)
-        ev = K[0] * c[0:nc, :] + K[2] * c[1 : nc + 1, :] + K[4] * c[2 : nc + 2, :]
-        od = K[1] * c[1 : nc + 1, :] + K[3] * c[2 : nc + 2, :]
-        rows2 = jnp.stack([ev, od], axis=-2).reshape(2 * nc, Wpc)
-        # cols: buffer col m = coarse col m-2; fine col 2n-2 <- cols n-1..n+1.
-        # The lane interleave Mosaic can't lower becomes a sublane (row)
-        # interleave in TRANSPOSED space — one transpose in, one out (see
-        # scripts/tpu_interleave_poc.py); the col pass itself runs on rt
-        # rows, which is the same arithmetic per element.
-        rt = rows2.T  # (Wpc, 2nc)
-        evc = K[0] * rt[0:mc, :] + K[2] * rt[1 : mc + 1, :] + K[4] * rt[2 : mc + 2, :]
-        odc = K[1] * rt[1 : mc + 1, :] + K[3] * rt[2 : mc + 2, :]
-        up = jnp.stack([evc, odc], axis=-2).reshape(2 * mc, 2 * nc).T
+        # (slab row j = coarse yc0-1+j); the row interleave lowers natively.
+        ev = K[0] * cols2[0:nc, :] + K[2] * cols2[1 : nc + 1, :] + K[4] * cols2[2 : nc + 2, :]
+        od = K[1] * cols2[1 : nc + 1, :] + K[3] * cols2[2 : nc + 2, :]
+        up = jnp.stack([ev, od], axis=-2).reshape(2 * nc, 2 * mc)
         # corrected-mode doubling AFTER the col pass, like the XLA
         # `2.0 * pyr_up(u)`; flow outside the image is exactly 0 (matches
         # the unfused path's zero padding — the asym pyrUp border rows

@@ -379,3 +379,27 @@ class TestShiftSepWarp:
         # texture-poor regions dominate both; median 0.079 vs 0.077)
         assert e_sep.mean() <= e_ref.mean() * 1.1, (e_sep.mean(), e_ref.mean())
         assert np.median(e_sep) < 0.1, np.median(e_sep)
+
+
+class TestPyrUpColsFirst:
+    """The corrected-mode production upsample: same taps as pyr_up with
+    the column pass first (half the TPU lane-interleave volume)."""
+
+    def test_matches_cv2(self, rng):
+        import cv2
+        from optical_flow_tpu.ops.pyramid import pyr_up_cols_first
+
+        for shape in [(32, 48), (21, 17), (64, 64)]:
+            x = rng.rand(*shape)
+            ours = np.asarray(pyr_up_cols_first(jnp.asarray(x)))
+            ref = cv2.pyrUp(x)
+            np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+    def test_matches_rows_first_closely(self, rng):
+        from optical_flow_tpu.ops.pyramid import pyr_up, pyr_up_cols_first
+
+        x = jnp.asarray(rng.rand(40, 56).astype(np.float32) * 8 - 4)
+        a = np.asarray(pyr_up(x))
+        b = np.asarray(pyr_up_cols_first(x))
+        # identical taps, different float association only
+        np.testing.assert_allclose(a, b, atol=1e-5)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from optical_flow_tpu.flow.lk import lucas_kanade_jnp
 from optical_flow_tpu.kernels.warp_lk_kernel import pyrup_warp_lk_pallas
-from optical_flow_tpu.ops.pyramid import pyr_up
+from optical_flow_tpu.ops.pyramid import pyr_up_cols_first
 from optical_flow_tpu.ops.warp import symmetric_warp
 
 on_tpu = jax.default_backend() == "tpu"
@@ -25,8 +25,8 @@ C = 4  # ceil(CLAMP/2), the shift_sep production operating point
 
 def _unfused(img1, img2, uc, vc):
     img1, img2, uc, vc = (a.astype(jnp.float32) for a in (img1, img2, uc, vc))
-    upu = 2.0 * pyr_up(uc)
-    upv = 2.0 * pyr_up(vc)
+    upu = 2.0 * pyr_up_cols_first(uc)
+    upv = 2.0 * pyr_up_cols_first(vc)
     wu = -jnp.clip(upu, -CLAMP, CLAMP)
     wv = -jnp.clip(upv, -CLAMP, CLAMP)
     w1, w2 = symmetric_warp(
