@@ -203,7 +203,13 @@ def _warp_lk_core(x1, x2, qx_t, qy_w, band_idx, row0, *, H, W, Wc, band, C, R):
         wr = jnp.concatenate(
             [w[:, W : W + 1], w[:, W - 1 : W]], 1
         )  # cols W,W+1 := W-2,W-3
-        w = jnp.concatenate([wl, w[:, 2 : W + 2], wr, w[:, W + 4 :]], 1)
+        parts = [wl, w[:, 2 : W + 2], wr]
+        if W + 4 < w.shape[1]:
+            # junk tail beyond the 128-padded width; when W is already a
+            # multiple of 128 this slice would be ZERO-width, which Mosaic
+            # rejects ("vector types must have positive constant sizes")
+            parts.append(w[:, W + 4 :])
+        w = jnp.concatenate(parts, 1)
         top = jnp.concatenate([w[4:5], w[3:4], w[2:]], 0)
         return jnp.where(band_idx == 0, top, w)
 

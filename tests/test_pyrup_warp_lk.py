@@ -68,7 +68,7 @@ def _compare(shape, scale=2.0, seed=0, atol=3e-4):
         assert np.quantile(d, 0.95) < 0.05, np.quantile(d, 0.95)
 
 
-@pytest.mark.parametrize("shape", [(64, 96), (48, 40), (2, 32, 130), (52, 38)])
+@pytest.mark.parametrize("shape", [(64, 96), (48, 40), (2, 32, 130), (52, 38), (64, 128)])
 def test_fused_level_step_matches_unfused(shape):
     _compare(shape)
 

@@ -107,7 +107,7 @@ def _compare(shape, *, max_disp, clamp, negate, scale, seed=0, atol=2e-5):
 
 
 @pytest.mark.parametrize(
-    "shape", [(64, 96), (48, 40), (2, 32, 130), (50, 40), (61, 37)]
+    "shape", [(64, 96), (48, 40), (2, 32, 130), (50, 40), (61, 37), (64, 128)]
 )
 def test_fused_matches_unfused(shape):
     # production operating point: warp_clamp=8 -> max_disp=5.
