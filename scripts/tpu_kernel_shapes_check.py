@@ -1,0 +1,69 @@
+"""Compile-and-run the fused kernels over a shape grid on the REAL TPU.
+
+Mosaic lowering failures (zero-width slices, tile-alignment, VMEM
+overflow) are invisible to interpret-mode CI — the W=128-multiple
+zero-width-reflect-slice bug compiled nowhere but hardware. Run this as
+part of the verify protocol after touching kernels/.
+
+Exit 0 = every shape compiled and executed finitely.
+"""
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from optical_flow_tpu.utils.compat import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+
+from optical_flow_tpu.flow.lk import lucas_kanade
+from optical_flow_tpu.kernels.warp_lk_kernel import (
+    pyrup_warp_lk_pallas,
+    warp_lk_band,
+    warp_lk_pallas,
+)
+
+# sweep the geometry classes: W % 128 == 0, W < 128, odd W, H % 8 != 0,
+# tall bands, multi-band, batch, and the production ladder
+SHAPES = [
+    (64, 128), (64, 256), (448, 640), (56, 64), (50, 40), (61, 37),
+    (122, 40), (128, 130), (1024, 40), (200, 200), (400, 400),
+    (1080, 1080), (540, 540), (270, 270), (16, 1280),
+]
+
+rc = 0
+for H, W in SHAPES:
+    r = np.random.RandomState(0)
+    a = jnp.asarray(r.rand(H, W).astype(np.float32))
+    b = jnp.asarray(np.roll(np.asarray(a), 1, -1))
+    u = jnp.asarray((r.rand(H, W) * 4 - 2).astype(np.float32))
+    band = warp_lk_band(H, W, 4)
+    try:
+        ul, vl = lucas_kanade(a, b, impl="pallas")
+        ok_lk = bool(jnp.isfinite(ul).all())
+    except Exception as e:
+        ok_lk = f"FAIL {str(e)[:80]}"
+    if band is None:
+        print(f"{H}x{W}: band=None lk={ok_lk} (warp kernels skipped)")
+        continue
+    try:
+        du, dv = warp_lk_pallas(a, b, u, u, max_disp=4, clamp=8.0)
+        ok_w = bool(jnp.isfinite(du).all())
+    except Exception as e:
+        ok_w = f"FAIL {str(e)[:80]}"
+    ok_p = "skip(odd)"
+    if H % 2 == 0 and W % 2 == 0:
+        uc = jnp.asarray((r.rand(H // 2, W // 2) * 4 - 2).astype(np.float32))
+        try:
+            uo, vo = pyrup_warp_lk_pallas(a, b, uc, uc, max_disp=4, clamp=8.0)
+            ok_p = bool(jnp.isfinite(uo).all())
+        except Exception as e:
+            ok_p = f"FAIL {str(e)[:80]}"
+    line = f"{H}x{W} band={band}: lk={ok_lk} warp_lk={ok_w} pyrup={ok_p}"
+    print(line, flush=True)
+    if "FAIL" in line or "False" in line:
+        rc = 1
+sys.exit(rc)
