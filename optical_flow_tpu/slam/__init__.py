@@ -23,6 +23,7 @@ from optical_flow_tpu.slam.epipolar import (
     triangulate,
 )
 from optical_flow_tpu.slam.frontend import TwoViewReconstruction, two_view_reconstruct
+from optical_flow_tpu.slam.incremental import SlamResult, incremental_slam
 from optical_flow_tpu.slam.pnp import pnp_dlt, pnp_ransac
 from optical_flow_tpu.slam.pose_graph import (
     PoseGraph,
@@ -48,6 +49,8 @@ __all__ = [
     "refine_pose",
     "triangulate",
     "TwoViewReconstruction",
+    "SlamResult",
+    "incremental_slam",
     "two_view_reconstruct",
     "pnp_dlt",
     "pnp_ransac",

@@ -132,16 +132,26 @@ def _ransac_essential(p1, p2, valid, thresh, seed, n_hypotheses: int):
         k8 = em <= jnp.sort(em)[jnp.minimum(7, n_valid - 1)]
         return jnp.where(jnp.sum(cur) >= 8, cur, k8 & valid)
 
-    cur = floor8(errs[best], (errs[best] <= thresh) & valid)
+    def gate(e):
+        # re-adapt per model: a minimal sample can fit ITS 8 points nearly
+        # exactly (median residual ~ machine noise, observed under f64),
+        # freezing the hypothesis-time gate below the measurement noise
+        # and rejecting most true matches; the CURRENT model's median over
+        # all valid points tracks the real noise scale
+        med_all = jnp.sort(jnp.where(valid, e, jnp.inf))[med_idx]
+        return jnp.maximum(thresh, 2.5 * med_all)
+
+    cur = floor8(errs[best], (errs[best] <= gate(errs[best])) & valid)
     E = _eight_point(p1, p2, cur.astype(p1.dtype))
     for _ in range(6):
         e = _sampson(E, p1, p2)
-        cur = floor8(e, (e <= thresh) & valid)
+        cur = floor8(e, (e <= gate(e)) & valid)
         es = jnp.sort(jnp.where(cur, e, jnp.inf))
         med = es[jnp.maximum(jnp.sum(cur) // 2, 0)]
         trim = floor8(e, cur & (e <= med))
         E = _eight_point(p1, p2, trim.astype(p1.dtype))
-    final_inl = (_sampson(E, p1, p2) <= thresh) & valid
+    e = _sampson(E, p1, p2)
+    final_inl = (e <= gate(e)) & valid
     return E, final_inl, jnp.sum(final_inl)
 
 
@@ -356,15 +366,22 @@ def ransac_essential_5pt(
     E = jnp.asarray(best_E, jnp.float32)
     p1j, p2j = jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32)
     vj = jnp.asarray(v)
-    thresh = jnp.float32(max(config.inlier_thresh, 2.5 * best_med))
+    base = jnp.float32(max(config.inlier_thresh, 2.5 * best_med))
+    med_idx_j = jnp.maximum(jnp.sum(vj) // 2, 0)
+
+    def gate(e):
+        med_all = jnp.sort(jnp.where(vj, e, jnp.inf))[med_idx_j]
+        return jnp.maximum(base, 2.5 * med_all)
+
     for _ in range(6):
         e = _sampson(E, p1j, p2j)
-        cur = (e <= thresh) & vj
+        cur = (e <= gate(e)) & vj
         es = jnp.sort(jnp.where(cur, e, jnp.inf))
         med = es[jnp.maximum(jnp.sum(cur) // 2, 0)]
         trim = cur & (e <= med)
         E = _eight_point(p1j, p2j, trim.astype(p1j.dtype))
-    final = (_sampson(E, p1j, p2j) <= thresh) & vj
+    e = _sampson(E, p1j, p2j)
+    final = (e <= gate(e)) & vj
     return E, final, jnp.sum(final)
 
 

@@ -88,15 +88,24 @@ def pnp_ransac(
     med_idx = jnp.maximum(jnp.sum(v) // 2, 0)
     med = jnp.sort(errs_m, axis=-1)[:, med_idx]
     best = jnp.argmin(med)
-    thresh = jnp.maximum(jnp.asarray(inlier_thresh, X.dtype), 2.5 * med[best])
+    base = jnp.maximum(jnp.asarray(inlier_thresh, X.dtype), 2.5 * med[best])
+
+    def gate(e):
+        # re-adapt per model (see epipolar._ransac_essential): the current
+        # model's median residual tracks the real noise scale; a minimal
+        # sample's near-exact fit must not freeze the gate below it
+        med_all = jnp.sort(jnp.where(v, e, jnp.inf))[med_idx]
+        return jnp.maximum(base, 2.5 * med_all)
+
     R, t = Rs[best], ts[best]
     for _ in range(3):
         e = reprojection_errors(R, t, X, x)
-        cur = (e <= thresh) & v
+        cur = (e <= gate(e)) & v
         # floor at the 6 best residuals so the DLT never goes degenerate
         em = jnp.where(v, e, jnp.inf)
         k6 = em <= jnp.sort(em)[jnp.minimum(5, jnp.sum(v) - 1)]
         cur = jnp.where(jnp.sum(cur) >= 6, cur, k6 & v)
         R, t = pnp_dlt(X, x, cur.astype(X.dtype))
-    final = (reprojection_errors(R, t, X, x) <= thresh) & v
+    e = reprojection_errors(R, t, X, x)
+    final = (e <= gate(e)) & v
     return R, t, final
