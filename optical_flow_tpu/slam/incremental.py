@@ -184,9 +184,7 @@ def incremental_slam(
             kf_idx = mapper.add_keyframe(pose6(R1, t1), obs, new_points)
             # frame-0 observations of the same points anchor the gauge
             for row in ids:
-                mapper._tracks[point_id[row]].append(
-                    (0, np.asarray(anchor_px[row] - [cx, cy], np.float64))
-                )
+                mapper.add_observation(point_id[row], 0, anchor_px[row] - [cx, cy])
             rmse = mapper.optimize()
             bootstrapped = True
             keyframes = [0, k]
@@ -245,15 +243,11 @@ def incremental_slam(
                     point_id[row] = pid
                     new_points[pid] = Xw
                     obs.append((pid, cur_px[row] - [cx, cy]))
-                    # anchor observation too
-                    mapper._tracks.setdefault(pid, [])
 
         mapper.add_keyframe(pose6(R, t), obs, new_points)
-        for pid, Xw in new_points.items():
+        for pid in new_points:
             row = int(np.flatnonzero(point_id == pid)[0])
-            mapper._tracks[pid].append(
-                (int(anchor_kf[row]), np.asarray(anchor_px[row] - [cx, cy], np.float64))
-            )
+            mapper.add_observation(pid, int(anchor_kf[row]), anchor_px[row] - [cx, cy])
         rmse = mapper.optimize()
         # pull the BA-refined poses back into the odometry chain
         for i, p6 in enumerate(mapper.poses):

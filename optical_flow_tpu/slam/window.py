@@ -95,6 +95,17 @@ class WindowedBA:
         self._retire(k)
         return k
 
+    def add_observation(self, pid: int, cam_index: int, uv) -> None:
+        """Attach an observation of live point `pid` from an EARLIER
+        keyframe (e.g. the anchor view a track was triangulated against).
+        Does not refresh the retirement clock — the track still retires
+        when its LATEST view leaves the window."""
+        if pid in self.retired:
+            return
+        if pid not in self.points:
+            raise ValueError(f"observation of unknown point {pid}")
+        self._tracks[pid].append((int(cam_index), np.asarray(uv, self.dtype)))
+
     def _retire(self, newest: int) -> None:
         """Freeze points whose tracks ended before the active window."""
         horizon = newest - self.window + 1
