@@ -115,8 +115,12 @@ def _ransac_essential(p1, p2, valid, thresh, seed, n_hypotheses: int):
     # estimate (median of |N(0, s)| = 0.674 s, so 2.5x median ~ 1.7 s keeps
     # ~91% of true matches). Noise-free data leaves the configured gate
     # untouched (median ~ 0); without this, measurement noise above
-    # thresh/2 made the trim loop collapse to an empty support.
-    thresh = jnp.maximum(thresh, 2.5 * med_scores[best])
+    # thresh/2 made the trim loop collapse to an empty support. CAPPED at
+    # 8x the configured gate: on garbage correspondences (e.g. LK
+    # "converging" on a corrupted frame) the median is itself garbage and
+    # an uncapped gate would declare everything an inlier.
+    cap = 8.0 * thresh
+    thresh = jnp.clip(2.5 * med_scores[best], thresh, cap)
     # Trimmed-LS refit: a random outlier can sit ON the (1-D) epipolar
     # line and pass any fixed gate, and squared loss is hypersensitive to
     # it (one leaked outlier costs ~1 deg of rotation). Refitting on the
@@ -137,9 +141,9 @@ def _ransac_essential(p1, p2, valid, thresh, seed, n_hypotheses: int):
         # exactly (median residual ~ machine noise, observed under f64),
         # freezing the hypothesis-time gate below the measurement noise
         # and rejecting most true matches; the CURRENT model's median over
-        # all valid points tracks the real noise scale
+        # all valid points tracks the real noise scale (capped — see above)
         med_all = jnp.sort(jnp.where(valid, e, jnp.inf))[med_idx]
-        return jnp.maximum(thresh, 2.5 * med_all)
+        return jnp.clip(2.5 * med_all, thresh, cap)
 
     cur = floor8(errs[best], (errs[best] <= gate(errs[best])) & valid)
     E = _eight_point(p1, p2, cur.astype(p1.dtype))
@@ -366,12 +370,15 @@ def ransac_essential_5pt(
     E = jnp.asarray(best_E, jnp.float32)
     p1j, p2j = jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32)
     vj = jnp.asarray(v)
-    base = jnp.float32(max(config.inlier_thresh, 2.5 * best_med))
+    cap5 = 8.0 * float(config.inlier_thresh)
+    base = jnp.float32(
+        min(max(config.inlier_thresh, 2.5 * best_med), cap5)
+    )
     med_idx_j = jnp.maximum(jnp.sum(vj) // 2, 0)
 
     def gate(e):
         med_all = jnp.sort(jnp.where(vj, e, jnp.inf))[med_idx_j]
-        return jnp.maximum(base, 2.5 * med_all)
+        return jnp.clip(2.5 * med_all, base, cap5)
 
     for _ in range(6):
         e = _sampson(E, p1j, p2j)

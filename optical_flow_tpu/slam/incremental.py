@@ -135,6 +135,8 @@ def incremental_slam(
     mapper.add_keyframe(np.zeros(6), [])  # keyframe 0 at the origin
     kf_R = [np.eye(3, dtype=np.float32)]
     kf_t = [np.zeros(3, np.float32)]
+    kf_obs: List[list] = [[]]  # per keyframe: [(pid, ABSOLUTE pixel)] — the
+    # relocalization index (which landmarks this keyframe saw, and where)
     bootstrapped = False
     rmse = None
 
@@ -185,6 +187,8 @@ def incremental_slam(
             # frame-0 observations of the same points anchor the gauge
             for row in ids:
                 mapper.add_observation(point_id[row], 0, anchor_px[row] - [cx, cy])
+            kf_obs[0] = [(int(point_id[r]), anchor_px[r].copy()) for r in ids]
+            kf_obs.append([(int(point_id[r]), cur_px[r].copy()) for r in ids])
             rmse = mapper.optimize()
             bootstrapped = True
             keyframes = [0, k]
@@ -195,11 +199,84 @@ def incremental_slam(
         live_pids = point_id[has_pt]
         in_map = np.asarray([pid in mapper.points for pid in live_pids])
         rows = np.flatnonzero(has_pt)[in_map]
+
+        def attempt_relocalize():
+            """Tracking lost: relocalize against keyframe history (closest
+            keyframes by thumbnail; LK their landmark observations into
+            this frame directly, bypassing the broken chain; robust PnP).
+            On success, appends the recovered keyframe and REBUILDS the
+            track table from this frame. False = still lost (the caller
+            skips the frame and retries on the next one)."""
+            nonlocal cur_px, alive, anchor_px, anchor_kf, point_id, rmse
+            allpts = mapper.all_points()
+            d = thumbnail_descriptor(frames[k])
+            dists = [
+                float(np.linalg.norm(thumbnail_descriptor(frames[i]) - d))
+                for i in keyframes
+            ]
+            for kf_i in np.argsort(dists)[:3]:
+                obs_list = [(p, px) for p, px in kf_obs[kf_i] if p in allpts]
+                if len(obs_list) < 12:
+                    continue
+                src = np.asarray([px for _, px in obs_list], np.float32)
+                new, st, _ = track_features(frames[keyframes[kf_i]], frames[k], src)
+                st = np.asarray(st)
+                if st.sum() < 12:
+                    continue
+                Xl = np.stack([allpts[p] for p, _ in obs_list])
+                new = np.asarray(new, np.float32)
+                Rr, tr, inl = pnp_ransac(Xl, norm(new), valid=st, seed=1000 + k)
+                inl = np.asarray(inl)
+                if int(inl.sum()) < 12:
+                    continue
+                Rr, tr = np.asarray(Rr), np.asarray(tr)
+                kf_R.append(Rr.astype(np.float32))
+                kf_t.append(np.asarray(tr, np.float32))
+                keyframes.append(k)
+                mapper.add_keyframe(pose6(Rr, tr), [
+                    (p, px_new - [cx, cy])
+                    for (p, _), px_new, ok in zip(obs_list, new, inl)
+                    if ok and p in mapper.points  # retired can't re-enter
+                ])
+                kf_obs.append(
+                    [(p, px_new.copy())
+                     for (p, _), px_new, ok in zip(obs_list, new, inl) if ok]
+                )
+                rmse = mapper.optimize()
+                # rebuild the track table: re-tracked landmarks first (live
+                # map tracks), fresh corners for future structure
+                kf_now = len(kf_R) - 1
+                land = [(p, px_new)
+                        for (p, _), px_new, ok in zip(obs_list, new, inl) if ok]
+                fresh, fvalid = good_features_to_track(
+                    jnp.asarray(frames[k]), max_corners, 0.01, 8
+                )
+                fresh = np.asarray(fresh, np.float32)[np.asarray(fvalid)]
+                cur_px = np.concatenate(
+                    [np.asarray([px for _, px in land], np.float32), fresh]
+                )
+                anchor_px = cur_px.copy()
+                anchor_kf = np.full(len(cur_px), kf_now, np.int32)
+                point_id = np.concatenate(
+                    [np.asarray([p for p, _ in land], np.int64),
+                     np.full(len(fresh), -1, np.int64)]
+                )
+                alive = np.ones(len(cur_px), bool)
+                return True
+            return False
+
         if len(rows) < 8:
-            break  # tracking lost; relocalization is the caller's move
+            attempt_relocalize()
+            continue
         X = np.stack([mapper.points[point_id[r]] for r in rows])
         xn = norm(cur_px[rows])
         R, t, inliers = pnp_ransac(X, xn, seed=k)
+        if int(np.asarray(inliers).sum()) < max(12, len(rows) // 4):
+            # the pose didn't explain the tracked landmarks (corrupted
+            # frame, degenerate geometry): treat as tracking loss rather
+            # than poisoning the map with a junk keyframe
+            attempt_relocalize()
+            continue
         R, t = np.asarray(R), np.asarray(t)
         kf_R.append(R.astype(np.float32))
         kf_t.append(np.asarray(t, np.float32))
@@ -248,6 +325,7 @@ def incremental_slam(
         for pid in new_points:
             row = int(np.flatnonzero(point_id == pid)[0])
             mapper.add_observation(pid, int(anchor_kf[row]), anchor_px[row] - [cx, cy])
+        kf_obs.append([(int(p), np.asarray(uv) + [cx, cy]) for p, uv in obs])
         rmse = mapper.optimize()
         # pull the BA-refined poses back into the odometry chain
         for i, p6 in enumerate(mapper.poses):

@@ -88,14 +88,16 @@ def pnp_ransac(
     med_idx = jnp.maximum(jnp.sum(v) // 2, 0)
     med = jnp.sort(errs_m, axis=-1)[:, med_idx]
     best = jnp.argmin(med)
-    base = jnp.maximum(jnp.asarray(inlier_thresh, X.dtype), 2.5 * med[best])
+    t0 = jnp.asarray(inlier_thresh, X.dtype)
+    cap = 8.0 * t0  # see epipolar: never adapt the gate to garbage scale
+    base = jnp.clip(2.5 * med[best], t0, cap)
 
     def gate(e):
         # re-adapt per model (see epipolar._ransac_essential): the current
         # model's median residual tracks the real noise scale; a minimal
         # sample's near-exact fit must not freeze the gate below it
         med_all = jnp.sort(jnp.where(v, e, jnp.inf))[med_idx]
-        return jnp.maximum(base, 2.5 * med_all)
+        return jnp.clip(2.5 * med_all, base, cap)
 
     R, t = Rs[best], ts[best]
     for _ in range(3):

@@ -70,3 +70,31 @@ def test_incremental_slam_too_few_frames():
     frames, _, focal = _render_loop(n_frames=3)
     with pytest.raises(ValueError):
         incremental_slam(frames[:1], focal)
+
+
+def test_incremental_slam_relocalizes_after_blackout():
+    """Corrupt two mid-sequence frames (pure noise): tracking dies, the
+    pipeline stays lost through the blackout, then relocalizes against
+    keyframe history and keeps mapping — the trajectory resumes with
+    correct poses after the gap."""
+    frames, centers, focal = _render_loop(n_frames=12)
+    rng = np.random.RandomState(99)
+    frames = list(frames)
+    for bad in (6, 7):
+        frames[bad] = (rng.rand(*frames[bad].shape) * 255).astype(np.uint8)
+    res = incremental_slam(
+        frames, focal, loop_min_separation=20,  # disable loop closure here
+        min_tracks=40, window=8,
+    )
+    assert res is not None
+    # keyframes exist on both sides of the blackout, none inside it
+    assert any(i < 6 for i in res.keyframes)
+    assert any(i > 7 for i in res.keyframes), res.keyframes
+    assert not any(i in (6, 7) for i in res.keyframes)
+    # post-recovery poses are accurate: compare centers after the gap
+    est = res.centers()
+    true = np.asarray([centers[i] for i in res.keyframes])
+    scale = np.linalg.norm(true[1]) / max(np.linalg.norm(est[1]), 1e-9)
+    err = np.linalg.norm(est * scale - true, axis=1)
+    post = [e for i, e in zip(res.keyframes, err) if i > 7]
+    assert post and max(post) < 0.12, (res.keyframes, err)
