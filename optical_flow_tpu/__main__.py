@@ -152,6 +152,43 @@ def _cmd_track(args):
         prev, pts = gray, new
 
 
+def _cmd_slam(args):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from optical_flow_tpu.io.video_reader import read_frames
+    from optical_flow_tpu.pipeline.preprocess import bgr_to_gray
+    from optical_flow_tpu.slam import incremental_slam
+
+    grays = [
+        np.asarray(bgr_to_gray(jnp.asarray(f)))
+        for f in read_frames(args.input, max_frames=args.frames, stride=args.stride)
+    ]
+    if len(grays) < 2:
+        sys.exit("need at least 2 decodable frames")
+    h, w = grays[0].shape
+    focal = args.focal if args.focal else 0.8 * w  # plausible default FOV
+    res = incremental_slam(
+        grays, focal, window=args.window, max_corners=args.corners
+    )
+    if res is None:
+        sys.exit("bootstrap failed (not enough parallax or tracks)")
+    centers = res.centers()
+    print(
+        f"keyframes {len(res.keyframes)}/{len(grays)} map points "
+        f"{res.points.shape[0]} BA rmse {res.rmse:.2f}px "
+        f"loop edges {len(res.loop_edges)}"
+    )
+    for i, (kf, c) in enumerate(zip(res.keyframes, centers)):
+        print(f"  kf {i} (frame {kf}): center {np.round(c, 4)}")
+    if args.out:
+        np.savez(
+            args.out, poses=res.poses, trans=res.trans, points=res.points,
+            keyframes=np.asarray(res.keyframes),
+        )
+        print(f"wrote trajectory + map to {args.out}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="optical_flow_tpu")
     ap.add_argument(
@@ -197,6 +234,21 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--corners", type=int, default=500)
     p.set_defaults(fn=_cmd_track)
+
+    p = sub.add_parser(
+        "slam",
+        help="incremental SLAM over a video (tracks -> keyframes -> "
+        "windowed BA -> loop closure -> pose graph)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--frames", type=int, default=20)
+    p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--focal", type=float, default=None,
+                   help="focal length in px (default: 0.8 * width)")
+    p.add_argument("--window", type=int, default=8)
+    p.add_argument("--corners", type=int, default=300)
+    p.add_argument("--out", default=None, help="write poses+map to OUT.npz")
+    p.set_defaults(fn=_cmd_slam)
 
     p = sub.add_parser(
         "bench",
