@@ -45,7 +45,6 @@ from optical_flow_tpu.slam.pnp import pnp_ransac, reprojection_errors
 from optical_flow_tpu.slam.pose_graph import (
     PoseGraph,
     propose_loop_candidates,
-    relative_pose,
     thumbnail_descriptor,
     verify_loop_closure,
 )
@@ -183,7 +182,7 @@ def incremental_slam(
                 point_id[row] = pid
                 new_points[pid] = Xw
                 obs.append((pid, cur_px[row] - [cx, cy]))
-            kf_idx = mapper.add_keyframe(pose6(R1, t1), obs, new_points)
+            mapper.add_keyframe(pose6(R1, t1), obs, new_points)
             # frame-0 observations of the same points anchor the gauge
             for row in ids:
                 mapper.add_observation(point_id[row], 0, anchor_px[row] - [cx, cy])
