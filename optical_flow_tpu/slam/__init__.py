@@ -27,6 +27,7 @@ from optical_flow_tpu.slam.incremental import SlamResult, incremental_slam
 from optical_flow_tpu.slam.pnp import pnp_dlt, pnp_ransac
 from optical_flow_tpu.slam.pose_graph import (
     PoseGraph,
+    Sim3PoseGraph,
     propose_loop_candidates,
     relative_pose,
     relocalize,
@@ -55,6 +56,7 @@ __all__ = [
     "pnp_dlt",
     "pnp_ransac",
     "PoseGraph",
+    "Sim3PoseGraph",
     "propose_loop_candidates",
     "relative_pose",
     "relocalize",

@@ -275,3 +275,140 @@ def relocalize(
     if n < min_inliers:
         return None
     return np.asarray(R), np.asarray(t), best, n
+
+
+# ------------------------------------------------------------- Sim(3) graph
+#
+# Monocular SLAM accumulates SCALE drift that an SE(3) pose graph cannot
+# express (its edges pin metric translations). The standard fix (Strasdat's
+# ScaViSLAM formulation) optimizes over similarity transforms
+# S = (s, R, t): X_cam = s * R @ X_world + t, with per-edge residuals in
+# the direct parameterization
+#     r(i, j) = [ log_so3(Re), te, log(se) ]   of   E = Sm^-1 * Sj * Si^-1
+# (7 numbers; exact Sim(3) log/exp of the translation block is not needed
+# for Gauss-Newton — this residual vanishes iff the constraint holds and
+# has full-rank Jacobians, which is all GN requires). Loop-closure edges
+# measured at true scale then spread the accumulated log-scale error
+# around the cycle like rotation/translation drift.
+
+
+def sim3_compose(a, b):
+    """(s, R, t) of A∘B (apply B first): X -> sa*Ra*(sb*Rb*X + tb) + ta."""
+    sa, Ra, ta = a
+    sb, Rb, tb = b
+    return (sa * sb, Ra @ Rb, sa * (Ra @ tb) + ta)
+
+
+def sim3_inverse(a):
+    s, R, t = a
+    return (1.0 / s, R.T, -(R.T @ t) / s)
+
+
+def _sim3_edge_residuals(ss, Rs, ts, ei, ej, sm, Rm, tm):
+    si, Ri, ti = ss[ei], Rs[ei], ts[ei]
+    sj, Rj, tj = ss[ej], Rs[ej], ts[ej]
+    # Sj * Si^-1 = (sj/si, Rj Ri^T, tj - (sj/si) Rj Ri^T ti)
+    srel = sj / si
+    Rrel = jnp.einsum("eab,ecb->eac", Rj, Ri)
+    trel = tj - srel[:, None] * jnp.einsum("eab,eb->ea", Rrel, ti)
+    # Sm^-1 * rel = (srel/sm, Rm^T Rrel, (Rm^T (trel - tm)) / sm)
+    se = srel / sm
+    Re = jnp.einsum("eba,ebc->eac", Rm, Rrel)
+    te = jnp.einsum("eba,eb->ea", Rm, trel - tm) / sm[:, None]
+    rot = jax.vmap(_log_so3)(Re)
+    return jnp.concatenate([rot, te, jnp.log(se)[:, None]], axis=-1)  # (E, 7)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _optimize_sim3_graph(ss, Rs, ts, ei, ej, sm, Rm, tm, wt, iters: int):
+    N = Rs.shape[0]
+    damp = jnp.asarray(1e-8, Rs.dtype)
+
+    def apply(theta, ss, Rs, ts):
+        # left perturbation: S_i <- (e^sigma_i, Exp(w_i), delta_i) ∘ S_i
+        d = jnp.concatenate([jnp.zeros((1, 7), Rs.dtype), theta.reshape(-1, 7)])
+        dR = jax.vmap(_exp_so3)(d[:, :3])
+        es = jnp.exp(d[:, 6])
+        Rn = jnp.einsum("nab,nbc->nac", dR, Rs)
+        tn = es[:, None] * jnp.einsum("nab,nb->na", dR, ts) + d[:, 3:6]
+        return es * ss, Rn, tn
+
+    def residuals(theta, ss, Rs, ts):
+        s2, R2, t2 = apply(theta, ss, Rs, ts)
+        r = _sim3_edge_residuals(s2, R2, t2, ei, ej, sm, Rm, tm)
+        return (r * wt[:, None]).reshape(-1)
+
+    def step(_, carry):
+        ss, Rs, ts = carry
+        z = jnp.zeros(((N - 1) * 7,), Rs.dtype)
+        r = residuals(z, ss, Rs, ts)
+        J = jax.jacfwd(residuals)(z, ss, Rs, ts)
+        H = J.T @ J + damp * jnp.eye((N - 1) * 7, dtype=Rs.dtype)
+        delta = -jnp.linalg.solve(H, J.T @ r)
+        r_new = residuals(delta, ss, Rs, ts)
+        ok = jnp.sum(r_new * r_new) < jnp.sum(r * r)
+        delta = jnp.where(ok, delta, jnp.zeros_like(delta))
+        return apply(delta, ss, Rs, ts)
+
+    return jax.lax.fori_loop(0, iters, step, (ss, Rs, ts))
+
+
+@dataclasses.dataclass
+class Sim3PoseGraph:
+    """Pose graph over similarity transforms (s, R, t) — node 0 is the
+    gauge (fixes the global scale as well as the frame)."""
+
+    ss: np.ndarray  # (N,)
+    Rs: np.ndarray  # (N, 3, 3)
+    ts: np.ndarray  # (N, 3)
+    ei: List[int] = dataclasses.field(default_factory=list)
+    ej: List[int] = dataclasses.field(default_factory=list)
+    sm: List[float] = dataclasses.field(default_factory=list)
+    Rm: List[np.ndarray] = dataclasses.field(default_factory=list)
+    tm: List[np.ndarray] = dataclasses.field(default_factory=list)
+    wt: List[float] = dataclasses.field(default_factory=list)
+
+    def add_edge(self, i, j, s_ij, R_ij, t_ij, weight: float = 1.0):
+        self.ei.append(int(i))
+        self.ej.append(int(j))
+        self.sm.append(float(s_ij))
+        self.Rm.append(np.asarray(R_ij, np.float32))
+        self.tm.append(np.asarray(t_ij, np.float32))
+        self.wt.append(float(weight))
+
+    @staticmethod
+    def from_se3_odometry(Rs, ts) -> "Sim3PoseGraph":
+        """Start from an SE(3) trajectory (all scales 1) with chain edges
+        measured from the trajectory itself."""
+        Rs = np.asarray(Rs, np.float32)
+        ts = np.asarray(ts, np.float32)
+        g = Sim3PoseGraph(ss=np.ones(len(Rs), np.float32), Rs=Rs.copy(), ts=ts.copy())
+        for i in range(len(Rs) - 1):
+            R_ij, t_ij = relative_pose(Rs[i], ts[i], Rs[i + 1], ts[i + 1])
+            g.add_edge(i, i + 1, 1.0, R_ij, t_ij)
+        return g
+
+    def optimize(self, iters: int = 15):
+        """Returns (ss, Rs, ts) optimized, pose 0 fixed."""
+        if not self.ei:
+            return self.ss.copy(), self.Rs.copy(), self.ts.copy()
+        ss, Rs, ts = _optimize_sim3_graph(
+            jnp.asarray(self.ss),
+            jnp.asarray(self.Rs),
+            jnp.asarray(self.ts),
+            jnp.asarray(self.ei, jnp.int32),
+            jnp.asarray(self.ej, jnp.int32),
+            jnp.asarray(self.sm, jnp.float32),
+            jnp.asarray(np.stack(self.Rm)),
+            jnp.asarray(np.stack(self.tm)),
+            jnp.asarray(self.wt, jnp.float32),
+            iters,
+        )
+        return np.asarray(ss), np.asarray(Rs), np.asarray(ts)
+
+    def centers(self, ss=None, Rs=None, ts=None) -> np.ndarray:
+        """Camera centers in the world frame: -(1/s) R^T t."""
+        ss = self.ss if ss is None else ss
+        Rs = self.Rs if Rs is None else Rs
+        ts = self.ts if ts is None else ts
+        return np.stack([-(R.T @ t) / s for s, R, t in zip(ss, Rs, ts)])

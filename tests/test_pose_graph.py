@@ -196,3 +196,90 @@ def test_relocalize_against_synthetic_map():
     R2 = np.asarray(_exp_so3(jnp.asarray(rec.cams[2, :3], jnp.float32)))
     c2 = -R2.T @ rec.cams[2, 3:]
     assert c3[0] > c2[0], (c3, c2)
+
+
+def test_sim3_pose_graph_corrects_scale_drift():
+    """Monocular scale drift, the representable model: every odometry
+    edge measures the correct relative (R, t) but a scale ratio of 0.93
+    (each keyframe's local map is ~7% smaller than its predecessor's —
+    the classic compounding monocular failure). Integrated, the
+    trajectory spirals inward with node scales gamma^k. A single
+    true-scale loop edge lets the Sim(3) graph lift the scales back and
+    recover the geometry; the SE(3) graph has no scale dof and is stuck
+    with the spiral."""
+    from optical_flow_tpu.slam.pose_graph import Sim3PoseGraph, sim3_compose
+
+    Rs_true, ts_true = _circle_trajectory(N=16)
+    gamma = 0.93
+    # measured Sim(3) odometry edges: (gamma, R_rel_true, t_rel_true)
+    edges = []
+    for i in range(len(Rs_true) - 1):
+        R_ij, t_ij = relative_pose(
+            Rs_true[i], ts_true[i], Rs_true[i + 1], ts_true[i + 1]
+        )
+        edges.append((gamma, R_ij, t_ij))
+    # integrate the drifted Sim(3) trajectory
+    S = [(1.0, Rs_true[0], ts_true[0])]
+    for m in edges:
+        S.append(sim3_compose(m, S[-1]))
+    ss0 = np.asarray([s for s, _, _ in S], np.float32)
+    Rs0 = np.stack([R for _, R, _ in S]).astype(np.float32)
+    ts0 = np.stack([t for _, _, t in S]).astype(np.float32)
+
+    true_c = np.stack([-R.T @ t for R, t in zip(Rs_true, ts_true)])
+
+    def center_errs(centers):
+        return np.linalg.norm(centers - true_c, axis=1)
+
+    g7 = Sim3PoseGraph(ss=ss0.copy(), Rs=Rs0.copy(), ts=ts0.copy())
+    for i, (s_m, R_m, t_m) in enumerate(edges):
+        g7.add_edge(i, i + 1, s_m, R_m, t_m)
+    drift = center_errs(g7.centers())
+    assert drift[-1] > 1.0  # the spiral is a real failure before closure
+
+    R_lc, t_lc = relative_pose(Rs_true[0], ts_true[0], Rs_true[-1], ts_true[-1])
+    g7.add_edge(0, len(Rs_true) - 1, 1.0, R_lc, t_lc, weight=4.0)
+    ss, Rsim, tsim = g7.optimize(iters=20)
+    sim3 = center_errs(g7.centers(ss, Rsim, tsim))
+
+    # the SE(3) baseline: odometry edges measured from the drifted
+    # trajectory itself (an SE(3) system cannot see the scale components,
+    # so its edges ARE the drifted relative poses) + the same loop edge
+    g3 = PoseGraph.from_odometry(Rs0, ts0)
+    g3.add_edge(0, len(Rs_true) - 1, R_lc, t_lc, weight=4.0)
+    Rse, tse = g3.optimize(iters=20)
+    se3 = center_errs(np.stack([-R.T @ t for R, t in zip(Rse, tse)]))
+
+    assert sim3.mean() < se3.mean() * 0.5, (sim3.mean(), se3.mean())
+    assert sim3.mean() < drift.mean() * 0.25, (sim3.mean(), drift.mean())
+    # the node scales lift back toward 1 from gamma^15 = 0.34
+    assert abs(ss[0] - 1.0) < 1e-6  # gauge
+    assert ss[-1] > 0.7, ss
+
+
+def test_sim3_consistent_chain_is_fixed_point():
+    from optical_flow_tpu.slam.pose_graph import Sim3PoseGraph
+
+    Rs, ts = _circle_trajectory(N=8)
+    g = Sim3PoseGraph.from_se3_odometry(Rs, ts)
+    ss, Rn, tn = g.optimize(iters=5)
+    np.testing.assert_allclose(ss, 1.0, atol=1e-4)
+    ang, td = _pose_errors(Rn, tn, Rs, ts)
+    assert ang.max() < 1e-3 and td.max() < 1e-3
+
+
+def test_sim3_compose_inverse_roundtrip():
+    from optical_flow_tpu.slam.pose_graph import sim3_compose, sim3_inverse
+
+    rng = np.random.RandomState(2)
+    a = (1.7, _rot(rng.randn(3), 0.4), rng.randn(3))
+    b = (0.6, _rot(rng.randn(3), -0.9), rng.randn(3))
+    s, R, t = sim3_compose(a, sim3_inverse(a))
+    assert abs(s - 1) < 1e-6 and np.abs(R - np.eye(3)).max() < 1e-6
+    assert np.abs(t).max() < 1e-5
+    # associativity of apply: (a∘b)(X) == a(b(X))
+    X = rng.randn(3)
+    sc, Rc, tc = sim3_compose(a, b)
+    direct = sc * (Rc @ X) + tc
+    nested = a[0] * (a[1] @ (b[0] * (b[1] @ X) + b[2])) + a[2]
+    np.testing.assert_allclose(direct, nested, rtol=1e-5)
