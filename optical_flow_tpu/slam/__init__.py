@@ -32,6 +32,7 @@ from optical_flow_tpu.slam.pose_graph import (
     relative_pose,
     relocalize,
     thumbnail_descriptor,
+    umeyama_alignment,
     verify_loop_closure,
 )
 from optical_flow_tpu.slam.window import WindowedBA
@@ -61,5 +62,6 @@ __all__ = [
     "relative_pose",
     "relocalize",
     "thumbnail_descriptor",
+    "umeyama_alignment",
     "verify_loop_closure",
 ]

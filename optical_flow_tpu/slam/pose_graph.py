@@ -412,3 +412,34 @@ class Sim3PoseGraph:
         Rs = self.Rs if Rs is None else Rs
         ts = self.ts if ts is None else ts
         return np.stack([-(R.T @ t) / s for s, R, t in zip(ss, Rs, ts)])
+
+
+def umeyama_alignment(X, Y, w=None):
+    """Least-squares similarity transform between matched 3D point sets
+    (Umeyama 1991): returns (s, R, t) minimizing sum w ||(s R X + t) - Y||^2.
+
+    This is how a REAL monocular loop edge's scale is measured: triangulate
+    common structure in both keyframes' local frames and align — the
+    recovered s feeds Sim3PoseGraph.add_edge. Batched jnp (one SVD);
+    w: optional (K,) weights (e.g. the verification inlier mask).
+    """
+    X = jnp.asarray(X, jnp.float32)
+    Y = jnp.asarray(Y, jnp.float32)
+    K = X.shape[0]
+    w = jnp.ones((K,), X.dtype) if w is None else jnp.asarray(w, X.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    mx = jnp.sum(X * w[:, None], axis=0) / wsum
+    my = jnp.sum(Y * w[:, None], axis=0) / wsum
+    Xc = X - mx
+    Yc = Y - my
+    cov = (Yc * w[:, None]).T @ Xc / wsum  # (3,3)
+    U, D, Vt = jnp.linalg.svd(cov)
+    S = jnp.diag(
+        jnp.asarray([1.0, 1.0, jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))],
+                    X.dtype)
+    )
+    R = U @ S @ Vt
+    var_x = jnp.sum(w[:, None] * Xc * Xc) / wsum
+    s = jnp.sum(D * jnp.diag(S)) / jnp.maximum(var_x, 1e-12)
+    t = my - s * (R @ mx)
+    return float(s), np.asarray(R), np.asarray(t)

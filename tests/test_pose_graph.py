@@ -283,3 +283,39 @@ def test_sim3_compose_inverse_roundtrip():
     direct = sc * (Rc @ X) + tc
     nested = a[0] * (a[1] @ (b[0] * (b[1] @ X) + b[2])) + a[2]
     np.testing.assert_allclose(direct, nested, rtol=1e-5)
+
+
+def test_umeyama_alignment_recovers_similarity():
+    from optical_flow_tpu.slam.pose_graph import umeyama_alignment
+
+    rng = np.random.RandomState(4)
+    X = rng.randn(50, 3).astype(np.float32)
+    s_true, R_true, t_true = 0.37, _rot([0.2, -1.0, 0.5], 0.8), np.array([1.0, -2.0, 0.5])
+    Y = s_true * (X @ R_true.T) + t_true
+    s, R, t = umeyama_alignment(X, Y)
+    assert abs(s - s_true) < 1e-4
+    assert np.abs(R - R_true).max() < 1e-4
+    np.testing.assert_allclose(t, t_true, atol=1e-4)
+    # weighted: gross outliers with zero weight don't perturb the fit
+    Yo = Y.copy()
+    Yo[:5] += 100.0
+    w = np.ones(50); w[:5] = 0.0
+    s2, R2, t2 = umeyama_alignment(X, Yo, w=w)
+    assert abs(s2 - s_true) < 1e-4
+    np.testing.assert_allclose(t2, t_true, atol=1e-4)
+
+
+def test_umeyama_feeds_sim3_loop_edge():
+    """End-to-end mechanism: measure a loop edge's Sim(3) from matched
+    local structure with Umeyama, feed it to the graph."""
+    from optical_flow_tpu.slam.pose_graph import Sim3PoseGraph, umeyama_alignment
+
+    rng = np.random.RandomState(5)
+    # structure expressed in keyframe i's local frame, and the same points
+    # in keyframe j's local frame whose map is 0.4x scaled and rotated
+    Xi = rng.randn(40, 3).astype(np.float32) + np.array([0, 0, 6], np.float32)
+    s_ij, R_ij = 0.4, _rot([0.1, 0.9, 0.2], 0.5)
+    t_ij = np.array([0.3, -0.1, 0.2])
+    Xj = s_ij * (Xi @ R_ij.T) + t_ij
+    s, R, t = umeyama_alignment(Xi, Xj)
+    assert abs(s - s_ij) < 1e-4 and np.abs(R - R_ij).max() < 1e-4
