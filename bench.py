@@ -30,6 +30,75 @@ BASELINE_FPS = 500.0  # driver target for v5p-8; we report per-chip fps
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
 
 
+def _emit_stale_and_exit() -> None:
+    """Report the last REAL measurement, clearly flagged stale, and exit 3."""
+    if os.path.exists(_CACHE):
+        with open(_CACHE) as f:
+            cached = json.load(f)
+        cached["stale"] = True
+        print(json.dumps(cached), flush=True)
+        print(
+            json.dumps(
+                {
+                    "detail": {
+                        "error": "TPU compile service unresponsive; "
+                        "reporting the LAST CACHED measurement (stale)"
+                    }
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+    else:
+        print(
+            json.dumps(
+                {
+                    "metric": "dense_pyramidal_lk_1080p_fps",
+                    "value": 0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0,
+                    "error": "TPU compile service unresponsive, no cache",
+                }
+            ),
+            flush=True,
+        )
+    os._exit(3)
+
+
+def _tpu_preflight(max_tries: int = 3, cooldown: int = 90) -> bool:
+    """Probe the device runtime with a tiny jit in a SUBPROCESS before
+    committing the measurement process to it. The remote compile service
+    can wedge machine-wide (every compile hangs forever, no error); a
+    subprocess probe detects that deterministically, and the cool-down
+    retries give a transient wedge a recovery window instead of burning
+    the run on the first attempt."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "print(float(jnp.sum(jnp.ones((8, 128)))))"
+    )
+    for attempt in range(max_tries):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=100, check=True, capture_output=True,
+            )
+            return True
+        except Exception:
+            print(
+                json.dumps(
+                    {"detail": {"preflight": f"probe {attempt + 1}/{max_tries} "
+                                             "hung or failed"}}
+                ),
+                file=sys.stderr,
+                flush=True,
+            )
+            if attempt + 1 < max_tries:
+                time.sleep(cooldown)
+    return False
+
+
 def _arm_wedge_watchdog(seconds: int = 480) -> None:
     """The TPU runtime's remote-compile service can wedge machine-wide
     (observed: every fresh compile hangs forever; see
@@ -38,37 +107,7 @@ def _arm_wedge_watchdog(seconds: int = 480) -> None:
     instead of hanging the harness."""
 
     def on_alarm(signum, frame):
-        if os.path.exists(_CACHE):
-            with open(_CACHE) as f:
-                cached = json.load(f)
-            cached["stale"] = True
-            print(json.dumps(cached), flush=True)
-            print(
-                json.dumps(
-                    {
-                        "detail": {
-                            "error": "TPU compile service unresponsive; "
-                            "reporting the LAST CACHED measurement (stale)"
-                        }
-                    }
-                ),
-                file=sys.stderr,
-                flush=True,
-            )
-        else:
-            print(
-                json.dumps(
-                    {
-                        "metric": "dense_pyramidal_lk_1080p_fps",
-                        "value": 0,
-                        "unit": "frames/s",
-                        "vs_baseline": 0,
-                        "error": "TPU compile service unresponsive, no cache",
-                    }
-                ),
-                flush=True,
-            )
-        os._exit(3)
+        _emit_stale_and_exit()
 
     signal.signal(signal.SIGALRM, on_alarm)
     signal.alarm(seconds)
@@ -129,6 +168,8 @@ def main():
     )
     args = ap.parse_args()
 
+    if not _tpu_preflight():
+        _emit_stale_and_exit()
     _arm_wedge_watchdog()
 
     import jax
@@ -330,9 +371,22 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
     }
     if args.size == 1080 and args.batch == 1 and args.impl == "auto":
-        try:  # cache the default-config result for the wedge fallback
+        try:  # cache the default-config result for the wedge fallback,
+            # with provenance so a stale replay is auditable
+            import subprocess
+
+            cached = dict(result)
+            cached["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            try:
+                cached["commit"] = subprocess.run(
+                    ["git", "rev-parse", "--short", "HEAD"],
+                    capture_output=True, text=True, timeout=10,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                ).stdout.strip()
+            except Exception:
+                pass
             with open(_CACHE, "w") as f:
-                json.dump(result, f)
+                json.dump(cached, f)
         except OSError:
             pass
     print(json.dumps(result))
