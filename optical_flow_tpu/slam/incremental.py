@@ -100,6 +100,9 @@ def incremental_slam(
     # same low-parallax points 8+ units apart) and PnP later trusts the
     # garbage depths and collapses
     bootstrap_min_disparity: float = 8.0,
+    # after a verified loop closure, re-anchor the map to the corrected
+    # poses and run one global BA so map and trajectory agree again
+    final_global_ba: bool = True,
     ransac: EssentialRansacConfig = EssentialRansacConfig(),
 ) -> Optional[SlamResult]:
     """Run the incremental pipeline over grayscale frames (every frame is a
@@ -369,12 +372,62 @@ def incremental_slam(
         cj = -kf_R[j].T @ kf_t[j]
         graph.add_edge(i, j, R_ij, t_ij * np.linalg.norm(cj - ci), weight=4.0)
         loop_edges.append((i, j, n))
+    pts = mapper.all_points()
     if loop_edges:
         Rn, tn = graph.optimize()
+        if final_global_ba and pts:
+            # Loop-aware refinement: the pose graph moved the cameras but
+            # the map still sits where the DRIFTED trajectory built it.
+            # Re-anchor each point to its first observing keyframe (its
+            # local-camera coordinates are what the observations actually
+            # measured, so the point rides with its anchor's correction),
+            # then one global BA over every keyframe and observation makes
+            # map and trajectory consistent again.
+            anchors = {}
+            for kf_i, obs_list in enumerate(kf_obs):
+                for p, _ in obs_list:
+                    anchors.setdefault(p, kf_i)
+            for p, X in pts.items():
+                a = anchors.get(p, 0)
+                X_cam = kf_R[a] @ X + kf_t[a]
+                pts[p] = Rn[a].T @ (X_cam - tn[a])
+            from optical_flow_tpu.slam.ba import (
+                BAProblem,
+                bundle_adjust,
+                reprojection_rmse,
+            )
+
+            pids = sorted(pts)
+            pidx = {p: i for i, p in enumerate(pids)}
+            ci, pi, uv = [], [], []
+            for kf_i, obs_list in enumerate(kf_obs):
+                for p, px in obs_list:
+                    if p in pidx:
+                        ci.append(kf_i)
+                        pi.append(pidx[p])
+                        uv.append(np.asarray(px, np.float64) - [cx, cy])
+            cams = np.stack(
+                [np.concatenate([_R_to_aa(R), t]) for R, t in zip(Rn, tn)]
+            ).astype(np.float64)
+            # f64 inputs; jnp converts per the x64 setting (f32 otherwise)
+            prob = BAProblem(
+                jnp.asarray(cams),
+                jnp.asarray(np.stack([pts[p] for p in pids]).astype(np.float64)),
+                jnp.asarray(ci, jnp.int32),
+                jnp.asarray(pi, jnp.int32),
+                jnp.asarray(np.stack(uv)),
+                focal,
+                jnp.asarray(np.ones(len(ci))),
+            )
+            refined, _ = bundle_adjust(prob, iters=ba_iters)
+            rmse = float(reprojection_rmse(refined))
+            cams_r = np.asarray(refined.cams)
+            Rn = np.stack([_aa_to_R(c[:3]) for c in cams_r]).astype(np.float32)
+            tn = cams_r[:, 3:].astype(np.float32)
+            pts = {p: np.asarray(x) for p, x in zip(pids, np.asarray(refined.points))}
     else:
         Rn, tn = np.stack(kf_R), np.stack(kf_t)
 
-    pts = mapper.all_points()
     points = np.stack(list(pts.values())) if pts else np.zeros((0, 3))
     return SlamResult(
         poses=np.asarray(Rn),
