@@ -65,24 +65,51 @@ def _emit_stale_and_exit() -> None:
     os._exit(3)
 
 
-def _tpu_preflight(max_tries: int = 3, cooldown: int = 90) -> bool:
+def _bench_programs_cached() -> bool:
+    """True when the persistent XLA cache already holds compiled
+    executables for the bench programs. Cache hits are served from disk
+    and never touch the wedge-prone remote compile service, so a wedged
+    preflight must NOT veto a measurement the cache can carry end-to-end
+    (VERDICT r2 #1: two stale rounds from probes that failed runs the
+    disk cache could have completed)."""
+    import glob
+
+    cache = os.environ.get(
+        "OPTICAL_FLOW_TPU_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
+    )
+    return bool(glob.glob(os.path.join(cache, "jit__bench_step-*"))) and bool(
+        glob.glob(os.path.join(cache, "jit__bench_stream-*"))
+    )
+
+
+def _tpu_preflight(cooldowns=(90, 240, 480)) -> bool:
     """Probe the device runtime with a tiny jit in a SUBPROCESS before
     committing the measurement process to it. The remote compile service
     can wedge machine-wide (every compile hangs forever, no error); a
     subprocess probe detects that deterministically, and the cool-down
-    retries give a transient wedge a recovery window instead of burning
-    the run on the first attempt."""
+    ladder (~15 min total) gives a transient wedge a real recovery window
+    instead of burning the run on the first attempt.
+
+    The probe subprocess enables the SAME persistent compile cache the
+    bench uses, so on any machine that ran the bench once the probe
+    program is a disk hit — a wedged compile service then fails only
+    truly-fresh compiles, which the cache check in main() handles."""
     import subprocess
 
     code = (
+        "from optical_flow_tpu.utils.compat import enable_persistent_cache; "
+        "enable_persistent_cache(); "
         "import jax, jax.numpy as jnp; "
         "print(float(jnp.sum(jnp.ones((8, 128)))))"
     )
+    max_tries = len(cooldowns) + 1
     for attempt in range(max_tries):
         try:
             subprocess.run(
                 [sys.executable, "-c", code],
                 timeout=100, check=True, capture_output=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             return True
         except Exception:
@@ -94,8 +121,8 @@ def _tpu_preflight(max_tries: int = 3, cooldown: int = 90) -> bool:
                 file=sys.stderr,
                 flush=True,
             )
-            if attempt + 1 < max_tries:
-                time.sleep(cooldown)
+            if attempt < len(cooldowns):
+                time.sleep(cooldowns[attempt])
     return False
 
 
@@ -169,7 +196,22 @@ def main():
     args = ap.parse_args()
 
     if not _tpu_preflight():
-        _emit_stale_and_exit()
+        if _bench_programs_cached():
+            # The compile service is wedged but every bench program is in
+            # the on-disk cache: run the measurement anyway — cache hits
+            # never touch the remote compile service. The watchdog still
+            # covers the case where some program misses the cache.
+            print(
+                json.dumps(
+                    {"detail": {"preflight": "failed, but bench programs are "
+                                             "in the persistent cache; "
+                                             "measuring through the cache"}}
+                ),
+                file=sys.stderr,
+                flush=True,
+            )
+        else:
+            _emit_stale_and_exit()
     _arm_wedge_watchdog()
 
     import jax
@@ -369,6 +411,12 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        # which formulation produced the number, in the headline itself so
+        # a cached/stale replay or a cross-round comparison can't silently
+        # mix streaming and pairwise measurements (ADVICE r2)
+        "formulation": (
+            "pairwise" if (args.parity or args.pairwise) else "streaming"
+        ),
     }
     if args.size == 1080 and args.batch == 1 and args.impl == "auto":
         try:  # cache the default-config result for the wedge fallback,

@@ -6,17 +6,17 @@
             -> triangulation of newly matured tracks
             -> sliding-window BA with track retirement (slam/window.py)
             -> thumbnail place recognition + geometric loop verification
-            -> pose-graph drift correction (slam/pose_graph.py)
+            -> Sim(3) pose-graph drift correction (slam/pose_graph.py):
+               loop edges carry Umeyama-measured scale, so accumulated
+               monocular SCALE drift is corrected along with rotation
+               and translation (measure_loop_sim3; falls back to an
+               estimate-scaled s=1 edge when structure support is thin)
 
 Host code here is orchestration/bookkeeping only; every solve is a jitted
 batched kernel (RANSAC hypothesis batches, windowed sparse-Schur BA, the
-SE(3) pose-graph Gauss-Newton).
+Sim(3) pose-graph Gauss-Newton).
 
-Monocular caveats, stated honestly:
-- loop-closure translations are known only up to scale; edges are scaled
-  by the CURRENT estimate's distance between the two keyframes, so loops
-  correct rotation and translation direction but not global scale drift
-  (a Sim(3) pose graph would);
+Monocular caveat, stated honestly:
 - `window` must cover a meaningful fraction of any loop you expect to
   close: poses frozen out of the window keep their drift, and the pose
   graph can only redistribute error over the odometry edges it is given
@@ -37,15 +37,17 @@ from optical_flow_tpu.slam.epipolar import (
     EssentialRansacConfig,
     estimate_essential,
     normalize_pixels,
+    ransac_essential_5pt,
     recover_pose,
     refine_pose,
     triangulate,
 )
 from optical_flow_tpu.slam.pnp import pnp_ransac, reprojection_errors
 from optical_flow_tpu.slam.pose_graph import (
-    PoseGraph,
+    Sim3PoseGraph,
+    measure_loop_sim3,
+    place_descriptor,
     propose_loop_candidates,
-    thumbnail_descriptor,
     verify_loop_closure,
 )
 from optical_flow_tpu.slam.window import WindowedBA
@@ -161,7 +163,19 @@ def incremental_slam(
             if np.median(disp) < bootstrap_min_disparity and k < N - 1:
                 continue  # keep accumulating baseline
             p1n, p2n = norm(anchor_px), norm(cur_px)
-            E, inl, count = estimate_essential(p1n, p2n, valid=sel, config=ransac)
+            # minimal (5-point) hypotheses: a clean sample yields an EXACT
+            # essential matrix, and an all-inlier 5-sample is w^5 likely vs
+            # the 8-point path's w^8 — decisive at low inlier ratios
+            # (test_epipolar.py::test_5pt_beats_8pt_at_low_inlier_ratio).
+            # The 8-point batch is the fallback for degenerate samples.
+            try:
+                E, inl, count = ransac_essential_5pt(
+                    p1n, p2n, valid=sel, config=ransac
+                )
+            except RuntimeError:
+                E, inl, count = estimate_essential(
+                    p1n, p2n, valid=sel, config=ransac
+                )
             if int(count) < 16:
                 continue  # not enough parallax yet; try the next frame
             inl_np = np.asarray(inl)
@@ -199,7 +213,12 @@ def incremental_slam(
         # -- localize against the live map (PnP on tracked map points)
         has_pt = alive & (point_id >= 0)
         live_pids = point_id[has_pt]
-        in_map = np.asarray([pid in mapper.points for pid in live_pids])
+        # explicit dtype: on total tracking loss the comprehension is empty
+        # and a default np.asarray([]) would be float64 — an illegal index
+        # that crashed the recovery path it guards (ADVICE r2)
+        in_map = np.asarray(
+            [pid in mapper.points for pid in live_pids], dtype=bool
+        )
         rows = np.flatnonzero(has_pt)[in_map]
 
         def attempt_relocalize():
@@ -211,9 +230,9 @@ def incremental_slam(
             skips the frame and retries on the next one)."""
             nonlocal cur_px, alive, anchor_px, anchor_kf, point_id, rmse
             allpts = mapper.all_points()
-            d = thumbnail_descriptor(frames[k])
+            d = place_descriptor(frames[k])
             dists = [
-                float(np.linalg.norm(thumbnail_descriptor(frames[i]) - d))
+                float(np.linalg.norm(place_descriptor(frames[i]) - d))
                 for i in keyframes
             ]
             for kf_i in np.argsort(dists)[:3]:
@@ -354,11 +373,21 @@ def incremental_slam(
     if not bootstrapped:
         return None
 
-    # --- loop closure + pose graph ----------------------------------------
-    descs = [thumbnail_descriptor(frames[i]) for i in keyframes]
+    # --- loop closure + Sim(3) pose graph ----------------------------------
+    # Loop edges are measured as FULL similarities (scale from Umeyama
+    # alignment of shared structure, measure_loop_sim3) and optimized on a
+    # Sim(3) graph: monocular scale drift is corrected, not just rotation
+    # and translation direction. When the structure-based measurement
+    # fails, the edge degrades to s=1 with the translation scaled from the
+    # current estimate (the SE(3)-era behavior).
+    # Fourier-Mellin place descriptors: rotation/scale/brightness-tolerant
+    # candidate proposal (the 16x16 thumbnail NCC collapses under viewpoint
+    # change — see test_place_descriptor_survives_viewpoint_change)
+    descs = [place_descriptor(frames[i]) for i in keyframes]
     cands = propose_loop_candidates(descs, min_separation=loop_min_separation)
-    graph = PoseGraph.from_odometry(np.stack(kf_R), np.stack(kf_t))
+    sgraph = Sim3PoseGraph.from_se3_odometry(np.stack(kf_R), np.stack(kf_t))
     loop_edges = []
+    allpts = mapper.all_points()
     for i, j, _ in cands[:3]:
         got = verify_loop_closure(
             frames[keyframes[i]], frames[keyframes[j]], focal, cx, cy,
@@ -367,14 +396,35 @@ def incremental_slam(
         if got is None:
             continue
         R_ij, t_ij, n = got
-        # monocular scale: take it from the current estimate (see module note)
-        ci = -kf_R[i].T @ kf_t[i]
-        cj = -kf_R[j].T @ kf_t[j]
-        graph.add_edge(i, j, R_ij, t_ij * np.linalg.norm(cj - ci), weight=4.0)
+        sim = measure_loop_sim3(
+            frames[keyframes[i]], frames[keyframes[j]],
+            kf_obs[i], kf_obs[j], allpts,
+            kf_R[i], kf_t[i], kf_R[j], kf_t[j],
+        )
+        if sim is not None:
+            # cross-check: the structure-measured rotation must agree with
+            # the independently verified epipolar rotation
+            s_ij, R_s, t_s, _ = sim
+            cosang = (np.trace(R_s.T @ R_ij) - 1.0) / 2.0
+            if cosang < np.cos(np.radians(10.0)):
+                sim = None
+        if sim is not None:
+            sgraph.add_edge(i, j, s_ij, R_s, t_s, weight=4.0)
+        else:
+            ci = -kf_R[i].T @ kf_t[i]
+            cj = -kf_R[j].T @ kf_t[j]
+            sgraph.add_edge(
+                i, j, 1.0, R_ij, t_ij * np.linalg.norm(cj - ci), weight=4.0
+            )
         loop_edges.append((i, j, n))
     pts = mapper.all_points()
     if loop_edges:
-        Rn, tn = graph.optimize()
+        ss, Rn, tn = sgraph.optimize()
+        # SE(3)-ize the similarity nodes for everything downstream: the
+        # camera (R, t/s) sees every ray of (s, R, t) unchanged
+        # (X_cam = s R X + t projects like R X + t/s), and the center
+        # -(1/s) R^T t = -R^T (t/s) is preserved
+        tn = (tn / ss[:, None]).astype(np.float32)
         if final_global_ba and pts:
             # Loop-aware refinement: the pose graph moved the cameras but
             # the map still sits where the DRIFTED trajectory built it.
@@ -390,7 +440,11 @@ def incremental_slam(
             for p, X in pts.items():
                 a = anchors.get(p, 0)
                 X_cam = kf_R[a] @ X + kf_t[a]
-                pts[p] = Rn[a].T @ (X_cam - tn[a])
+                # full similarity inverse: X_w = (1/s) R^T (X_cam - t_sim)
+                #                              = R^T (X_cam/s - t_sim/s)
+                # (tn is already t_sim/s) — the anchor's scale correction
+                # rides into the map, not just its rotation/translation
+                pts[p] = Rn[a].T @ (X_cam / ss[a] - tn[a])
             from optical_flow_tpu.slam.ba import (
                 BAProblem,
                 bundle_adjust,

@@ -179,6 +179,62 @@ def thumbnail_descriptor(img, size: int = 16) -> np.ndarray:
     return np.asarray(d / jnp.maximum(n, 1e-9))
 
 
+@partial(jax.jit, static_argnames=("size", "n_rho", "n_theta"))
+def _fourier_mellin(x, size: int, n_rho: int, n_theta: int):
+    import jax.image
+
+    x = jax.image.resize(x.astype(jnp.float32), (size, size), "linear")
+    x = x - jnp.mean(x)
+    # Hann window kills the image-border discontinuity the DFT would
+    # otherwise turn into dominant axis-aligned spectral energy
+    n = jnp.arange(size, dtype=jnp.float32)
+    hann = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / (size - 1))
+    x = x * hann[:, None] * hann[None, :]
+    F = jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(x)))
+    # log-polar resample: rotation -> shift along theta, scale -> shift
+    # along log-rho. Upper half-plane only (real-image spectra are
+    # centrally symmetric).
+    c = size / 2.0
+    rho = jnp.exp(
+        jnp.linspace(jnp.log(2.0), jnp.log(c * 0.9), n_rho, dtype=jnp.float32)
+    )
+    th = jnp.linspace(0.0, jnp.pi, n_theta, endpoint=False, dtype=jnp.float32)
+    yy = c + rho[:, None] * jnp.sin(th)[None, :]
+    xx = c + rho[:, None] * jnp.cos(th)[None, :]
+    from jax.scipy.ndimage import map_coordinates
+
+    L = map_coordinates(F, [yy, xx], order=1, mode="nearest")
+    L = jnp.log1p(L)  # compress spectral dynamic range
+    L = L - jnp.mean(L)
+    # second |FFT|: the rotation/scale shifts become phase, discarded
+    M = jnp.abs(jnp.fft.fft2(L))
+    # low frequencies carry the place identity; high ones carry noise
+    M = jnp.concatenate([M[:6], M[-5:]], axis=0)
+    M = jnp.concatenate([M[:, :8], M[:, -7:]], axis=1)
+    v = M.reshape(-1)
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
+
+
+def place_descriptor(
+    img, size: int = 64, n_rho: int = 24, n_theta: int = 32
+) -> np.ndarray:
+    """Global place-recognition descriptor, tolerant to in-plane rotation,
+    scale, translation, and brightness/contrast shifts (Fourier-Mellin):
+    |FFT| of the image is translation invariant; log-polar resampling of
+    the spectrum turns rotation and scale into shifts; a second |FFT|
+    magnitude makes those invariant too; windowing + per-stage
+    normalization handles illumination. One jitted program per size.
+
+    Upgrade over `thumbnail_descriptor` (kept for nearby-view ranking):
+    the thumbnail NCC collapses under viewpoint change — a 25-degree
+    rotation + 15% zoom + brightness shift defeats it while this
+    descriptor still ranks the true revisit first
+    (tests/test_pose_graph.py::test_place_descriptor_survives_viewpoint_change).
+    """
+    x = jnp.asarray(np.asarray(img), jnp.float32)
+    return np.asarray(_fourier_mellin(x, size, n_rho, n_theta))
+
+
 def propose_loop_candidates(
     descriptors, min_separation: int = 10, max_candidates: int = 5
 ) -> List[Tuple[int, int, float]]:
@@ -205,13 +261,17 @@ def verify_loop_closure(
     max_corners: int = 300,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
     """Geometric verification of a loop candidate: corners on img_i,
-    sparse-LK matches into img_j, essential RANSAC + LO pose refinement.
+    sparse-LK matches into img_j, minimal (5-point) essential RANSAC + LO
+    pose refinement. Loop-candidate matches are exactly where inlier
+    ratios run low (independent corner sets, appearance drift), which is
+    where minimal 5-samples (w^5 all-inlier odds vs w^8) earn their keep.
     Returns (R_ij, t_ij (unit), n_inliers) — camera-j-from-camera-i with
     UNOBSERVABLE translation scale (scale it from the map before adding
     the edge) — or None if support is too weak."""
     from optical_flow_tpu.slam.epipolar import (
         estimate_essential,
         normalize_pixels,
+        ransac_essential_5pt,
         recover_pose,
         refine_pose,
     )
@@ -225,7 +285,10 @@ def verify_loop_closure(
         return None
     p1 = np.asarray(normalize_pixels(np.asarray(pts), focal, cx, cy))
     p2 = np.asarray(normalize_pixels(np.asarray(new), focal, cx, cy))
-    E, inl, count = estimate_essential(p1, p2, valid=ok)
+    try:
+        E, inl, count = ransac_essential_5pt(p1, p2, valid=ok)
+    except RuntimeError:  # every minimal sample degenerate: 8-point batch
+        E, inl, count = estimate_essential(p1, p2, valid=ok)
     if int(count) < min_inliers:
         return None
     inl_np = np.asarray(inl)
@@ -443,3 +506,98 @@ def umeyama_alignment(X, Y, w=None):
     s = jnp.sum(D * jnp.diag(S)) / jnp.maximum(var_x, 1e-12)
     t = my - s * (R @ mx)
     return float(s), np.asarray(R), np.asarray(t)
+
+
+def measure_loop_sim3(
+    img_i,
+    img_j,
+    obs_i,
+    obs_j,
+    points,
+    R_i,
+    t_i,
+    R_j,
+    t_j,
+    *,
+    min_support: int = 12,
+    max_scale: float = 4.0,
+) -> Optional[Tuple[float, np.ndarray, np.ndarray, int]]:
+    """Measure a loop edge as a FULL similarity S_ji = (s, R, t):
+    X_j = s R X_i + t, mapping keyframe i's local-map coordinates to
+    keyframe j's — the constraint a Sim(3) pose graph needs to correct
+    monocular scale drift (Strasdat's ScaViSLAM loop formulation; the
+    reference has no SLAM at all).
+
+    Monocular drift means the map near i and the map near j disagree
+    about the world's scale — the same physical scene exists TWICE in the
+    drifted map, once as i's landmarks and once (different pids, different
+    scale) as j's. The measurement exploits that duplication, ORB-SLAM
+    style: sparse-LK-track i's landmark pixels (`obs_i`: [(pid, absolute
+    pixel)]) into frame j, associate each tracked position with keyframe
+    j's own nearest landmark observation (`obs_j`) — the two detectors
+    latched onto the same physical corners at the revisit — and
+    trim-Umeyama-align the two local point clouds (i's landmarks in
+    camera-i coordinates vs the matched j landmarks in camera-j
+    coordinates). No triangulation is involved, so the measurement is
+    well-conditioned even at an exact revisit (zero i-j baseline —
+    exactly where loop closures live, and exactly where a
+    triangulation-based measurement would be poisoned).
+
+    Returns (s, R, t, n_support) or None when tracking/association/
+    alignment support is too weak or the scale is implausible
+    (> max_scale drift)."""
+    from optical_flow_tpu.track.sparse_lk import track_features
+
+    match_radius = 3.0  # px: corner re-detection jitter at the revisit
+
+    A = [(p, px) for p, px in obs_i if p in points]
+    B = [(p, px) for p, px in obs_j if p in points]
+    if len(A) < min_support or len(B) < min_support:
+        return None
+    R_i, t_i = np.asarray(R_i, np.float64), np.asarray(t_i, np.float64)
+    R_j, t_j = np.asarray(R_j, np.float64), np.asarray(t_j, np.float64)
+
+    # i's landmarks carried into frame j by LK
+    a_px = np.asarray([px for _, px in A], np.float32)
+    a_j, sa, _ = track_features(img_i, img_j, a_px)
+    a_j = np.asarray(a_j, np.float32)
+    sa = np.asarray(sa)
+    if sa.sum() < min_support:
+        return None
+
+    # associate tracked positions with j's own landmark observations:
+    # greedy nearest-neighbor, one-to-one, gated at match_radius
+    b_px = np.asarray([px for _, px in B], np.float32)
+    d = np.linalg.norm(a_j[:, None, :] - b_px[None, :, :], axis=-1)
+    d[~sa] = np.inf
+    pairs = []
+    used_b = np.zeros(len(B), bool)
+    for ai in np.argsort(d.min(axis=1)):
+        bi = int(np.argmin(np.where(used_b, np.inf, d[ai])))
+        if d[ai, bi] <= match_radius:
+            used_b[bi] = True
+            pairs.append((ai, bi))
+    if len(pairs) < min_support:
+        return None
+    ia = np.asarray([a for a, _ in pairs])
+    ib = np.asarray([b for _, b in pairs])
+
+    Xa = np.stack([points[A[a][0]] for a in ia])
+    Xb = np.stack([points[B[b][0]] for b in ib])
+    X_i_loc = Xa @ R_i.T + t_i  # i's local map, i's scale
+    X_j_loc = Xb @ R_j.T + t_j  # j's local map, j's scale
+    w = (X_i_loc[:, 2] > 0.1) & (X_j_loc[:, 2] > 0.1)
+    if w.sum() < min_support:
+        return None
+    # trimmed Umeyama: least squares is outlier-fragile, so align, drop
+    # residuals beyond 2.5x the median, and re-align on the survivors
+    s, R, t = umeyama_alignment(X_i_loc, X_j_loc, w.astype(np.float32))
+    r = np.linalg.norm(s * (X_i_loc @ R.T) + t - X_j_loc, axis=1)
+    med = np.median(r[w])
+    w2 = w & (r <= 2.5 * max(med, 1e-9))
+    if w2.sum() < min_support:
+        return None
+    s, R, t = umeyama_alignment(X_i_loc, X_j_loc, w2.astype(np.float32))
+    if not (1.0 / max_scale < s < max_scale):
+        return None
+    return float(s), np.asarray(R), np.asarray(t), int(w2.sum())

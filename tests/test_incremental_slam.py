@@ -98,3 +98,21 @@ def test_incremental_slam_relocalizes_after_blackout():
     err = np.linalg.norm(est * scale - true, axis=1)
     post = [e for i, e in zip(res.keyframes, err) if i > 7]
     assert post and max(post) < 0.12, (res.keyframes, err)
+
+
+def test_incremental_slam_survives_total_tracking_loss():
+    """Regression (ADVICE r2): when NO live track has a map point (e.g.
+    the scene goes black), the empty in-map mask must stay boolean — a
+    default np.asarray([]) is float64, an illegal index that crashed the
+    relocalization fallback in exactly the scenario it guards. The
+    pipeline must ride out the blackout and keep the pre-loss keyframes."""
+    frames, centers, focal = _render_loop(n_frames=10)
+    frames = list(frames)
+    for bad in range(5, 10):
+        frames[bad] = np.zeros_like(frames[bad])
+    res = incremental_slam(
+        frames, focal, loop_min_separation=20, min_tracks=40, window=8
+    )
+    assert res is not None
+    assert all(i < 5 for i in res.keyframes), res.keyframes
+    assert len(res.keyframes) >= 2

@@ -319,3 +319,107 @@ def test_umeyama_feeds_sim3_loop_edge():
     Xj = s_ij * (Xi @ R_ij.T) + t_ij
     s, R, t = umeyama_alignment(Xi, Xj)
     assert abs(s - s_ij) < 1e-4 and np.abs(R - R_ij).max() < 1e-4
+
+
+def test_measure_loop_sim3_recovers_scale_drift():
+    """The production loop-edge measurement (measure_loop_sim3): at a
+    revisit, keyframe i's landmarks and keyframe j's landmarks cover the
+    same physical corners but live in the drifted map at different local
+    scales. The LK-track + nearest-landmark association + trimmed Umeyama
+    must recover the relative similarity — including the scale ratio —
+    WITHOUT triangulation (the i-j baseline at a revisit is ~zero, which
+    would poison any triangulation-based measurement)."""
+    cv2 = pytest.importorskip("cv2")
+    from optical_flow_tpu.slam.pose_graph import measure_loop_sim3
+
+    rng = np.random.RandomState(8)
+    h, w, focal = 320, 416, 400.0
+    cx, cy = w / 2.0, h / 2.0
+    base = cv2.resize(
+        rng.rand(80, 104).astype(np.float32), (w, h), interpolation=cv2.INTER_CUBIC
+    )
+    base = (255 * (base - base.min()) / np.ptp(base)).astype(np.uint8)
+    depth = np.clip(
+        4.0 + 6.0 * cv2.resize(rng.rand(10, 13).astype(np.float32), (w, h),
+                               interpolation=cv2.INTER_CUBIC), 3.0, 12.0
+    )
+    tx = 0.02  # ~1.6 px disparity: a true revisit, near-zero baseline
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    frame_i = base
+    frame_j = cv2.remap(base, xs + tx * focal / depth, ys, cv2.INTER_LINEAR,
+                        borderMode=cv2.BORDER_REFLECT_101)
+    t_j_true = np.array([-tx, 0.0, 0.0])  # world->cam-j, camera slid +x
+
+    # physical points on a grid; world == camera-i frame (pose_i = identity)
+    uu, vv = np.meshgrid(np.arange(60, w - 60, 42), np.arange(60, h - 60, 42))
+    uu, vv = uu.ravel(), vv.ravel()
+    Z = depth[vv, uu]
+    X = np.stack([(uu - cx) / focal * Z, (vv - cy) / focal * Z, Z], axis=1)
+
+    sigma = 0.6  # j's neighborhood of the map drifted to 0.6x scale
+    obs_i = [(k, np.array([u, v], np.float32)) for k, (u, v) in enumerate(zip(uu, vv))]
+    # j's own landmark observations: the same corners as seen in frame j
+    # (content at u in frame j came from u + disp in frame i), re-detected
+    # with sub-pixel jitter; their map entries carry j's drifted scale
+    disp = tx * focal / Z
+    obs_j = [
+        (1000 + k,
+         np.array([u - d + rng.uniform(-0.8, 0.8),
+                   v + rng.uniform(-0.8, 0.8)], np.float32))
+        for k, (u, v, d) in enumerate(zip(uu, vv, disp))
+    ]
+    points = {k: X[k] for k in range(len(uu))}
+    points.update({1000 + k: sigma * X[k] for k in range(len(uu))})
+
+    got = measure_loop_sim3(
+        frame_i, frame_j, obs_i, obs_j, points,
+        np.eye(3), np.zeros(3), np.eye(3), sigma * t_j_true,
+    )
+    assert got is not None
+    s, R, t, n = got
+    assert n >= 12, n
+    assert abs(s - sigma) < 0.05 * sigma, s
+    ang = np.degrees(np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1)))
+    assert ang < 1.0, ang
+    np.testing.assert_allclose(t, sigma * t_j_true, atol=0.02)
+
+
+def test_place_descriptor_survives_viewpoint_change():
+    """The Fourier-Mellin place descriptor ranks a revisit first under
+    in-plane rotation + zoom + brightness/contrast shift; the 16x16
+    thumbnail NCC provably fails on the same queries (measured: at 60
+    degrees/1.3x it ranks a different place first). This is why
+    incremental_slam proposes loop candidates with place_descriptor."""
+    cv2 = pytest.importorskip("cv2")
+    from optical_flow_tpu.slam.pose_graph import place_descriptor
+
+    h = w = 160
+
+    def make_place(seed):
+        r = np.random.RandomState(seed)
+        img = cv2.resize(r.rand(40, 40).astype(np.float32), (w, h),
+                         interpolation=cv2.INTER_CUBIC)
+        return (255 * (img - img.min()) / np.ptp(img)).astype(np.uint8)
+
+    places = [make_place(s) for s in range(12)]
+
+    def query(rot, sc):
+        M = cv2.getRotationMatrix2D((w / 2, h / 2), rot, sc)
+        q = cv2.warpAffine(places[4], M, (w, h), flags=cv2.INTER_LINEAR,
+                           borderMode=cv2.BORDER_REFLECT_101)
+        return np.clip(q.astype(np.float32) * 1.3 + 30.0, 0, 255).astype(np.uint8)
+
+    def top1(desc_fn, q):
+        dq = desc_fn(q)
+        dists = [float(np.linalg.norm(desc_fn(p) - dq)) for p in places]
+        return int(np.argmin(dists))
+
+    thumb_fails = 0
+    for rot, sc in ((25, 1.15), (60, 1.3), (90, 1.2)):
+        q = query(rot, sc)
+        assert top1(place_descriptor, q) == 4, (rot, sc)
+        if top1(thumbnail_descriptor, q) != 4:
+            thumb_fails += 1
+    # the thumbnail path demonstrably fails on these queries
+    assert thumb_fails >= 2, thumb_fails
