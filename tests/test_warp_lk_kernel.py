@@ -243,3 +243,59 @@ def test_band_constraints():
             jnp.zeros((4, 64)), jnp.zeros((4, 64)), jnp.zeros((4, 64)),
             jnp.zeros((4, 64)), max_disp=5, clamp=8.0,
         )
+
+
+def test_tile_mode_matches_full_frame():
+    """The kernel's tile mode (halo + global origin via scalar prefetch):
+    running it on halo-extended tiles must reproduce the corresponding
+    region of the full-frame kernel BIT-identically — the property the
+    sharded pyramid's per-tile fusion rests on
+    (parallel/sharded_warp_lk.py; the shard_map composition itself is
+    covered in test_parallel.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(11)
+    H, W = 32, 256
+    th, tw = 16, 128  # 2x2 tile grid
+    C, clamp = 2, 4.0
+    halo = C + 2
+    img1 = rng.rand(H, W).astype(np.float32)
+    img2 = rng.rand(H, W).astype(np.float32)
+    u, v = _flow(rng, (H, W), 2.0)
+    wu = np.asarray(jnp.clip(u, -clamp, clamp))
+    wv = np.asarray(jnp.clip(v, -clamp, clamp))
+
+    ctx = (
+        __import__("contextlib").nullcontext()
+        if on_tpu
+        else pltpu.force_tpu_interpret_mode()
+    )
+    with ctx:
+        du0, dv0 = warp_lk_pallas(
+            jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(wu),
+            jnp.asarray(wv), max_disp=C, clamp=clamp, negate=False,
+        )
+        du0, dv0 = np.asarray(du0), np.asarray(dv0)
+
+        def ext(x, r0, c0):
+            # zero-padded halo extension — exactly what exchange_halo with
+            # border='zero' supplies at global borders, and what interior
+            # tiles receive from their neighbours
+            p = np.zeros((H + 2 * halo, W + 2 * halo), np.float32)
+            p[halo : halo + H, halo : halo + W] = x
+            return jnp.asarray(p[r0 : r0 + th + 2 * halo, c0 : c0 + tw + 2 * halo])
+
+        for r0 in (0, th):
+            for c0 in (0, tw):
+                du1, dv1 = warp_lk_pallas(
+                    ext(img1, r0, c0), ext(img2, r0, c0),
+                    ext(wu, r0, c0), ext(wv, r0, c0),
+                    max_disp=C, clamp=clamp, negate=False,
+                    halo=halo, origin=(r0, c0), global_hw=(H, W),
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(du1), du0[r0 : r0 + th, c0 : c0 + tw]
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(dv1), dv0[r0 : r0 + th, c0 : c0 + tw]
+                )
