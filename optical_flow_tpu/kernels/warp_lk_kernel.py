@@ -400,16 +400,22 @@ _K5UP = (0.125, 0.5, 0.75, 0.5, 0.125)  # 2 * [1,4,6,4,1]/16 (per-axis pyrUp)
 
 
 def _pyrup_warp_lk_kernel(
-    i1_hbm, i2_hbm, uc_hbm, vc_hbm, u_ref, v_ref, ibufs, isems, fbufs, fsems,
-    *, H, W, Wc, band, C, clamp, Lc, Wpc,
+    org_ref, i1_hbm, i2_hbm, uc_hbm, vc_hbm, u_ref, v_ref,
+    ibufs, isems, fbufs, fsems,
+    *, H, W, Hg, Wg, Wc, band, C, clamp, Lc, Wpc,
 ):
+    # org_ref (scalar prefetch): global (row, col) of this image's origin —
+    # (0, 0) full-frame; a mesh tile's offset under shard_map (the
+    # interior mask, the in-image flow gate and the REFLECT_101 fixes all
+    # predicate on global coordinates; see _warp_lk_kernel's note)
     R = _round_up(C + 2, 4)
     nc = band // 2 + R  # coarse rows covering the fine slab
     mc = Wc // 2 + 2  # even-parity output cols of the tmp grid [-2, Wc+2)
     b = pl.program_id(0)
     i = pl.program_id(1)
     nbands = pl.num_programs(1)
-    row0 = i * band
+    row0 = org_ref[0] + i * band
+    col0 = org_ref[1]
 
     slot = lax.rem(i, jnp.int32(2))
     nslot = jnp.int32(1) - slot
@@ -463,8 +469,8 @@ def _pyrup_warp_lk_kernel(
     Wt = Wc + 4
     K = _K5UP
     fr = lax.broadcasted_iota(jnp.int32, (band + 2 * R, Wt), 0) + (row0 - R)
-    fc = lax.broadcasted_iota(jnp.int32, (band + 2 * R, Wt), 1) - 2
-    inimg = (fr >= 0) & (fr < H) & (fc >= 0) & (fc < W)
+    fc = lax.broadcasted_iota(jnp.int32, (band + 2 * R, Wt), 1) - 2 + col0
+    inimg = (fr >= 0) & (fr < Hg) & (fc >= 0) & (fc < Wg)
 
     def upsample(c):
         # COLUMN pass first at coarse height (ops/pyramid.py
@@ -515,18 +521,38 @@ def _pyrup_warp_lk_kernel(
     qx_t = quant(upx)
     qy_w = quant(upy)[R - 2 : R - 2 + band + 4, :]
     du, dv = _warp_lk_core(
-        x1, x2, qx_t, qy_w, row0, jnp.int32(0),
-        W=W, Hg=H, Wg=W, Wc=Wc, band=band, C=C, R=R,
+        x1, x2, qx_t, qy_w, row0, col0,
+        W=W, Hg=Hg, Wg=Wg, Wc=Wc, band=band, C=C, R=R,
     )
     u_ref[0] = du + upx[R : R + band, 2 : 2 + Wc]
     v_ref[0] = dv + upy[R : R + band, 2 : 2 + Wc]
 
 
-@partial(jax.jit, static_argnames=("band", "C", "clamp"))
-def _pyrup_warp_lk_batched(img1, img2, uc, vc, band: int, C: int, clamp: float):
-    B, H, W = img1.shape
-    Hc, Wcc = uc.shape[-2], uc.shape[-1]
+@partial(
+    jax.jit,
+    static_argnames=("band", "C", "clamp", "halo", "flow_halo", "Hg", "Wg"),
+)
+def _pyrup_warp_lk_batched(
+    img1, img2, uc, vc, origin, band: int, C: int, clamp: float,
+    halo: int = 0, flow_halo: bool = False,
+    Hg: Optional[int] = None, Wg: Optional[int] = None,
+):
+    """Tile mode (halo > 0 / flow_halo): img1/img2 arrive extended by
+    `halo` exchanged pixels per side; uc/vc arrive extended by (Ocr rows,
+    2 cols) with the pyrUp asymmetric border pre-applied at GLOBAL edges
+    (parallel/halo.py border='pyrup') and real neighbour data elsewhere —
+    the tile's coarse buffer is then laid out exactly like the full-frame
+    padflow, so the kernel body is untouched."""
+    B = img1.shape[0]
+    H, W = img1.shape[-2] - 2 * halo, img1.shape[-1] - 2 * halo
+    Hg = H if Hg is None else Hg
+    Wg = W if Wg is None else Wg
     R = _round_up(C + 2, 4)
+    if halo > R:
+        raise ValueError(f"halo {halo} exceeds the kernel's slab margin {R}")
+    Ocr = R // 2 + 1
+    Hc = uc.shape[-2] - (2 * Ocr if flow_halo else 0)
+    Wcc = uc.shape[-1] - (4 if flow_halo else 0)
     Hp = _round_up(H, 8)
     nbands = Hp // band
     Wc = _round_up(W, 128)
@@ -534,14 +560,18 @@ def _pyrup_warp_lk_batched(img1, img2, uc, vc, band: int, C: int, clamp: float):
     off_stride = (band // 2) % 8
     Lc = _round_up(band // 2 + R + 2 + off_stride, 8)
     Wpc = _round_up(max(Wcc + 4, Wc // 2 + 4), 128)
-    Ocr = R // 2 + 1
-    Hcb = _round_up(max((Hp - band) // 2 + Lc, Hc + Ocr + 1), 8)
+    Hcb = _round_up(max((Hp - band) // 2 + Lc, Hc + Ocr + 1, Hc + 2 * Ocr), 8)
 
     def padimg(x):
         buf = jnp.zeros((x.shape[0], Hp + 2 * R, Wp), x.dtype)
-        return lax.dynamic_update_slice(buf, x, (0, R, R))
+        return lax.dynamic_update_slice(buf, x, (0, R - halo, R - halo))
 
     def padflow(x):
+        if flow_halo:
+            # pre-extended tile: rows [-Ocr, Hc+Ocr) x cols [-2, Wcc+2)
+            # land with the coarse image at (Ocr, 2) — identical layout
+            buf = jnp.zeros((B, Hcb, Wpc), x.dtype)
+            return lax.dynamic_update_slice(buf, x, (0, 0, 0))
         # coarse plane with cv::pyrUp's asymmetric border baked in
         # (ops/pyramid._pad_pyrup: row/col -1 reflect to 1, n to n-1),
         # image at (Ocr, 2); everything else zero
@@ -563,32 +593,49 @@ def _pyrup_warp_lk_batched(img1, img2, uc, vc, band: int, C: int, clamp: float):
 
     kernel = partial(
         _pyrup_warp_lk_kernel,
-        H=H, W=W, Wc=Wc, band=band, C=C, clamp=clamp, Lc=Lc, Wpc=Wpc,
+        H=H, W=W, Hg=Hg, Wg=Wg, Wc=Wc, band=band, C=C, clamp=clamp,
+        Lc=Lc, Wpc=Wpc,
     )
     u, v = pl.pallas_call(
         kernel,
-        grid=(B, nbands),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=[
-            pl.BlockSpec((1, band, Wc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, band, Wc), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nbands),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=[
+                pl.BlockSpec(
+                    (1, band, Wc), lambda b, i, org: (b, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, band, Wc), lambda b, i, org: (b, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, band + 2 * R, Wp), img1.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((2, 2, Lc, Wpc), img1.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, Hp, Wc), img1.dtype),
             jax.ShapeDtypeStruct((B, Hp, Wc), img1.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, band + 2 * R, Wp), img1.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((2, 2, Lc, Wpc), img1.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )(p1, p2, pu, pv)
+    )(jnp.asarray(origin, jnp.int32), p1, p2, pu, pv)
     return u[:, :H, :W], v[:, :H, :W]
 
 
+def pyrup_coarse_halo(max_disp: int) -> int:
+    """Row halo the tile-mode coarse flow must carry (cols always 2):
+    the kernel's coarse buffer places the image at row Ocr = R//2 + 1."""
+    return _round_up(max_disp + 2, 4) // 2 + 1
+
+
 def pyrup_warp_lk_pallas(
-    img1, img2, u_coarse, v_coarse, *, max_disp: int, clamp: float
+    img1, img2, u_coarse, v_coarse, *, max_disp: int, clamp: float,
+    halo: int = 0, origin=None, global_hw: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused corrected-mode inter-level step (see module note above).
 
@@ -597,21 +644,37 @@ def pyrup_warp_lk_pallas(
     level-i flow (du + 2*pyr_up(u_coarse), dv + 2*pyr_up(v_coarse)).
     Raises ValueError when the shape doesn't fit the band constraints —
     use warp_lk_band() to decide, or catch and fall back.
+
+    Tile mode (parallel/sharded_warp_lk.py): images extended by `halo`
+    exchanged pixels per side; u_coarse/v_coarse extended by
+    (pyrup_coarse_halo(max_disp) rows, 2 cols) with border='pyrup';
+    `origin` is the tile's global (row, col); `global_hw` the frame dims.
+    Tile H must additionally be a multiple of 8 (no pad rows, so the
+    coarse buffer geometry matches the full-frame kernel's exactly).
     """
-    H, W = img1.shape[-2], img1.shape[-1]
+    H, W = img1.shape[-2] - 2 * halo, img1.shape[-1] - 2 * halo
     band = warp_lk_band(H, W, max_disp)
-    if band is None or H % 2 or W % 2:
+    if band is None or H % 2 or W % 2 or (halo and H % 8):
         raise ValueError(f"shape {img1.shape} unsupported by the fused kernel")
-    if u_coarse.shape[-2] * 2 != H or u_coarse.shape[-1] * 2 != W:
+    Ocr = pyrup_coarse_halo(max_disp) if halo else 0
+    ch, cw = (2 * Ocr, 4) if halo else (0, 0)
+    if (u_coarse.shape[-2] - ch) * 2 != H or (u_coarse.shape[-1] - cw) * 2 != W:
         raise ValueError(
             f"coarse flow {u_coarse.shape} is not the ceil-half of {img1.shape}"
         )
     dtype = jnp.float32
     lead = img1.shape[:-2]
-    Hc, Wcc = u_coarse.shape[-2], u_coarse.shape[-1]
-    a = [x.astype(dtype).reshape((-1, H, W)) for x in (img1, img2)]
-    f = [x.astype(dtype).reshape((-1, Hc, Wcc)) for x in (u_coarse, v_coarse)]
+    He, We = img1.shape[-2], img1.shape[-1]
+    Hce, Wce = u_coarse.shape[-2], u_coarse.shape[-1]
+    a = [x.astype(dtype).reshape((-1, He, We)) for x in (img1, img2)]
+    f = [x.astype(dtype).reshape((-1, Hce, Wce)) for x in (u_coarse, v_coarse)]
+    Hg, Wg = global_hw if global_hw is not None else (H, W)
+    origin = _ORIGIN0 if origin is None else origin
+    origin = jnp.stack(
+        [jnp.asarray(origin[0], jnp.int32), jnp.asarray(origin[1], jnp.int32)]
+    )
     u, v = _pyrup_warp_lk_batched(
-        a[0], a[1], f[0], f[1], band=band, C=int(max_disp), clamp=float(clamp)
+        a[0], a[1], f[0], f[1], origin, band=band, C=int(max_disp),
+        clamp=float(clamp), halo=halo, flow_halo=bool(halo), Hg=Hg, Wg=Wg,
     )
     return u.reshape(lead + (H, W)), v.reshape(lead + (H, W))

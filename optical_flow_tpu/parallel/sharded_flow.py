@@ -144,9 +144,13 @@ def sharded_coarse_to_fine_with_images(
         config, warp_impl, warp_max_disp, mesh, rows_n, cols_n, min_tile,
         solve, warp,
     )
+    level_step = _resolve_sharded_level_step(
+        config, warp_max_disp, mesh, rows_n, cols_n, min_tile, warp_solve
+    )
     return run_pyramid(
         pyr1, pyr2, solve, warp, config,
-        warp_solve=warp_solve, need_images=_need_images,
+        warp_solve=warp_solve, level_step=level_step,
+        need_images=_need_images,
     )
 
 
@@ -199,3 +203,57 @@ def _resolve_sharded_warp_solve(
         return solve(i, w1, w2)
 
     return warp_solve
+
+
+def _resolve_sharded_level_step(
+    config, max_disp, mesh, rows_n, cols_n, min_tile, warp_solve
+):
+    """Fully-fused inter-level callable for the sharded run_pyramid, or
+    None. Mirrors the unsharded `_resolve_level_step`
+    (flow/coarse_to_fine.py): corrected-mode TPU production path only;
+    tiled where the tile fits the inter-level band kernel, the full-frame
+    fused kernel (replicated) where it doesn't, and the unfused upsample
+    + (tiled) warp_solve as the last fallback — identical arithmetic to
+    the unsharded controller at every level."""
+    if warp_solve is None or config.mode != "corrected":
+        return None
+    from optical_flow_tpu.kernels.warp_lk_kernel import (
+        pyrup_warp_lk_pallas,
+        warp_lk_band,
+    )
+    from optical_flow_tpu.ops.pyramid import pyr_up_cols_first
+    from optical_flow_tpu.parallel.sharded_warp_lk import (
+        sharded_pyrup_warp_lk,
+        sharded_pyrup_warp_lk_fits,
+    )
+
+    clamp = float(config.warp_clamp)
+
+    def level_step(i, a, b, uc, vc):
+        H, W = a.shape[-2], a.shape[-1]
+        halves = uc.shape[-2] * 2 == H and uc.shape[-1] * 2 == W
+        if (
+            halves
+            and _tileable(a.shape, rows_n, cols_n, min_tile)
+            and sharded_pyrup_warp_lk_fits(a.shape, rows_n, cols_n, max_disp)
+        ):
+            return sharded_pyrup_warp_lk(
+                a, b, uc, vc, mesh, max_disp=max_disp, clamp=clamp
+            )
+        if (
+            halves
+            and H % 2 == 0
+            and W % 2 == 0
+            and warp_lk_band(H, W, max_disp) is not None
+        ):
+            return pyrup_warp_lk_pallas(
+                a, b, uc, vc, max_disp=max_disp, clamp=clamp
+            )
+        upu = 2.0 * pyr_up_cols_first(uc)
+        upv = 2.0 * pyr_up_cols_first(vc)
+        wu = -jnp.clip(upu, -clamp, clamp)
+        wv = -jnp.clip(upv, -clamp, clamp)
+        du, dv = warp_solve(i, a, b, wu, wv)
+        return du + upu, dv + upv
+
+    return level_step

@@ -32,8 +32,13 @@ import jax
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from optical_flow_tpu.kernels.warp_lk_kernel import warp_lk_band, warp_lk_pallas
-from optical_flow_tpu.parallel.halo import exchange_halo
+from optical_flow_tpu.kernels.warp_lk_kernel import (
+    pyrup_coarse_halo,
+    pyrup_warp_lk_pallas,
+    warp_lk_band,
+    warp_lk_pallas,
+)
+from optical_flow_tpu.parallel.halo import exchange_halo, exchange_halo_pyrup
 from optical_flow_tpu.parallel.mesh import AXIS_COLS, AXIS_FRAMES, AXIS_ROWS
 
 shard_map = jax.shard_map
@@ -110,3 +115,92 @@ def sharded_warp_lk(
         check_vma=False,
     )
     return fn(img1, img2, u, v)
+
+
+# ------------------------------------------- fused inter-level step, tiled
+#
+# The unsharded corrected pyramid fuses the ENTIRE inter-level step —
+# pyrUp+double+clamp+negate+warp+LK+accumulate — into one Pallas call
+# (kernels/warp_lk_kernel.py::pyrup_warp_lk_pallas). Tiled form: images
+# carry a C+2 zero-border halo like the warp path; the COARSE flow
+# carries a (pyrup_coarse_halo rows, 2 cols) halo with cv::pyrUp's
+# asymmetric border at global edges (exchange_halo_pyrup), which lands in
+# the kernel's coarse buffer at exactly the full-frame padflow layout.
+# Per-tile output == the corresponding region of the full-frame kernel,
+# bit for bit (tests/test_pyrup_warp_lk.py::test_pyrup_tile_mode_matches_full_frame).
+
+
+def _pyrup_tile(img1, img2, uc, vc, *, halo, chalo, rows_n, cols_n, C, clamp,
+                Hg, Wg):
+    ex = partial(exchange_halo, rows_n=rows_n, cols_n=cols_n, border="zero")
+    e1, e2 = ex(img1, halo), ex(img2, halo)
+    eu = exchange_halo_pyrup(uc, chalo, 2, rows_n=rows_n, cols_n=cols_n)
+    ev = exchange_halo_pyrup(vc, chalo, 2, rows_n=rows_n, cols_n=cols_n)
+    h, w = img1.shape[-2], img1.shape[-1]
+    r0 = lax.axis_index(AXIS_ROWS) * h
+    c0 = lax.axis_index(AXIS_COLS) * w
+    return pyrup_warp_lk_pallas(
+        e1, e2, eu, ev, max_disp=C, clamp=clamp,
+        halo=halo, origin=(r0, c0), global_hw=(Hg, Wg),
+    )
+
+
+def sharded_pyrup_warp_lk_fits(
+    shape, rows_n: int, cols_n: int, max_disp: int
+) -> bool:
+    """Can the fused inter-level kernel run per tile? Tile must fit the
+    band kernel, have H % 8 == 0 / W even (no pad rows, so the coarse
+    buffer geometry matches the full-frame kernel), and both halos must
+    fit within one neighbour tile."""
+    h, w = shape[-2] // rows_n, shape[-1] // cols_n
+    return (
+        h % 8 == 0
+        and w % 2 == 0
+        and warp_lk_band(h, w, max_disp) is not None
+        and max_disp + 2 <= min(h, w)
+        and pyrup_coarse_halo(max_disp) <= h // 2
+        and 2 <= w // 2
+    )
+
+
+def sharded_pyrup_warp_lk(
+    img1,
+    img2,
+    u_coarse,
+    v_coarse,
+    mesh: Mesh,
+    *,
+    max_disp: int,
+    clamp: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused corrected-mode inter-level step, tiled over the mesh.
+
+    img1/img2: level-i frames (H, W) or (B, H, W); u_coarse/v_coarse:
+    level-(i+1) ACCUMULATED flow (H/2, W/2). Returns this level's
+    accumulated flow, bit-identical to pyrup_warp_lk_pallas unsharded.
+    """
+    rows_n = mesh.shape[AXIS_ROWS]
+    cols_n = mesh.shape[AXIS_COLS]
+    H, W = img1.shape[-2], img1.shape[-1]
+    if H % rows_n or W % cols_n:
+        raise ValueError(f"image {H}x{W} not divisible by mesh {rows_n}x{cols_n}")
+    if not sharded_pyrup_warp_lk_fits(img1.shape, rows_n, cols_n, max_disp):
+        raise ValueError(
+            f"tile {H // rows_n}x{W // cols_n} (max_disp={max_disp}) does not "
+            "fit the fused inter-level kernel"
+        )
+    halo = max_disp + 2
+    chalo = pyrup_coarse_halo(max_disp)
+    spec = P(*([AXIS_FRAMES] if img1.ndim == 3 else []), AXIS_ROWS, AXIS_COLS)
+    fn = shard_map(
+        partial(
+            _pyrup_tile,
+            halo=halo, chalo=chalo, rows_n=rows_n, cols_n=cols_n,
+            C=max_disp, clamp=clamp, Hg=H, Wg=W,
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    return fn(img1, img2, u_coarse, v_coarse)

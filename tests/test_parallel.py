@@ -361,6 +361,9 @@ def test_sharded_pyramid_with_fused_kernel(rng, mesh222, monkeypatch):
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         monkeypatch.setattr(swl, "sharded_warp_lk", _sequential_sharded_warp_lk)
+        monkeypatch.setattr(
+            swl, "sharded_pyrup_warp_lk", _sequential_sharded_pyrup
+        )
     img1, img2 = _pair(rng, (64, 128), np.float32)
     cfg = FlowConfig(
         impl="pallas", mode="corrected", warp_clamp=4.0,
@@ -376,3 +379,99 @@ def test_sharded_pyramid_with_fused_kernel(rng, mesh222, monkeypatch):
         u1, v1 = scf(img1, img2, mesh222, 3, config=cfg, min_tile=16)
     np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+def test_pyrup_halo_feed_matches_padflow(rng, mesh222):
+    """exchange_halo_pyrup under shard_map (rows first, then cols, pyrUp
+    asymmetric border at global edges) must hand every tile exactly the
+    slice of the full-frame padflow extension the fused inter-level
+    kernel's tile mode expects."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from optical_flow_tpu.kernels.warp_lk_kernel import pyrup_coarse_halo
+    from optical_flow_tpu.parallel.halo import exchange_halo_pyrup
+    from optical_flow_tpu.parallel.mesh import AXIS_COLS, AXIS_ROWS
+
+    ocr = pyrup_coarse_halo(4)  # production C=4 -> Ocr=5
+    Hc, Wc = 16, 128  # coarse plane; 8x64 tiles on the 2x2 spatial grid
+    x = rng.rand(Hc, Wc).astype(np.float32)
+
+    def tile(t):
+        e = exchange_halo_pyrup(t, ocr, 2, rows_n=2, cols_n=2)
+        return e[jnp.newaxis, jnp.newaxis]
+
+    fn = jax.shard_map(
+        tile, mesh=mesh222,
+        in_specs=P(AXIS_ROWS, AXIS_COLS),
+        out_specs=P(AXIS_ROWS, AXIS_COLS, None, None),
+    )
+    got = np.asarray(fn(x))
+
+    # oracle: the full-frame padflow central block (pyrUp border one
+    # sample deep, zeros beyond), sliced per tile
+    buf = np.zeros((Hc + 2 * ocr, Wc + 4), np.float32)
+    buf[ocr : ocr + Hc, 2 : 2 + Wc] = x
+    buf[ocr - 1, 2 : 2 + Wc] = x[1]
+    buf[ocr + Hc, 2 : 2 + Wc] = x[Hc - 1]
+    strip = buf[ocr - 1 : ocr + Hc + 1, 2 : 2 + Wc]
+    buf[ocr - 1 : ocr + Hc + 1, 1] = strip[:, 1]
+    buf[ocr - 1 : ocr + Hc + 1, 2 + Wc] = strip[:, Wc - 1]
+    hc, wc = Hc // 2, Wc // 2
+    for ti in range(2):
+        for tj in range(2):
+            want = buf[ti * hc : ti * hc + hc + 2 * ocr,
+                       tj * wc : tj * wc + wc + 4]
+            np.testing.assert_array_equal(got[ti, tj], want)
+
+
+def _sequential_sharded_pyrup(img1, img2, uc, vc, mesh, *, max_disp, clamp):
+    """CPU stand-in for sharded_pyrup_warp_lk (same tiles/origins; kernel
+    per tile sequentially — see _sequential_sharded_warp_lk's note)."""
+    from optical_flow_tpu.kernels.warp_lk_kernel import (
+        pyrup_coarse_halo,
+        pyrup_warp_lk_pallas,
+    )
+    from optical_flow_tpu.parallel.mesh import AXIS_COLS, AXIS_ROWS
+
+    rows_n = mesh.shape[AXIS_ROWS]
+    cols_n = mesh.shape[AXIS_COLS]
+    halo = max_disp + 2
+    ocr = pyrup_coarse_halo(max_disp)
+    H, W = img1.shape[-2], img1.shape[-1]
+    Hc, Wc = uc.shape[-2], uc.shape[-1]
+    h, w = H // rows_n, W // cols_n
+    hc, wc = Hc // rows_n, Wc // cols_n
+    cfg_img = [(0, 0)] * (img1.ndim - 2) + [(halo, halo), (halo, halo)]
+    p1, p2 = (jnp.pad(a, cfg_img) for a in (img1, img2))
+
+    def padflow_np(x):
+        x = np.asarray(x, np.float32)
+        buf = np.zeros(x.shape[:-2] + (Hc + 2 * ocr, Wc + 4), np.float32)
+        buf[..., ocr : ocr + Hc, 2 : 2 + Wc] = x
+        buf[..., ocr - 1, 2 : 2 + Wc] = x[..., 1, :]
+        buf[..., ocr + Hc, 2 : 2 + Wc] = x[..., Hc - 1, :]
+        strip = buf[..., ocr - 1 : ocr + Hc + 1, 2 : 2 + Wc].copy()
+        buf[..., ocr - 1 : ocr + Hc + 1, 1] = strip[..., 1]
+        buf[..., ocr - 1 : ocr + Hc + 1, 2 + Wc] = strip[..., Wc - 1]
+        return jnp.asarray(buf)
+
+    pu, pv = padflow_np(uc), padflow_np(vc)
+    ou = jnp.zeros(img1.shape, jnp.float32)
+    ov = jnp.zeros(img1.shape, jnp.float32)
+    for i in range(rows_n):
+        for j in range(cols_n):
+            isl = (Ellipsis, slice(i * h, i * h + h + 2 * halo),
+                   slice(j * w, j * w + w + 2 * halo))
+            csl = (Ellipsis, slice(i * hc, i * hc + hc + 2 * ocr),
+                   slice(j * wc, j * wc + wc + 4))
+            du, dv = pyrup_warp_lk_pallas(
+                p1[isl], p2[isl], pu[csl], pv[csl],
+                max_disp=max_disp, clamp=clamp,
+                halo=halo, origin=(i * h, j * w), global_hw=(H, W),
+            )
+            osl = (Ellipsis, slice(i * h, i * h + h), slice(j * w, j * w + w))
+            ou = ou.at[osl].set(du)
+            ov = ov.at[osl].set(dv)
+    return ou, ov

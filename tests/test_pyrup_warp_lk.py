@@ -102,3 +102,75 @@ def test_shape_validation():
             jnp.zeros((4, 64)), jnp.zeros((4, 64)), jnp.zeros((2, 32)),
             jnp.zeros((2, 32)), max_disp=C, clamp=CLAMP,
         )
+
+
+def test_pyrup_tile_mode_matches_full_frame():
+    """Tile mode of the fused inter-level kernel: halo-extended image
+    tiles + pyrUp-border-extended coarse-flow tiles + global origin must
+    reproduce the corresponding region of the full-frame kernel BIT
+    identically (the property parallel/sharded_warp_lk.py's tiled
+    level_step rests on; the shard_map feed is pinned separately in
+    test_parallel.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from optical_flow_tpu.kernels.warp_lk_kernel import pyrup_coarse_halo
+
+    rng = np.random.RandomState(5)
+    H, W = 32, 256
+    th, tw = 16, 128  # 2x2 tile grid; th % 8 == 0 (tile-mode requirement)
+    halo = C + 2
+    ocr = pyrup_coarse_halo(C)
+    Hc, Wc = H // 2, W // 2
+    hc, wc = th // 2, tw // 2
+    img1 = rng.rand(H, W).astype(np.float32)
+    img2 = rng.rand(H, W).astype(np.float32)
+    uc = (rng.randn(Hc, Wc) * 2.0).astype(np.float32)
+    vc = (rng.randn(Hc, Wc) * 2.0).astype(np.float32)
+
+    def pyrup_ext_full(x):
+        # the full-frame padflow's central block: pyrUp asymmetric border
+        # (row/col -1 -> 1, n -> n-1) one sample deep, zeros beyond
+        buf = np.zeros((Hc + 2 * ocr, Wc + 4), np.float32)
+        buf[ocr : ocr + Hc, 2 : 2 + Wc] = x
+        buf[ocr - 1, 2 : 2 + Wc] = x[1]
+        buf[ocr + Hc, 2 : 2 + Wc] = x[Hc - 1]
+        strip = buf[ocr - 1 : ocr + Hc + 1, 2 : 2 + Wc]
+        buf[ocr - 1 : ocr + Hc + 1, 1] = strip[:, 1]
+        buf[ocr - 1 : ocr + Hc + 1, 2 + Wc] = strip[:, Wc - 1]
+        return buf
+
+    ue, ve = pyrup_ext_full(uc), pyrup_ext_full(vc)
+
+    def img_ext(x, r0, c0):
+        p = np.zeros((H + 2 * halo, W + 2 * halo), np.float32)
+        p[halo : halo + H, halo : halo + W] = x
+        return jnp.asarray(p[r0 : r0 + th + 2 * halo, c0 : c0 + tw + 2 * halo])
+
+    ctx = (
+        __import__("contextlib").nullcontext()
+        if on_tpu
+        else pltpu.force_tpu_interpret_mode()
+    )
+    with ctx:
+        u0, v0 = pyrup_warp_lk_pallas(
+            jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(uc),
+            jnp.asarray(vc), max_disp=C, clamp=CLAMP,
+        )
+        u0, v0 = np.asarray(u0), np.asarray(v0)
+        for ti in range(2):
+            for tj in range(2):
+                r0, c0 = ti * th, tj * tw
+                cr0, cc0 = ti * hc, tj * wc
+                ceu = jnp.asarray(ue[cr0 : cr0 + hc + 2 * ocr, cc0 : cc0 + wc + 4])
+                cev = jnp.asarray(ve[cr0 : cr0 + hc + 2 * ocr, cc0 : cc0 + wc + 4])
+                u1, v1 = pyrup_warp_lk_pallas(
+                    img_ext(img1, r0, c0), img_ext(img2, r0, c0), ceu, cev,
+                    max_disp=C, clamp=CLAMP,
+                    halo=halo, origin=(r0, c0), global_hw=(H, W),
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(u1), u0[r0 : r0 + th, c0 : c0 + tw]
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(v1), v0[r0 : r0 + th, c0 : c0 + tw]
+                )
