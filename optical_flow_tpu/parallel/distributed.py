@@ -36,11 +36,18 @@ def initialize_distributed(
     directly — calling jax.process_count() here would itself initialize
     the XLA backend, after which jax.distributed.initialize refuses to
     run (found by tests/test_distributed.py::test_two_process_runtime).
+    The probe reaches a private path that any JAX upgrade may rename
+    (ADVICE r2); if it is gone, fall back to attempting initialize and
+    treating 'already initialized' as the no-op it means.
     """
-    from jax._src import distributed as _dist
+    try:
+        from jax._src import distributed as _dist
 
-    if _dist.global_state.client is not None:
-        return  # already initialized
+        if _dist.global_state.client is not None:
+            return  # already initialized
+    except (ImportError, AttributeError):
+        if jax.process_count() > 1:
+            return  # a runtime without the private path, already multi-proc
     if coordinator_address is None and num_processes is None:
         return  # single process; nothing to do
     jax.distributed.initialize(
