@@ -33,28 +33,36 @@ def initialize_distributed(
     initialized or single-process.
 
     The already-initialized probe inspects the distributed client state
-    directly — calling jax.process_count() here would itself initialize
-    the XLA backend, after which jax.distributed.initialize refuses to
-    run (found by tests/test_distributed.py::test_two_process_runtime).
-    The probe reaches a private path that any JAX upgrade may rename
-    (ADVICE r2); if it is gone, fall back to attempting initialize and
-    treating 'already initialized' as the no-op it means.
+    directly — anything like jax.process_count() here would itself
+    initialize the XLA backend, after which jax.distributed.initialize
+    refuses to run (found by tests/test_distributed.py::
+    test_two_process_runtime). The probe reaches a private path that any
+    JAX upgrade may rename (ADVICE r2); when it is missing, initialize is
+    attempted anyway and only then is 'already initialized' treated as
+    the no-op it means — nothing backend-initializing runs before it.
     """
+    probe_ok = False
     try:
         from jax._src import distributed as _dist
 
+        probe_ok = True
         if _dist.global_state.client is not None:
             return  # already initialized
     except (ImportError, AttributeError):
-        if jax.process_count() > 1:
-            return  # a runtime without the private path, already multi-proc
+        pass
     if coordinator_address is None and num_processes is None:
         return  # single process; nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        if probe_ok:
+            raise  # the probe said NOT initialized: a real failure
+        # private probe unavailable: double-init is the one RuntimeError
+        # initialize raises after a successful first call — treat as no-op
 
 
 def global_flow_mesh(

@@ -147,6 +147,16 @@ def incremental_slam(
     def pose6(R, t):
         return np.concatenate([_R_to_aa(R), np.asarray(t, np.float64)])
 
+    desc_cache = {}
+
+    def frame_descriptor(idx):
+        # place_descriptor is ~2 FFTs + a log-polar resample per call and
+        # relocalization ranks every keyframe on every lost frame: compute
+        # each frame's descriptor exactly once
+        if idx not in desc_cache:
+            desc_cache[idx] = place_descriptor(frames[idx])
+        return desc_cache[idx]
+
     for k in range(1, N):
         # -- track everything one frame forward
         new_px, status, _ = track_features(frames[k - 1], frames[k], cur_px)
@@ -230,9 +240,9 @@ def incremental_slam(
             skips the frame and retries on the next one)."""
             nonlocal cur_px, alive, anchor_px, anchor_kf, point_id, rmse
             allpts = mapper.all_points()
-            d = place_descriptor(frames[k])
+            d = frame_descriptor(k)
             dists = [
-                float(np.linalg.norm(place_descriptor(frames[i]) - d))
+                float(np.linalg.norm(frame_descriptor(i) - d))
                 for i in keyframes
             ]
             for kf_i in np.argsort(dists)[:3]:
@@ -383,11 +393,13 @@ def incremental_slam(
     # Fourier-Mellin place descriptors: rotation/scale/brightness-tolerant
     # candidate proposal (the 16x16 thumbnail NCC collapses under viewpoint
     # change — see test_place_descriptor_survives_viewpoint_change)
-    descs = [place_descriptor(frames[i]) for i in keyframes]
+    descs = [frame_descriptor(i) for i in keyframes]
     cands = propose_loop_candidates(descs, min_separation=loop_min_separation)
     sgraph = Sim3PoseGraph.from_se3_odometry(np.stack(kf_R), np.stack(kf_t))
     loop_edges = []
-    allpts = mapper.all_points()
+    # one full-map dict: read-only for the edge measurements below, then
+    # mutated in place by the re-anchoring epilogue
+    pts = mapper.all_points()
     for i, j, _ in cands[:3]:
         got = verify_loop_closure(
             frames[keyframes[i]], frames[keyframes[j]], focal, cx, cy,
@@ -398,7 +410,7 @@ def incremental_slam(
         R_ij, t_ij, n = got
         sim = measure_loop_sim3(
             frames[keyframes[i]], frames[keyframes[j]],
-            kf_obs[i], kf_obs[j], allpts,
+            kf_obs[i], kf_obs[j], pts,
             kf_R[i], kf_t[i], kf_R[j], kf_t[j],
         )
         if sim is not None:
@@ -417,7 +429,6 @@ def incremental_slam(
                 i, j, 1.0, R_ij, t_ij * np.linalg.norm(cj - ci), weight=4.0
             )
         loop_edges.append((i, j, n))
-    pts = mapper.all_points()
     if loop_edges:
         ss, Rn, tn = sgraph.optimize()
         # SE(3)-ize the similarity nodes for everything downstream: the

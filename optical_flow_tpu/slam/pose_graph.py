@@ -573,8 +573,12 @@ def measure_loop_sim3(
     pairs = []
     used_b = np.zeros(len(B), bool)
     for ai in np.argsort(d.min(axis=1)):
-        bi = int(np.argmin(np.where(used_b, np.inf, d[ai])))
-        if d[ai, bi] <= match_radius:
+        row = np.where(used_b, np.inf, d[ai])
+        bi = int(np.argmin(row))
+        # gate on the MASKED distance: once every B landmark is used the
+        # masked row is all-inf and argmin degenerates to 0 — gating on
+        # the raw d[ai, bi] would then re-match B[0] one-to-many
+        if row[bi] <= match_radius:
             used_b[bi] = True
             pairs.append((ai, bi))
     if len(pairs) < min_support:

@@ -20,6 +20,21 @@ _warmed = False
 _cache_enabled = False
 
 
+def cache_dir() -> str:
+    """The persistent compile-cache directory enable_persistent_cache
+    uses (env override, else <repo>/.xla_cache) — the ONE resolution both
+    the cache setup and any cache-contents probe (bench.py) must share."""
+    return os.environ.get(
+        "OPTICAL_FLOW_TPU_CACHE",
+        os.path.join(
+            os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            ),
+            ".xla_cache",
+        ),
+    )
+
+
 def enable_persistent_cache(path: str | None = None) -> str | None:
     """Point JAX at an on-disk compilation cache so repeated runs (bench,
     CLI, tests on TPU) reuse compiled executables instead of re-compiling.
@@ -32,13 +47,7 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     """
     global _cache_enabled
     if path is None:
-        path = os.environ.get(
-            "OPTICAL_FLOW_TPU_CACHE",
-            os.path.join(
-                os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-                ".xla_cache",
-            ),
-        )
+        path = cache_dir()
     if _cache_enabled:
         return path
     try:

@@ -205,6 +205,5 @@ def time_variants():
                   f"{type(e).__name__}: {str(e)[:160]}")
 
 
-if __name__ == "__main__" or "--time" in sys.argv:
-    if "--time" in sys.argv:
-        time_variants()
+if "--time" in sys.argv:
+    time_variants()

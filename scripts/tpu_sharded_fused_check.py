@@ -38,34 +38,6 @@ def sync(x):
     return float(np.asarray(x[..., :1, :1]).ravel()[0])
 
 
-def device_ms(fn, args, iters=20, tag="jit_"):
-    import glob
-    import gzip
-    import json
-
-    for s in range(3):
-        sync(fn(*args)[0])
-    trace_dir = "/tmp/sfc_trace"
-    os.system(f"rm -rf {trace_dir}")
-    t0 = time.perf_counter()
-    with jax.profiler.trace(trace_dir):
-        outs = [fn(*args) for _ in range(iters)]
-        sync(outs[-1][0])
-    wall = (time.perf_counter() - t0) / iters * 1e3
-    files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
-    if files:
-        with gzip.open(files[0]) as f:
-            tr = json.load(f)
-        tot = sum(
-            e.get("dur", 0)
-            for e in tr.get("traceEvents", [])
-            if e.get("ph") == "X" and e.get("name", "").startswith(tag)
-        )
-        if tot:
-            return tot / iters / 1e3
-    return wall
-
-
 def main():
     print(f"device: {jax.devices()[0]}")
     mesh = flow_mesh(frames=1, rows=1, cols=1)
@@ -106,7 +78,8 @@ def main():
             mm = (rr.rand(H, W) < 0.15).astype(np.float32)
             return jnp.asarray(bb * mm), jnp.asarray(np.roll(bb * mm, 2, -1))
 
-        pairs = [mk(s) for s in range(23)]
+        iters = 20
+        pairs = [mk(s) for s in range(3 + iters)]
         jax.block_until_ready(pairs)
         for p in pairs[:3]:
             sync(fn(*p)[0])
@@ -127,7 +100,7 @@ def main():
             for e in tr.get("traceEvents", [])
             if e.get("ph") == "X" and e.get("name", "").startswith("jit_")
         )
-        ms = tot / 20 / 1e3
+        ms = tot / iters / 1e3
         print(f"{name:10s} {ms:7.3f} ms/frame (device spans)")
         return ms
 
