@@ -169,7 +169,8 @@ def _cmd_slam(args):
     h, w = grays[0].shape
     focal = args.focal if args.focal else 0.8 * w  # plausible default FOV
     res = incremental_slam(
-        grays, focal, window=args.window, max_corners=args.corners
+        grays, focal, window=args.window, max_corners=args.corners,
+        kf_min_disparity=args.kf_disparity,
     )
     if res is None:
         sys.exit("bootstrap failed (not enough parallax or tracks)")
@@ -247,6 +248,10 @@ def main(argv=None):
                    help="focal length in px (default: 0.8 * width)")
     p.add_argument("--window", type=int, default=8)
     p.add_argument("--corners", type=int, default=300)
+    p.add_argument("--kf-disparity", type=float, default=6.0,
+                   help="adaptive keyframe selection: median track "
+                   "disparity (px) a frame must add since the last "
+                   "keyframe (0 = keyframe every frame)")
     p.add_argument("--out", default=None, help="write poses+map to OUT.npz")
     p.set_defaults(fn=_cmd_slam)
 

@@ -102,14 +102,23 @@ def incremental_slam(
     # same low-parallax points 8+ units apart) and PnP later trusts the
     # garbage depths and collapses
     bootstrap_min_disparity: float = 8.0,
+    # adaptive keyframe selection: a frame becomes a keyframe only once
+    # the median track disparity since the LAST keyframe exceeds this
+    # (px), or the live track set thins below min_tracks. 0 = every frame
+    # is a keyframe (the dense default; real video should select — thin
+    # inter-keyframe baselines make triangulation and windowed PnP
+    # ill-conditioned, and per-frame BA work is wasted on frames that
+    # add no parallax)
+    kf_min_disparity: float = 0.0,
     # after a verified loop closure, re-anchor the map to the corrected
     # poses and run one global BA so map and trajectory agree again
     final_global_ba: bool = True,
     ransac: EssentialRansacConfig = EssentialRansacConfig(),
 ) -> Optional[SlamResult]:
-    """Run the incremental pipeline over grayscale frames (every frame is a
-    keyframe; subsample upstream for real video). Returns None when the
-    bootstrap pair can't produce a map."""
+    """Run the incremental pipeline over grayscale frames. By default
+    every frame becomes a keyframe; set kf_min_disparity for adaptive
+    keyframe selection on real video. Returns None when the bootstrap
+    pair can't produce a map."""
     from optical_flow_tpu.track.features import good_features_to_track
     from optical_flow_tpu.track.sparse_lk import track_features
 
@@ -143,6 +152,8 @@ def incremental_slam(
     # relocalization index (which landmarks this keyframe saw, and where)
     bootstrapped = False
     rmse = None
+    last_kf_px = cur_px.copy()  # track positions at the last keyframe...
+    kf_seen = alive.copy()  # ...and which rows were alive there
 
     def pose6(R, t):
         return np.concatenate([_R_to_aa(R), np.asarray(t, np.float64)])
@@ -218,7 +229,21 @@ def incremental_slam(
             rmse = mapper.optimize()
             bootstrapped = True
             keyframes = [0, k]
+            last_kf_px = cur_px.copy()
+            kf_seen = alive.copy()
             continue
+
+        # -- adaptive keyframe selection: frames that added no baseline
+        # since the last keyframe are tracked but not keyframed (the last
+        # frame always is, so the trajectory ends where the video does)
+        if kf_min_disparity > 0 and k < N - 1:
+            moved = alive & kf_seen
+            if moved.sum() >= 8 and alive.sum() >= min_tracks:
+                med = float(np.median(
+                    np.linalg.norm((cur_px - last_kf_px)[moved], axis=1)
+                ))
+                if med < kf_min_disparity:
+                    continue
 
         # -- localize against the live map (PnP on tracked map points)
         has_pt = alive & (point_id >= 0)
@@ -239,6 +264,7 @@ def incremental_slam(
             track table from this frame. False = still lost (the caller
             skips the frame and retries on the next one)."""
             nonlocal cur_px, alive, anchor_px, anchor_kf, point_id, rmse
+            nonlocal last_kf_px, kf_seen
             allpts = mapper.all_points()
             d = frame_descriptor(k)
             dists = [
@@ -293,6 +319,8 @@ def incremental_slam(
                      np.full(len(fresh), -1, np.int64)]
                 )
                 alive = np.ones(len(cur_px), bool)
+                last_kf_px = cur_px.copy()
+                kf_seen = alive.copy()
                 return True
             return False
 
@@ -379,6 +407,8 @@ def incremental_slam(
             anchor_kf[dead[:take]] = kf_now
             point_id[dead[:take]] = -1
             alive[dead[:take]] = True
+        last_kf_px = cur_px.copy()
+        kf_seen = alive.copy()
 
     if not bootstrapped:
         return None

@@ -116,3 +116,31 @@ def test_incremental_slam_survives_total_tracking_loss():
     assert res is not None
     assert all(i < 5 for i in res.keyframes), res.keyframes
     assert len(res.keyframes) >= 2
+
+
+def test_adaptive_keyframe_selection():
+    """kf_min_disparity: frames that add no baseline are tracked but not
+    keyframed. A 30-frame slow loop collapses to ~8 keyframes (measured
+    [0,7,12,15,18,22,26,29]) with BETTER center accuracy than dense
+    keyframing (thin inter-keyframe baselines poison triangulation and
+    windowed PnP), the final frame always keyframed, and loop closure
+    still found across the selected keyframes."""
+    frames, centers, focal = _render_loop(n_frames=30)
+    res = incremental_slam(
+        frames, focal, loop_min_separation=5, loop_min_inliers=30,
+        min_tracks=40, window=8, kf_min_disparity=4.0,
+    )
+    assert res is not None
+    assert 5 <= len(res.keyframes) <= 14, res.keyframes
+    assert res.keyframes[-1] == 29
+    # consecutive keyframes are separated by real baseline (no dense runs)
+    gaps = np.diff(res.keyframes)
+    assert gaps.mean() >= 2.0, res.keyframes
+    assert res.loop_edges, "no loop closure across selected keyframes"
+    est = res.centers()
+    true = np.asarray([centers[i] for i in res.keyframes])
+    scale = np.linalg.norm(true[1]) / max(np.linalg.norm(est[1]), 1e-9)
+    err = np.linalg.norm(est * scale - true, axis=1)
+    assert err.mean() < 0.05, err
+    assert err.max() < 0.10, err
+    assert res.rmse is not None and res.rmse < 5.0
