@@ -7,5 +7,15 @@ reading each input pixel once from HBM and writing only (u, v).
 """
 
 from optical_flow_tpu.kernels.lk_kernel import lucas_kanade_pallas
+from optical_flow_tpu.kernels.warp_lk_kernel import (
+    pyrup_warp_lk_pallas,
+    warp_lk_band,
+    warp_lk_pallas,
+)
 
-__all__ = ["lucas_kanade_pallas"]
+__all__ = [
+    "lucas_kanade_pallas",
+    "pyrup_warp_lk_pallas",
+    "warp_lk_band",
+    "warp_lk_pallas",
+]

@@ -15,13 +15,17 @@ The TPU-native equivalents built here:
 """
 
 from optical_flow_tpu.parallel.mesh import flow_mesh, mesh_factorization
-from optical_flow_tpu.parallel.halo import exchange_halo
+from optical_flow_tpu.parallel.halo import exchange_halo, exchange_halo_pyrup
 from optical_flow_tpu.parallel.sharded_lk import sharded_lucas_kanade
 from optical_flow_tpu.parallel.sharded_flow import (
     sharded_coarse_to_fine,
     sharded_coarse_to_fine_with_images,
 )
 from optical_flow_tpu.parallel.sharded_warp import sharded_symmetric_warp
+from optical_flow_tpu.parallel.sharded_warp_lk import (
+    sharded_pyrup_warp_lk,
+    sharded_warp_lk,
+)
 
 __all__ = [
     "flow_mesh",
@@ -31,4 +35,7 @@ __all__ = [
     "sharded_coarse_to_fine",
     "sharded_coarse_to_fine_with_images",
     "sharded_symmetric_warp",
+    "exchange_halo_pyrup",
+    "sharded_pyrup_warp_lk",
+    "sharded_warp_lk",
 ]
