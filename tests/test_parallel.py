@@ -164,12 +164,18 @@ def test_sharded_pyramid_with_shift_warp(rng, mesh222, impl):
     """
     img1, img2 = _pair(rng, (128, 128))
     modes = ("reference",) if impl == "shift" else ("reference", "corrected")
+    # 'shift' at 2 levels: the third level only re-compiles another
+    # O(C^2)-tap warp of the SAME tile machinery (the solo-warp test
+    # already pins it; this level cost 150 s of CI's 15-minute budget)
+    levels = 2 if impl == "shift" else 3
     for mode in modes:
         cfg = FlowConfig(impl="jnp", warp_clamp=4.0, warp_impl=impl, mode=mode)
-        u0, v0 = coarse_to_fine(jnp.asarray(img1), jnp.asarray(img2), 3, config=cfg)
+        u0, v0 = coarse_to_fine(
+            jnp.asarray(img1), jnp.asarray(img2), levels, config=cfg
+        )
         from optical_flow_tpu.parallel.sharded_flow import sharded_coarse_to_fine as scf
 
-        u1, v1 = scf(img1, img2, mesh222, 3, config=cfg, min_tile=16)
+        u1, v1 = scf(img1, img2, mesh222, levels, config=cfg, min_tile=16)
         np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
         np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
 

@@ -299,3 +299,52 @@ def test_tile_mode_matches_full_frame():
                 np.testing.assert_array_equal(
                     np.asarray(dv1), dv0[r0 : r0 + th, c0 : c0 + tw]
                 )
+
+
+@pytest.mark.parametrize("geom", [(40, 192, 20, 96), (48, 256, 24, 128)])
+def test_tile_mode_awkward_geometries(geom):
+    """Tile mode with tiles whose height is not a multiple of 8 (pad rows
+    in play) and whose width is below the 128-lane pad: kept outputs must
+    still match the full-frame kernel bit-for-bit."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W, th, tw = geom
+    rng = np.random.RandomState(13)
+    C, clamp = 3, 6.0
+    halo = C + 2
+    img1 = rng.rand(H, W).astype(np.float32)
+    img2 = rng.rand(H, W).astype(np.float32)
+    u, v = _flow(rng, (H, W), 2.0)
+    wu = np.asarray(jnp.clip(u, -clamp, clamp))
+    wv = np.asarray(jnp.clip(v, -clamp, clamp))
+
+    def ext(x, r0, c0):
+        p = np.zeros((H + 2 * halo, W + 2 * halo), np.float32)
+        p[halo : halo + H, halo : halo + W] = x
+        return jnp.asarray(p[r0 : r0 + th + 2 * halo, c0 : c0 + tw + 2 * halo])
+
+    ctx = (
+        __import__("contextlib").nullcontext()
+        if on_tpu
+        else pltpu.force_tpu_interpret_mode()
+    )
+    with ctx:
+        du0, dv0 = warp_lk_pallas(
+            jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(wu),
+            jnp.asarray(wv), max_disp=C, clamp=clamp, negate=False,
+        )
+        du0, dv0 = np.asarray(du0), np.asarray(dv0)
+        for r0 in (0, H - th):
+            for c0 in (0, W - tw):
+                du1, dv1 = warp_lk_pallas(
+                    ext(img1, r0, c0), ext(img2, r0, c0),
+                    ext(wu, r0, c0), ext(wv, r0, c0),
+                    max_disp=C, clamp=clamp, negate=False,
+                    halo=halo, origin=(r0, c0), global_hw=(H, W),
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(du1), du0[r0 : r0 + th, c0 : c0 + tw]
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(dv1), dv0[r0 : r0 + th, c0 : c0 + tw]
+                )
