@@ -338,3 +338,35 @@ def test_5pt_beats_8pt_at_low_inlier_ratio():
         assert tdir5 < 1.0, (seed, tdir5)
     # same scenes, same budget: the non-minimal path demonstrably fails
     assert sum(t > 30.0 for t in worst_8pt) >= 2, worst_8pt
+
+
+def test_five_point_batch_matches_single():
+    """five_point_batch is the per-sample Stewenius solver vectorized:
+    every solution the single-sample path finds must appear in the batch
+    output at machine precision (up to sign), and every batch solution
+    must satisfy the essential constraints."""
+    from optical_flow_tpu.slam.epipolar import five_point, five_point_batch
+
+    rng = np.random.RandomState(1)
+    x1, x2, X, R_true, t_true, out = _synthetic_pair(
+        n=150, seed=2, noise=1e-3, outliers=0.3
+    )
+    S = 24
+    ids = np.stack([rng.choice(150, 5, replace=False) for _ in range(S)])
+    p1s = x1[ids].astype(np.float64)
+    p2s = x2[ids].astype(np.float64)
+    Eb, mask = five_point_batch(p1s, p2s)
+    assert Eb.shape == (S, 10, 3, 3) and mask.shape == (S, 10)
+    n_single = 0
+    for s in range(S):
+        got = Eb[s][mask[s]]
+        for E in got:
+            assert abs(np.linalg.det(E)) < 1e-9
+            assert np.linalg.norm(2 * E @ E.T @ E - np.trace(E @ E.T) * E) < 1e-9
+        for E in five_point(p1s[s], p2s[s]):
+            n_single += 1
+            d = min(
+                min(np.linalg.norm(E - F), np.linalg.norm(E + F)) for F in got
+            )
+            assert d < 1e-8, (s, d)
+    assert n_single >= S  # at least one real solution per clean-ish sample
