@@ -423,3 +423,25 @@ def test_place_descriptor_survives_viewpoint_change():
             thumb_fails += 1
     # the thumbnail path demonstrably fails on these queries
     assert thumb_fails >= 2, thumb_fails
+
+
+def test_measure_loop_sim3_degenerate_inputs():
+    """measure_loop_sim3 must return None (not crash) on thin support:
+    empty observation lists, observations whose points left the map, and
+    keyframes with fewer landmarks than min_support."""
+    from optical_flow_tpu.slam.pose_graph import measure_loop_sim3
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(96, 128) * 255).astype(np.float32)
+    I3, z3 = np.eye(3), np.zeros(3)
+    # empty obs
+    assert measure_loop_sim3(img, img, [], [], {}, I3, z3, I3, z3) is None
+    # obs referencing retired/absent points
+    obs = [(k, np.array([20.0 + k, 30.0], np.float32)) for k in range(20)]
+    assert measure_loop_sim3(img, img, obs, obs, {}, I3, z3, I3, z3) is None
+    # fewer than min_support landmarks in the map
+    pts = {k: np.array([0.0, 0.0, 5.0]) for k in range(5)}
+    assert (
+        measure_loop_sim3(img, img, obs[:5], obs[:5], pts, I3, z3, I3, z3)
+        is None
+    )
