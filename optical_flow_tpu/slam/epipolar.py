@@ -226,107 +226,23 @@ def five_point(p1, p2):
     """Up to 10 essential matrices from EXACTLY 5 correspondences in
     normalized camera coords ((5,2) each). Returns (N, 3, 3) float64.
 
-    Pipeline: 5x9 epipolar system -> 4-dim nullspace E = xX + yY + zZ + W
-    -> the 10 cubic essential constraints as a 10x20 coefficient matrix
-    over degree-<=3 monomials -> Gauss-Jordan to [I | B] -> 10x10 action
-    matrix of multiplication-by-x on the quotient ring -> eigenvectors
-    give (x, y, z) -> real solutions."""
+    Thin wrapper over `five_point_batch` (S=1) plus near-duplicate
+    removal — one implementation of the Stewenius action-matrix pipeline
+    to maintain. See five_point_batch for the algorithm."""
     import numpy as np
 
     p1 = np.asarray(p1, np.float64)
     p2 = np.asarray(p2, np.float64)
     if p1.shape != (5, 2) or p2.shape != (5, 2):
         raise ValueError(f"need exactly 5 pairs, got {p1.shape}, {p2.shape}")
-    q1 = np.concatenate([p1, np.ones((5, 1))], axis=1)
-    q2 = np.concatenate([p2, np.ones((5, 1))], axis=1)
-    A = np.einsum("ki,kj->kij", q2, q1).reshape(5, 9)  # x2^T E x1 = A @ vec(E)
-    _, _, vt = np.linalg.svd(A)
-    basis = vt[5:9].reshape(4, 3, 3)  # X, Y, Z, W
-
-    # E_ij as degree-1 polynomials in (x, y, z): cube[1,0,0]=X_ij etc.
-    Epoly = np.zeros((3, 3, 4, 4, 4))
-    Epoly[:, :, 1, 0, 0] = basis[0]
-    Epoly[:, :, 0, 1, 0] = basis[1]
-    Epoly[:, :, 0, 0, 1] = basis[2]
-    Epoly[:, :, 0, 0, 0] = basis[3]
-
-    def pm(a, b):
-        return _poly_mul(a, b)
-
-    # det(E) = 0 (degree 3)
-    det = np.zeros((4, 4, 4))
-    for (i, j, k), s in (
-        ((0, 1, 2), +1), ((1, 2, 0), +1), ((2, 0, 1), +1),
-        ((0, 2, 1), -1), ((1, 0, 2), -1), ((2, 1, 0), -1),
-    ):
-        det += s * pm(pm(Epoly[0, i], Epoly[1, j]), Epoly[2, k])
-
-    # 2 E E^T E - tr(E E^T) E = 0 (9 equations, degree 3)
-    EEt = np.zeros((3, 3, 4, 4, 4))
-    for i in range(3):
-        for j in range(3):
-            for k in range(3):
-                EEt[i, j] += pm(Epoly[i, k], Epoly[j, k])
-    trace = EEt[0, 0] + EEt[1, 1] + EEt[2, 2]
-    eqs = [det]
-    for i in range(3):
-        for j in range(3):
-            acc = np.zeros((4, 4, 4))
-            for k in range(3):
-                acc += pm(EEt[i, k], Epoly[k, j])
-            eqs.append(2.0 * acc - pm(trace, Epoly[i, j]))
-
-    mono = _monomials3()
-    M = np.stack([[eq[dx, dy, dz] for dx, dy, dz in mono] for eq in eqs])  # (10,20)
-
-    # Gauss-Jordan: M -> [I | B] over the leading block
-    try:
-        B = np.linalg.solve(M[:, :10], M[:, 10:])  # (10,10)
-    except np.linalg.LinAlgError:
-        return np.zeros((0, 3, 3))
-
-    # Action matrix of multiplication by x on the quotient basis
-    # [x2 xy xz y2 yz z2 x y z 1]: x*b_i is a leading monomial (reduce via
-    # -B) for the first six, a basis monomial for the rest.
-    At = np.zeros((10, 10))
-    At[0] = -B[0]  # x*x2  = x3   -> row 0 of the leading block
-    At[1] = -B[1]  # x*xy  = x2y
-    At[2] = -B[2]  # x*xz  = x2z
-    At[3] = -B[3]  # x*y2  = xy2
-    At[4] = -B[4]  # x*yz  = xyz
-    At[5] = -B[5]  # x*z2  = xz2
-    At[6, 0] = 1.0  # x*x = x2
-    At[7, 1] = 1.0  # x*y = xy
-    At[8, 2] = 1.0  # x*z = xz
-    At[9, 6] = 1.0  # x*1 = x
-    # right eigenvectors: At m = x m with m the basis monomial vector
-    # evaluated at a solution (x, y, z)
-    wvals, vecs = np.linalg.eig(At)
-
-    Es = []
-    for n in range(10):
-        v = vecs[:, n]
-        if abs(np.imag(wvals[n])) > 1e-8 * max(1.0, abs(np.real(wvals[n]))):
-            continue
-        v = np.real(v)
-        if abs(v[9]) < 1e-12:
-            continue
-        x, y, z = v[6] / v[9], v[7] / v[9], v[8] / v[9]
-        E = x * basis[0] + y * basis[1] + z * basis[2] + basis[3]
-        nrm = np.linalg.norm(E)
-        if not np.isfinite(nrm) or nrm < 1e-12:
-            continue
-        Es.append(E / nrm)
-    if not Es:
-        return np.zeros((0, 3, 3))
-    # dedup near-identical solutions (eigenvector sign/scale aside)
+    Es, mask = five_point_batch(p1[None], p2[None])
     out = []
-    for E in Es:
+    for E in Es[0][mask[0]]:
         if all(
             min(np.linalg.norm(E - F), np.linalg.norm(E + F)) > 1e-6 for F in out
         ):
             out.append(E)
-    return np.stack(out)
+    return np.stack(out) if out else np.zeros((0, 3, 3))
 
 
 def _poly_mul_batch(A, B):
