@@ -160,23 +160,35 @@ def _cmd_slam(args):
     from optical_flow_tpu.pipeline.preprocess import bgr_to_gray
     from optical_flow_tpu.slam import incremental_slam
 
-    grays = [
+    import itertools
+
+    gray_iter = (
         np.asarray(bgr_to_gray(jnp.asarray(f)))
         for f in read_frames(args.input, max_frames=args.frames, stride=args.stride)
-    ]
-    if len(grays) < 2:
-        sys.exit("need at least 2 decodable frames")
-    h, w = grays[0].shape
-    focal = args.focal if args.focal else 0.8 * w  # plausible default FOV
-    res = incremental_slam(
-        grays, focal, window=args.window, max_corners=args.corners,
-        kf_min_disparity=args.kf_disparity,
     )
+    # peek one frame for the focal default, then STREAM the rest into the
+    # pipeline (incremental_slam retains only keyframe frames — memory is
+    # O(keyframes), so long videos don't need to fit in host RAM)
+    try:
+        first = next(gray_iter)
+    except StopIteration:
+        sys.exit("need at least 2 decodable frames")
+    h, w = first.shape
+    focal = args.focal if args.focal else 0.8 * w  # plausible default FOV
+    try:
+        res = incremental_slam(
+            itertools.chain([first], gray_iter), focal,
+            window=args.window, max_corners=args.corners,
+            kf_min_disparity=args.kf_disparity,
+        )
+    except ValueError as e:
+        sys.exit(str(e))
     if res is None:
         sys.exit("bootstrap failed (not enough parallax or tracks)")
     centers = res.centers()
     print(
-        f"keyframes {len(res.keyframes)}/{len(grays)} map points "
+        f"keyframes {len(res.keyframes)} (last frame {res.keyframes[-1]}) "
+        f"map points "
         f"{res.points.shape[0]} BA rmse {res.rmse:.2f}px "
         f"loop edges {len(res.loop_edges)}"
     )

@@ -115,18 +115,29 @@ def incremental_slam(
     final_global_ba: bool = True,
     ransac: EssentialRansacConfig = EssentialRansacConfig(),
 ) -> Optional[SlamResult]:
-    """Run the incremental pipeline over grayscale frames. By default
-    every frame becomes a keyframe; set kf_min_disparity for adaptive
-    keyframe selection on real video. Returns None when the bootstrap
-    pair can't produce a map."""
+    """Run the incremental pipeline over grayscale frames — a list OR any
+    iterator/generator: frames are consumed STREAMING, and only keyframe
+    frames are retained (for relocalization and loop closure), so memory
+    is O(keyframes), not O(video). By default every frame becomes a
+    keyframe; set kf_min_disparity for adaptive keyframe selection on
+    real video. Returns None when the bootstrap pair can't produce a
+    map."""
     from optical_flow_tpu.track.features import good_features_to_track
     from optical_flow_tpu.track.sparse_lk import track_features
 
-    frames = [np.asarray(f) for f in frames]
-    N = len(frames)
-    if N < 2:
+    it = iter(frames)
+
+    def _next():
+        try:
+            return np.asarray(next(it))
+        except StopIteration:
+            return None
+
+    frame0 = _next()
+    second = _next()
+    if frame0 is None or second is None:
         raise ValueError("incremental_slam needs >= 2 frames")
-    h, w = frames[0].shape[-2:]
+    h, w = frame0.shape[-2:]
     cx = w / 2.0 if cx is None else cx
     cy = h / 2.0 if cy is None else cy
 
@@ -136,7 +147,7 @@ def incremental_slam(
     # --- live track table --------------------------------------------------
     # Each row: current pixel, anchor keyframe + anchor pixel (for
     # triangulation), map point id (-1 until triangulated), alive flag.
-    pts0, valid0 = good_features_to_track(jnp.asarray(frames[0]), max_corners, 0.01, 8)
+    pts0, valid0 = good_features_to_track(jnp.asarray(frame0), max_corners, 0.01, 8)
     cur_px = np.asarray(pts0, np.float32)
     alive = np.asarray(valid0).copy()
     anchor_kf = np.zeros(len(cur_px), np.int32)
@@ -159,18 +170,29 @@ def incremental_slam(
         return np.concatenate([_R_to_aa(R), np.asarray(t, np.float64)])
 
     desc_cache = {}
+    kept = {0: frame0}  # keyframe frames only (relocalization/loop store)
 
     def frame_descriptor(idx):
         # place_descriptor is ~2 FFTs + a log-polar resample per call and
         # relocalization ranks every keyframe on every lost frame: compute
-        # each frame's descriptor exactly once
+        # each keyframe's descriptor exactly once
         if idx not in desc_cache:
-            desc_cache[idx] = place_descriptor(frames[idx])
+            desc_cache[idx] = place_descriptor(kept[idx])
         return desc_cache[idx]
 
-    for k in range(1, N):
+    def _stream():
+        # (k, prev, cur, is_last) with one-frame lookahead so the last
+        # frame is known without knowing the video length
+        k, prev, cur = 0, frame0, second
+        while cur is not None:
+            k += 1
+            nxt = _next()
+            yield k, prev, cur, nxt is None
+            prev, cur = cur, nxt
+
+    for k, prev, cur, is_last in _stream():
         # -- track everything one frame forward
-        new_px, status, _ = track_features(frames[k - 1], frames[k], cur_px)
+        new_px, status, _ = track_features(prev, cur, cur_px)
         new_px = np.asarray(new_px, np.float32)
         alive &= np.asarray(status)
         cur_px = np.where(alive[:, None], new_px, cur_px)
@@ -181,7 +203,7 @@ def incremental_slam(
             if sel.sum() < 16:
                 return None
             disp = np.linalg.norm(cur_px - anchor_px, axis=1)[sel]
-            if np.median(disp) < bootstrap_min_disparity and k < N - 1:
+            if np.median(disp) < bootstrap_min_disparity and not is_last:
                 continue  # keep accumulating baseline
             p1n, p2n = norm(anchor_px), norm(cur_px)
             # minimal (5-point) hypotheses: a clean sample yields an EXACT
@@ -229,6 +251,7 @@ def incremental_slam(
             rmse = mapper.optimize()
             bootstrapped = True
             keyframes = [0, k]
+            kept[k] = cur
             last_kf_px = cur_px.copy()
             kf_seen = alive.copy()
             continue
@@ -236,7 +259,7 @@ def incremental_slam(
         # -- adaptive keyframe selection: frames that added no baseline
         # since the last keyframe are tracked but not keyframed (the last
         # frame always is, so the trajectory ends where the video does)
-        if kf_min_disparity > 0 and k < N - 1:
+        if kf_min_disparity > 0 and not is_last:
             moved = alive & kf_seen
             if moved.sum() >= 8 and alive.sum() >= min_tracks:
                 med = float(np.median(
@@ -266,7 +289,7 @@ def incremental_slam(
             nonlocal cur_px, alive, anchor_px, anchor_kf, point_id, rmse
             nonlocal last_kf_px, kf_seen
             allpts = mapper.all_points()
-            d = frame_descriptor(k)
+            d = place_descriptor(cur)
             dists = [
                 float(np.linalg.norm(frame_descriptor(i) - d))
                 for i in keyframes
@@ -276,7 +299,7 @@ def incremental_slam(
                 if len(obs_list) < 12:
                     continue
                 src = np.asarray([px for _, px in obs_list], np.float32)
-                new, st, _ = track_features(frames[keyframes[kf_i]], frames[k], src)
+                new, st, _ = track_features(kept[keyframes[kf_i]], cur, src)
                 st = np.asarray(st)
                 if st.sum() < 12:
                     continue
@@ -290,6 +313,7 @@ def incremental_slam(
                 kf_R.append(Rr.astype(np.float32))
                 kf_t.append(np.asarray(tr, np.float32))
                 keyframes.append(k)
+                kept[k] = cur
                 mapper.add_keyframe(pose6(Rr, tr), [
                     (p, px_new - [cx, cy])
                     for (p, _), px_new, ok in zip(obs_list, new, inl)
@@ -306,7 +330,7 @@ def incremental_slam(
                 land = [(p, px_new)
                         for (p, _), px_new, ok in zip(obs_list, new, inl) if ok]
                 fresh, fvalid = good_features_to_track(
-                    jnp.asarray(frames[k]), max_corners, 0.01, 8
+                    jnp.asarray(cur), max_corners, 0.01, 8
                 )
                 fresh = np.asarray(fresh, np.float32)[np.asarray(fvalid)]
                 cur_px = np.concatenate(
@@ -340,6 +364,7 @@ def incremental_slam(
         kf_R.append(R.astype(np.float32))
         kf_t.append(np.asarray(t, np.float32))
         keyframes.append(k)
+        kept[k] = cur
 
         obs = [
             (int(point_id[r]), cur_px[r] - [cx, cy])
@@ -394,7 +419,7 @@ def incremental_slam(
         # -- re-seed when the live track set thins out
         if alive.sum() < min_tracks:
             fresh, fvalid = good_features_to_track(
-                jnp.asarray(frames[k]), max_corners, 0.01, 8
+                jnp.asarray(cur), max_corners, 0.01, 8
             )
             fresh = np.asarray(fresh, np.float32)
             fvalid = np.asarray(fvalid)
@@ -432,14 +457,14 @@ def incremental_slam(
     pts = mapper.all_points()
     for i, j, _ in cands[:3]:
         got = verify_loop_closure(
-            frames[keyframes[i]], frames[keyframes[j]], focal, cx, cy,
+            kept[keyframes[i]], kept[keyframes[j]], focal, cx, cy,
             min_inliers=loop_min_inliers, max_corners=max_corners,
         )
         if got is None:
             continue
         R_ij, t_ij, n = got
         sim = measure_loop_sim3(
-            frames[keyframes[i]], frames[keyframes[j]],
+            kept[keyframes[i]], kept[keyframes[j]],
             kf_obs[i], kf_obs[j], pts,
             kf_R[i], kf_t[i], kf_R[j], kf_t[j],
         )

@@ -144,3 +144,19 @@ def test_adaptive_keyframe_selection():
     assert err.mean() < 0.05, err
     assert err.max() < 0.10, err
     assert res.rmse is not None and res.rmse < 5.0
+
+
+def test_incremental_slam_streams_from_generator():
+    """Frames can be a generator: the pipeline consumes them streaming
+    (one-frame lookahead; only keyframe frames retained) and produces
+    results identical to the list path."""
+    frames, centers, focal = _render_loop(n_frames=12)
+    kw = dict(loop_min_separation=6, loop_min_inliers=30, min_tracks=40,
+              window=8, kf_min_disparity=3.0)
+    res_list = incremental_slam(frames, focal, **kw)
+    res_gen = incremental_slam((f for f in frames), focal, **kw)
+    assert res_list is not None and res_gen is not None
+    assert res_list.keyframes == res_gen.keyframes
+    np.testing.assert_array_equal(res_list.poses, res_gen.poses)
+    np.testing.assert_array_equal(res_list.trans, res_gen.trans)
+    np.testing.assert_array_equal(res_list.points, res_gen.points)
