@@ -235,15 +235,38 @@ def _gn_step(problem: BAProblem, lam, C: int, P: int, table, psum_axes=None, fix
     return problem._replace(cams=cams, points=points), jnp.mean(r * r)
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def _bundle_adjust_jit(problem: BAProblem, table, fixed, iters: int, lam):
+def _huber_sqrt_weights(problem: BAProblem, delta):
+    """IRLS sqrt-weights for the Huber loss at scale `delta` px: 1 inside
+    the quadratic zone, sqrt(delta/r) beyond — _assemble multiplies both
+    the residual and the Jacobians by the weight, so the effective
+    least-squares weight is its square."""
+    f = jnp.asarray(problem.focal, problem.points.dtype)
+    pred = jax.vmap(project, in_axes=(0, 0, None))(
+        problem.cams[problem.cam_idx], problem.points[problem.pt_idx], f
+    )
+    rn = jnp.sqrt(jnp.sum((pred - problem.obs) ** 2, axis=-1))
+    return jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(rn, 1e-12)))
+
+
+@partial(jax.jit, static_argnames=("iters", "robust"))
+def _bundle_adjust_jit(
+    problem: BAProblem, table, fixed, iters: int, lam, robust: bool = False,
+    delta=None,
+):
     C = problem.cams.shape[0]
     P = problem.points.shape[0]
+    base_w = problem.weight
 
     def body(carry, _):
         prob, l = carry
+        if robust:
+            # IRLS: reweight at the CURRENT estimate each iteration, from
+            # the caller's base weights (padding zeros stay zero)
+            prob = prob._replace(
+                weight=base_w * _huber_sqrt_weights(prob, delta)
+            )
         prob, msr = _gn_step(prob, l, C, P, table, fixed=fixed)
-        return (prob, l), msr
+        return (prob._replace(weight=base_w), l), msr
 
     (out, _), hist = lax.scan(body, (problem, lam), None, length=iters)
     return out, hist
@@ -254,6 +277,7 @@ def bundle_adjust(
     iters: int = 10,
     lam: float = 1e-3,
     fixed_cams=None,
+    robust_delta=None,
 ) -> Tuple[BAProblem, jnp.ndarray]:
     """Gauss-Newton BA; returns (refined problem, per-iter mean sq residual).
 
@@ -262,7 +286,12 @@ def bundle_adjust(
     it from the host loop, not from inside jit.
 
     fixed_cams: optional (C,) bool mask of cameras held constant (windowed
-    BA); camera 0 is always pinned as the gauge anchor."""
+    BA); camera 0 is always pinned as the gauge anchor.
+
+    robust_delta: optional Huber scale in PIXELS — observations whose
+    reprojection error exceeds it are IRLS-downweighted by delta/r each
+    iteration, so gross mismatches (a wrong track association) cannot
+    drag the whole solution the way squared loss lets them."""
     import numpy as np
 
     P = problem.points.shape[0]
@@ -273,7 +302,18 @@ def bundle_adjust(
     if fixed_cams is not None:
         fixed = fixed | jnp.asarray(fixed_cams, bool)
     lam = jnp.asarray(lam, problem.points.dtype)
-    return _bundle_adjust_jit(problem, table, fixed, iters, lam)
+    robust = robust_delta is not None
+    if robust and problem.weight is None:
+        # materialize base weights so the scan carry has a fixed pytree
+        problem = problem._replace(
+            weight=jnp.ones((problem.obs.shape[0],), problem.obs.dtype)
+        )
+    delta = (
+        jnp.asarray(robust_delta, problem.points.dtype) if robust else None
+    )
+    return _bundle_adjust_jit(
+        problem, table, fixed, iters, lam, robust=robust, delta=delta
+    )
 
 
 def reprojection_rmse(problem: BAProblem) -> jnp.ndarray:

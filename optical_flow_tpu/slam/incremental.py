@@ -539,7 +539,10 @@ def incremental_slam(
                 focal,
                 jnp.asarray(np.ones(len(ci))),
             )
-            refined, _ = bundle_adjust(prob, iters=ba_iters)
+            # Huber loss: the global problem spans every association ever
+            # made — one wrong track must not drag the whole loop-corrected
+            # trajectory (squared loss lets it; slam/ba.py robust_delta)
+            refined, _ = bundle_adjust(prob, iters=ba_iters, robust_delta=3.0)
             rmse = float(reprojection_rmse(refined))
             cams_r = np.asarray(refined.cams)
             Rn = np.stack([_aa_to_R(c[:3]) for c in cams_r]).astype(np.float32)

@@ -251,3 +251,42 @@ def test_sharded_ba_matches_unsharded():
     # evaluate with global indices (prob_s carries shard-local pt_idx)
     ref_s_global = prob._replace(cams=ref_s.cams, points=ref_s.points)
     assert float(reprojection_rmse(ref_s_global)) < float(reprojection_rmse(prob))
+
+
+def test_robust_ba_survives_gross_outliers():
+    """Huber IRLS (bundle_adjust robust_delta): 8% of observations
+    corrupted by 30-60 px gross errors (wrong associations). Squared loss
+    lets them drag the cameras; the robust solve stays near clean-data
+    accuracy."""
+    C, P = 5, 40
+    cams, pts, ci, pi_, obs, focal = _make_scene(C=C, P=P, noise=0.2, seed=11)
+    rng = np.random.RandomState(3)
+    obs_bad = np.asarray(obs).copy()
+    M = obs_bad.shape[0]
+    bad = rng.rand(M) < 0.08
+    obs_bad[bad] += rng.uniform(30, 60, (int(bad.sum()), 2)) * np.sign(
+        rng.randn(int(bad.sum()), 2)
+    )
+
+    cams_n = cams + jnp.asarray(rng.randn(C, 6) * 0.01)
+    pts_n = pts + jnp.asarray(rng.randn(P, 3) * 0.05)
+    prob = BAProblem(
+        cams_n, pts_n, ci, pi_, jnp.asarray(obs_bad), focal
+    )
+    plain, _ = bundle_adjust(prob, iters=8, lam=1e-3)
+    robust, _ = bundle_adjust(prob, iters=8, lam=1e-3, robust_delta=2.0)
+
+    def cam_err(sol):
+        return float(jnp.abs(sol.cams[:, 3:] - cams[:, 3:]).max())
+
+    e_plain, e_rob = cam_err(plain), cam_err(robust)
+    # measured: plain 2.29 (squared loss follows the outliers), robust
+    # 0.11 at delta=2 — within ~4x of the clean-data solve's 0.027 (the
+    # 0.2 px observation noise floor)
+    assert e_rob < e_plain * 0.1, (e_plain, e_rob)
+    assert e_rob < 0.15, e_rob
+    # clean observations: robust solve must not regress the plain one
+    prob_clean = BAProblem(cams_n, pts_n, ci, pi_, obs, focal)
+    p2, _ = bundle_adjust(prob_clean, iters=8, lam=1e-3)
+    r2, _ = bundle_adjust(prob_clean, iters=8, lam=1e-3, robust_delta=2.0)
+    assert cam_err(r2) < cam_err(p2) * 1.5 + 1e-4
