@@ -335,6 +335,7 @@ def sharded_bundle_adjust(
     mesh,
     iters: int = 10,
     lam: float = 1e-3,
+    robust_delta=None,
 ) -> Tuple[BAProblem, jnp.ndarray]:
     """BA with points + observations sharded over every mesh axis (flattened
     into one logical device ring); cameras replicated.
@@ -376,13 +377,24 @@ def sharded_bundle_adjust(
         ]
     ).reshape(n * P_local, K)
 
+    robust = robust_delta is not None
+    delta = (
+        jnp.asarray(robust_delta, problem.points.dtype) if robust else None
+    )
+
     def local_ba(cams, points, cam_idx, pt_idx, obs, weight, table):
         prob = BAProblem(cams, points, cam_idx, pt_idx, obs, problem.focal, weight)
 
         def body(carry, _):
             pr, l = carry
+            if robust:
+                # Huber IRLS per shard-local observation (slam/ba.py
+                # bundle_adjust) — purely local, no extra collectives
+                pr = pr._replace(
+                    weight=weight * _huber_sqrt_weights(pr, delta)
+                )
             pr, msr = _gn_step(pr, l, C, P_local, table, psum_axes=axes)
-            return (pr, l), lax.psum(msr, axes) / n
+            return (pr._replace(weight=weight), l), lax.psum(msr, axes) / n
 
         (out, _), hist = lax.scan(body, (prob, lamv), None, length=iters)
         return out.cams, out.points, hist

@@ -290,3 +290,36 @@ def test_robust_ba_survives_gross_outliers():
     p2, _ = bundle_adjust(prob_clean, iters=8, lam=1e-3)
     r2, _ = bundle_adjust(prob_clean, iters=8, lam=1e-3, robust_delta=2.0)
     assert cam_err(r2) < cam_err(p2) * 1.5 + 1e-4
+
+
+def test_sharded_robust_ba_matches_unsharded():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from optical_flow_tpu.parallel import flow_mesh
+
+    mesh = flow_mesh(frames=2, rows=2, cols=2)
+    C, P = 4, 32
+    cams, pts, ci, pi_, obs, focal = _make_scene(C=C, P=P, noise=0.1, seed=3)
+    rng = np.random.RandomState(9)
+    obs_bad = np.asarray(obs).copy()
+    bad = rng.rand(obs_bad.shape[0]) < 0.06
+    obs_bad[bad] += 40.0
+    cams_n = cams + jnp.asarray(rng.randn(C, 6) * 0.01)
+    pts_n = pts + jnp.asarray(rng.randn(P, 3) * 0.05)
+
+    prob = BAProblem(cams_n, pts_n, ci, pi_, jnp.asarray(obs_bad), focal)
+    ref, _ = bundle_adjust(prob, iters=6, lam=1e-3, robust_delta=2.0)
+
+    n = mesh.size
+    P_loc = P // n
+    order = np.argsort(np.asarray(pi_), kind="stable")
+    prob_s = BAProblem(
+        cams_n, pts_n,
+        jnp.asarray(np.asarray(ci)[order]),
+        jnp.asarray(np.asarray(pi_)[order] % P_loc),
+        jnp.asarray(obs_bad[order]), focal,
+    )
+    ref_s, _ = sharded_bundle_adjust(prob_s, mesh, iters=6, lam=1e-3,
+                                     robust_delta=2.0)
+    np.testing.assert_allclose(np.asarray(ref_s.cams), np.asarray(ref.cams),
+                               atol=1e-6)
