@@ -38,4 +38,5 @@ run shardedfused 900 python scripts/tpu_sharded_fused_check.py
 run pyrdown      900 python scripts/tpu_pyrdown_experiments.py
 run interleave   600 python scripts/tpu_interleave_poc.py --time
 run sparselk     900 python scripts/tpu_sparse_lk_check.py
+run vpurate      600 python scripts/tpu_vpu_rate_probe.py
 echo "=== session done; logs in /tmp/tpu_session_*.log ==="
