@@ -61,8 +61,14 @@ def initialize_distributed(
     except RuntimeError:
         if probe_ok:
             raise  # the probe said NOT initialized: a real failure
-        # private probe unavailable: double-init is the one RuntimeError
-        # initialize raises after a successful first call — treat as no-op
+        # private probe unavailable: double-init is one RuntimeError
+        # initialize raises after a successful first call — but so are
+        # genuine failures (XlaRuntimeError on a bad coordinator).
+        # Distinguish by outcome: after a true double-init the runtime IS
+        # multi-process; anything else must fail loudly, not silently
+        # proceed single-process.
+        if num_processes is not None and jax.process_count() != num_processes:
+            raise
 
 
 def global_flow_mesh(

@@ -159,22 +159,19 @@ def _resolve_sharded_warp_solve(
 ):
     """Fused per-tile warp+LK callable for run_pyramid, or None.
 
-    Same gating as the single-device `_resolve_warp_solve`
-    (flow/coarse_to_fine.py) — TPU production path: pallas LK + separable
-    quantized shift warp with a clamp — plus the tiling constraints.
-    Levels whose tiles don't fit the band kernel (or the mesh) fall back
-    to the unfused sharded pair (VERDICT r2 missing #2: the fused kernels
-    now run INSIDE the sharded pyramid)."""
-    from optical_flow_tpu.flow.lk import _use_pallas
+    Delegates the production-path gate AND the full-frame-kernel/unfused
+    fallback ladder to the single-device `_resolve_warp_solve`
+    (flow/coarse_to_fine.py) — ONE copy of that logic to keep in sync —
+    and wraps only the tiled branch around it: levels whose tiles fit the
+    band kernel run it under shard_map; the rest behave exactly like the
+    unsharded controller (replicated fused kernel, then the unfused
+    sharded pair), keeping sharded == unsharded bit-identical at every
+    level (VERDICT r2 missing #2)."""
+    from optical_flow_tpu.flow.coarse_to_fine import _resolve_warp_solve
 
-    if not (
-        _use_pallas(config.impl)
-        and warp_impl == "shift_sep"
-        and config.quantize_warp
-        and config.warp_clamp is not None
-    ):
+    base = _resolve_warp_solve(config, warp_impl, max_disp, solve, warp)
+    if base is None:
         return None
-    from optical_flow_tpu.kernels.warp_lk_kernel import warp_lk_band, warp_lk_pallas
     from optical_flow_tpu.parallel.sharded_warp_lk import (
         sharded_warp_lk,
         sharded_warp_lk_fits,
@@ -192,15 +189,7 @@ def _resolve_sharded_warp_solve(
             return sharded_warp_lk(
                 a, b, wu, wv, mesh, max_disp=max_disp, clamp=clamp
             )
-        if warp_lk_band(a.shape[-2], a.shape[-1], max_disp) is not None:
-            # level too small to tile: run the SAME fused kernel globally
-            # (replicated), exactly like the unsharded controller — keeps
-            # sharded == unsharded bit-identical at every level
-            return warp_lk_pallas(
-                a, b, wu, wv, max_disp=max_disp, clamp=clamp, negate=False
-            )
-        w1, w2 = warp(i, a, b, wu, wv)
-        return solve(i, w1, w2)
+        return base(i, a, b, wu, wv)
 
     return warp_solve
 

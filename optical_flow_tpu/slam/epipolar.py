@@ -329,6 +329,12 @@ def five_point_batch(p1s, p2s):
     B = np.zeros((S, 10, 10))
     if ok_s.any():
         B[ok_s] = np.linalg.solve(lead[ok_s], M[ok_s][:, :, 10:])
+    # near-singular blocks can pass the det gate yet solve to inf/nan;
+    # an inf anywhere makes the BATCHED eig below raise (LinAlgError) for
+    # every sample — mask those samples out instead
+    finite = np.isfinite(B).all(axis=(1, 2))
+    ok_s &= finite
+    B = np.where(finite[:, None, None], B, 0.0)
 
     At = np.zeros((S, 10, 10))
     At[:, :6] = -B[:, :6]

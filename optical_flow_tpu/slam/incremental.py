@@ -215,7 +215,10 @@ def incremental_slam(
                 E, inl, count = ransac_essential_5pt(
                     p1n, p2n, valid=sel, config=ransac
                 )
-            except RuntimeError:
+            except (RuntimeError, np.linalg.LinAlgError):
+                # RuntimeError: no valid minimal hypothesis;
+                # LinAlgError: a batched eig blow-up (ill-conditioned
+                # sample) — either way the 8-point batch is the fallback
                 E, inl, count = estimate_essential(
                     p1n, p2n, valid=sel, config=ransac
                 )

@@ -287,7 +287,9 @@ def verify_loop_closure(
     p2 = np.asarray(normalize_pixels(np.asarray(new), focal, cx, cy))
     try:
         E, inl, count = ransac_essential_5pt(p1, p2, valid=ok)
-    except RuntimeError:  # every minimal sample degenerate: 8-point batch
+    except (RuntimeError, np.linalg.LinAlgError):
+        # every minimal sample degenerate, or a batched eig blow-up:
+        # the 8-point batch is the fallback
         E, inl, count = estimate_essential(p1, p2, valid=ok)
     if int(count) < min_inliers:
         return None

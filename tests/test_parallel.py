@@ -361,7 +361,12 @@ def test_sharded_pyramid_with_fused_kernel(rng, mesh222, monkeypatch):
     (same tiles, same kernel — see _sequential_sharded_warp_lk)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    import optical_flow_tpu.parallel.sharded_warp_lk as swl
+    import importlib
+
+    # the package re-exports a FUNCTION named sharded_warp_lk, which
+    # shadows the submodule attribute once parallel/__init__ has run;
+    # import_module resolves the real module for monkeypatching
+    swl = importlib.import_module("optical_flow_tpu.parallel.sharded_warp_lk")
     from optical_flow_tpu.parallel.sharded_flow import sharded_coarse_to_fine as scf
 
     on_tpu = jax.default_backend() == "tpu"
