@@ -79,7 +79,48 @@ def warm_compile_client() -> None:
             import jax  # noqa: F811
         except Exception:
             return
+    # On a WEDGED TPU runtime, even jax.default_backend() (device
+    # acquisition) hangs forever, futex-parked in C where signals can't
+    # reach — and this function runs at every decoder entry point, so a
+    # wedged chip would turn "read a video" into a silent hang. Decide
+    # from CONFIG/ENV (no backend touch) whether a TPU could be in play,
+    # and if so probe the runtime in a SUBPROCESS (killable) first,
+    # failing fast with a pointer to the CPU backend.
+    cfg_plat = str(getattr(jax.config, "jax_platforms", None) or "")
+    env_plat = os.environ.get("JAX_PLATFORMS", "")
+    chosen = cfg_plat or env_plat
+    cpu_only = chosen != "" and not any(
+        p in chosen for p in ("tpu", "axon")
+    ) and "cpu" in chosen
+    if cpu_only:
+        return  # CPU-forced (tests, --cpu): nothing to warm, nothing to hang
     try:
+        if os.environ.get("OPTICAL_FLOW_SKIP_TPU_PROBE") != "1":
+            import subprocess
+
+            enable_persistent_cache()  # the probe compiles through disk too
+            code = (
+                "from optical_flow_tpu.utils.compat import "
+                "enable_persistent_cache; enable_persistent_cache(); "
+                "import jax, jax.numpy as jnp; "
+                "print(float(jnp.sum(jnp.ones((8, 128)))))"
+            )
+            try:
+                subprocess.run(
+                    [sys.executable, "-c", code], timeout=120, check=True,
+                    capture_output=True,
+                    cwd=os.path.dirname(
+                        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                    ),
+                )
+            except Exception as e:
+                raise RuntimeError(
+                    "TPU runtime unresponsive (device acquisition or compile "
+                    "hung in a probe subprocess) — decoding would deadlock "
+                    "this process. Use the CPU backend "
+                    "(jax.config.update('jax_platforms', 'cpu') or --cpu) "
+                    "until the runtime recovers."
+                ) from e
         if jax.default_backend() != "tpu":
             return
         import jax.numpy as jnp
@@ -88,5 +129,7 @@ def warm_compile_client() -> None:
         jax.jit(lambda x: (x * 1.0000001 + 0.0000002).sum())(
             jnp.full((3, 3), 0.123456)
         ).block_until_ready()
+    except RuntimeError:
+        raise  # the unresponsive-runtime error must reach the user
     except Exception:
         pass  # warming is best-effort; never block IO on it
