@@ -17,7 +17,10 @@ from optical_flow_tpu.slam.ba import (
 from optical_flow_tpu.slam.epipolar import (
     EssentialRansacConfig,
     estimate_essential,
+    five_point,
+    five_point_batch,
     normalize_pixels,
+    ransac_essential_5pt,
     recover_pose,
     refine_pose,
     triangulate,
@@ -28,6 +31,8 @@ from optical_flow_tpu.slam.pnp import pnp_dlt, pnp_ransac
 from optical_flow_tpu.slam.pose_graph import (
     PoseGraph,
     Sim3PoseGraph,
+    measure_loop_sim3,
+    place_descriptor,
     propose_loop_candidates,
     relative_pose,
     relocalize,
@@ -46,6 +51,9 @@ __all__ = [
     "sharded_bundle_adjust",
     "EssentialRansacConfig",
     "estimate_essential",
+    "five_point",
+    "five_point_batch",
+    "ransac_essential_5pt",
     "normalize_pixels",
     "recover_pose",
     "refine_pose",
@@ -58,6 +66,8 @@ __all__ = [
     "pnp_ransac",
     "PoseGraph",
     "Sim3PoseGraph",
+    "measure_loop_sim3",
+    "place_descriptor",
     "propose_loop_candidates",
     "relative_pose",
     "relocalize",
