@@ -403,3 +403,31 @@ class TestPyrUpColsFirst:
         b = np.asarray(pyr_up_cols_first(x))
         # identical taps, different float association only
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestWarpFuzz:
+    def test_fuzz_shift_matches_gather_random_geometry(self):
+        """Property fuzz over random shapes (odd/even, tiny), clamps and
+        quantize modes: the static-shift warp decomposition must match
+        the gather remap within float noise everywhere — the equivalence
+        every shift/tile/fused path ultimately rests on."""
+        from optical_flow_tpu.ops.warp import remap_bilinear, remap_bilinear_shift
+
+        for seed in range(12):
+            rng = np.random.RandomState(100 + seed)
+            H = int(rng.randint(9, 70))
+            W = int(rng.randint(9, 70))
+            clamp = float(rng.choice([2.0, 3.0, 4.0, 6.0, 8.0]))
+            C = int(np.ceil(clamp)) + 1  # reach + rounding slack
+            q = bool(rng.randint(2))
+            src = jnp.asarray(rng.rand(H, W).astype(np.float32) * 255)
+            xs = np.arange(W, dtype=np.float32)[None, :]
+            ys = np.arange(H, dtype=np.float32)[:, None]
+            dx = np.clip(rng.randn(H, W) * clamp, -clamp, clamp).astype(np.float32)
+            dy = np.clip(rng.randn(H, W) * clamp, -clamp, clamp).astype(np.float32)
+            mx, my = jnp.asarray(xs + dx), jnp.asarray(ys + dy)
+            a = np.asarray(remap_bilinear(src, mx, my, quantize=q))
+            b = np.asarray(remap_bilinear_shift(src, mx, my, C, quantize=q))
+            np.testing.assert_allclose(
+                a, b, atol=2e-4, err_msg=f"seed={seed} {H}x{W} clamp={clamp} q={q}"
+            )
