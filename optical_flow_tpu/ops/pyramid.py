@@ -19,6 +19,7 @@ max_pyramid_levels: the reference's getMaxLayer (LKof.cpp:230-249) is the
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Tuple
 
 import jax.numpy as jnp
@@ -58,31 +59,73 @@ def _parity_planes(p, axis):
     return s[..., 0], s[..., 1]
 
 
-def pyr_down(x):
-    """One pyramid level down: 5-tap blur + 2x decimation (cv::pyrDown).
-
-    POLYPHASE form: the filter is evaluated ONLY at the kept (even) output
-    positions, reading the reflect-padded input through its even/odd
-    parity planes — out[r] = k0*E[r] + k1*O[r] + k2*E[r+1] + k3*O[r+1]
-    + k4*E[r+2] (same tap order as the plain filter, so the result is
-    BIT-identical). This avoids both filtering at positions that are then
-    thrown away and any strided decimation slice: the original
-    `[::2, ::2]` lowered to a catastrophic lane relayout (2.88 ms at
-    1080^2), filtering-then-slicing rows cost 0.18 ms for an image pair,
-    the polyphase form 0.11 ms (v5e device spans).
-    """
-    H, W = x.shape[-2], x.shape[-1]
-    Hc, Wc = -(-H // 2), -(-W // 2)
+def _row_pass_poly(x):
+    """Polyphase row pass of pyr_down: 5-tap blur evaluated only at the
+    kept (even) output rows, via parity planes (no strided slice)."""
+    H = x.shape[-2]
+    Hc = -(-H // 2)
     p = pad_last2(x, 2, 2, 0, 0, mode="reflect")
     E, O = _parity_planes(p, p.ndim - 2)
-    r = (
+    return (
         _K5[0] * E[..., 0:Hc, :]
         + _K5[1] * O[..., 0:Hc, :]
         + _K5[2] * E[..., 1 : Hc + 1, :]
         + _K5[3] * O[..., 1 : Hc + 1, :]
         + _K5[4] * E[..., 2 : Hc + 2, :]
     )
+
+
+@lru_cache(maxsize=None)
+def _decim_matrix(n: int):
+    """Banded decimation+filter matrix for the MXU column pass:
+    out[:, c] = sum_t K5[t] * p[:, 2c + t] for p reflect-padded by 2
+    (n + 4 columns), out ceil(n/2) columns."""
+    import numpy as np
+
+    nc = -(-n // 2)
+    S = np.zeros((n + 4, nc), np.float32)
+    for c in range(nc):
+        for t, k in enumerate(_K5):
+            S[2 * c + t, c] += k
+    return S
+
+
+def pyr_down(x, impl: str = "poly"):
+    """One pyramid level down: 5-tap blur + 2x decimation (cv::pyrDown).
+
+    impl='poly' (default, the bit-pinned production path): POLYPHASE —
+    the filter is evaluated ONLY at the kept (even) output positions,
+    reading the reflect-padded input through its even/odd parity planes —
+    out[r] = k0*E[r] + k1*O[r] + k2*E[r+1] + k3*O[r+1] + k4*E[r+2]
+    (same tap order as the plain filter, so the result is BIT-identical).
+    This avoids both filtering at positions that are then thrown away and
+    any strided decimation slice: the original `[::2, ::2]` lowered to a
+    catastrophic lane relayout (2.88 ms at 1080^2), filtering-then-
+    slicing rows cost 0.18 ms for an image pair, the polyphase form
+    0.11 ms (v5e device spans).
+
+    impl='mxu': the row pass stays polyphase on the VPU; the COLUMN
+    decimation runs as one banded-matrix matmul on the (otherwise idle)
+    MXU — the lane parity-split reshape disappears. K5 taps are exact in
+    bf16 so HIGHEST-precision products are exact; only the accumulation
+    order differs from the VPU form (f32 roundoff, pinned in
+    tests/test_ops.py). Candidate production path pending the
+    scripts/tpu_pyrdown_experiments.py measurement (ROADMAP).
+    """
+    W = x.shape[-1]
+    Wc = -(-W // 2)
+    r = _row_pass_poly(x)
     pc = pad_last2(r, 0, 0, 2, 2, mode="reflect")
+    if impl == "mxu":
+        S = jnp.asarray(_decim_matrix(W))
+        from jax import lax
+
+        return jnp.matmul(
+            pc, S, precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    if impl != "poly":
+        raise ValueError(f"pyr_down impl must be 'poly' or 'mxu', got {impl!r}")
     Ec, Oc = _parity_planes(pc, pc.ndim - 1)
     return (
         _K5[0] * Ec[..., :, 0:Wc]
@@ -175,11 +218,11 @@ def pyr_up_cols_first(x):
     return _pyr_up_stack_cols_first(x)
 
 
-def gaussian_pyramid(img, levels: int) -> List[jnp.ndarray]:
+def gaussian_pyramid(img, levels: int, impl: str = "poly") -> List[jnp.ndarray]:
     """n-level pyramid; level 0 is the input itself (LKof.cpp:180-189)."""
     pyr = [img]
     for _ in range(levels - 1):
-        pyr.append(pyr_down(pyr[-1]))
+        pyr.append(pyr_down(pyr[-1], impl=impl))
     return pyr
 
 

@@ -44,48 +44,17 @@ import jax.numpy as jnp
 
 from optical_flow_tpu.ops.pad import pad_last2
 from optical_flow_tpu.ops.pyramid import (
-    _K5,
-    _parity_planes,
+    _decim_matrix,
+    _row_pass_poly,
     gaussian_pyramid,
     pyr_down,
 )
 
 
-@lru_cache(maxsize=None)
-def _decim_matrix(n: int):
-    """Banded decimation+filter matrix: out[:, c] = sum_t K5[t] p[:, 2c+t]
-    for p reflect-padded by 2 (n+4 columns), out ceil(n/2) columns."""
-    nc = -(-n // 2)
-    S = np.zeros((n + 4, nc), np.float32)
-    for c in range(nc):
-        for t, k in enumerate(_K5):
-            S[2 * c + t, c] += k
-    return S
-
-
-def _row_pass(x):
-    H = x.shape[-2]
-    Hc = -(-H // 2)
-    p = pad_last2(x, 2, 2, 0, 0, mode="reflect")
-    E, O = _parity_planes(p, p.ndim - 2)
-    return (
-        _K5[0] * E[..., 0:Hc, :]
-        + _K5[1] * O[..., 0:Hc, :]
-        + _K5[2] * E[..., 1 : Hc + 1, :]
-        + _K5[3] * O[..., 1 : Hc + 1, :]
-        + _K5[4] * E[..., 2 : Hc + 2, :]
-    )
-
-
 def pyr_down_mxu(x):
-    """Row pass on the VPU (polyphase), column decimation on the MXU."""
-    r = _row_pass(x)
-    p = pad_last2(r, 0, 0, 2, 2, mode="reflect")
-    S = jnp.asarray(_decim_matrix(x.shape[-1]))
-    return jnp.matmul(
-        p, S, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    """ops/pyramid.pyr_down(impl='mxu') — the promoted production
+    candidate."""
+    return pyr_down(x, impl="mxu")
 
 
 def pyr_down_mxu2(x):

@@ -431,3 +431,37 @@ class TestWarpFuzz:
             np.testing.assert_allclose(
                 a, b, atol=2e-4, err_msg=f"seed={seed} {H}x{W} clamp={clamp} q={q}"
             )
+
+
+class TestPyrDownMXU:
+    def test_mxu_impl_matches_poly(self):
+        """pyr_down(impl='mxu') — column decimation as a banded matmul on
+        the MXU — must match the polyphase form at f32 roundoff (the
+        HIGHEST-precision products are exact for the binary-fraction K5
+        taps; only the accumulation order differs) across even and odd
+        shapes."""
+        from optical_flow_tpu.ops.pyramid import pyr_down
+
+        rng = np.random.RandomState(6)
+        for shape in ((2, 256, 256), (1, 135, 271), (33, 17)):
+            x = jnp.asarray((rng.rand(*shape) * 255).astype(np.float32))
+            a = np.asarray(pyr_down(x))
+            b = np.asarray(pyr_down(x, impl="mxu"))
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-6)
+
+    def test_gaussian_pyramid_impl_plumbs(self):
+        from optical_flow_tpu.ops.pyramid import gaussian_pyramid
+
+        rng = np.random.RandomState(7)
+        x = jnp.asarray((rng.rand(64, 64) * 255).astype(np.float32))
+        pa = gaussian_pyramid(x, 3)
+        pb = gaussian_pyramid(x, 3, impl="mxu")
+        for a, b in zip(pa, pb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+    def test_bad_impl_rejected(self):
+        from optical_flow_tpu.ops.pyramid import pyr_down
+
+        with pytest.raises(ValueError, match="impl"):
+            pyr_down(jnp.ones((8, 8)), impl="gpu")
