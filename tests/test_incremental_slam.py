@@ -160,3 +160,43 @@ def test_incremental_slam_streams_from_generator():
     np.testing.assert_array_equal(res_list.poses, res_gen.poses)
     np.testing.assert_array_equal(res_list.trans, res_gen.trans)
     np.testing.assert_array_equal(res_list.points, res_gen.points)
+
+
+def test_slam_end_to_end_from_encoded_video(tmp_path):
+    """The full production path in one test: rendered loop -> mp4 encode
+    -> decoder backends -> grayscale stream -> adaptive-keyframe
+    streaming SLAM -> Sim(3) loop closure. Lossy compression noise rides
+    the whole pipeline; the loop still closes at ~0.013 mean center
+    error (measured)."""
+    import jax.numpy as jnp
+
+    from optical_flow_tpu.io.video_reader import read_frames
+    from optical_flow_tpu.pipeline.preprocess import bgr_to_gray
+
+    frames, centers, focal = _render_loop(n_frames=20)
+    h, w = frames[0].shape
+    path = str(tmp_path / "loop.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 20.0, (w, h), False)
+    if not vw.isOpened():
+        pytest.skip("no mp4 encoder available")
+    for f in frames:
+        vw.write(f)
+    vw.release()
+
+    gray_iter = (
+        np.asarray(bgr_to_gray(jnp.asarray(f))) for f in read_frames(path)
+    )
+    res = incremental_slam(
+        gray_iter, focal, window=8, kf_min_disparity=4.0,
+        loop_min_separation=5, loop_min_inliers=30, min_tracks=40,
+    )
+    assert res is not None
+    assert res.keyframes[-1] == 19
+    assert 5 <= len(res.keyframes) <= 14, res.keyframes
+    assert res.loop_edges, "no loop closed through the encoded video"
+    est = res.centers()
+    true = np.asarray([centers[i] for i in res.keyframes])
+    scale = np.linalg.norm(true[1]) / max(np.linalg.norm(est[1]), 1e-9)
+    err = np.linalg.norm(est * scale - true, axis=1)
+    assert err.mean() < 0.06, err
+    assert err.max() < 0.12, err
