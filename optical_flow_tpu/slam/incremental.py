@@ -142,7 +142,25 @@ def incremental_slam(
     cy = h / 2.0 if cy is None else cy
 
     def norm(px):
-        return np.asarray(normalize_pixels(px, focal, cx, cy))
+        # host numpy (not normalize_pixels/jnp): this glue runs on
+        # ever-varying track-count shapes, and every eager jnp op on a new
+        # shape costs an XLA mini-compile — unbounded on long videos
+        return ((np.asarray(px, np.float32) - np.asarray([cx, cy], np.float32))
+                / np.float32(focal))
+
+    def _pad64(*arrays):
+        # shape-bucket batched solves: pad row counts to a multiple of 64
+        # so the jnp op cascade compiles O(log) distinct programs instead
+        # of one per track count (rows are independent; callers slice)
+        n = arrays[0].shape[0]
+        m = -(-max(n, 1) // 64) * 64
+        if m == n:
+            return arrays + (n,)
+        out = []
+        for a in arrays:
+            pad = np.zeros((m - n,) + a.shape[1:], a.dtype)
+            out.append(np.concatenate([np.asarray(a), pad]))
+        return tuple(out) + (n,)
 
     # --- live track table --------------------------------------------------
     # Each row: current pixel, anchor keyframe + anchor pixel (for
@@ -308,8 +326,11 @@ def incremental_slam(
                     continue
                 Xl = np.stack([allpts[p] for p, _ in obs_list])
                 new = np.asarray(new, np.float32)
-                Rr, tr, inl = pnp_ransac(Xl, norm(new), valid=st, seed=1000 + k)
-                inl = np.asarray(inl)
+                Xlp, xlp, stp, n_r = _pad64(
+                    np.asarray(Xl, np.float32), norm(new), np.asarray(st, bool)
+                )
+                Rr, tr, inl = pnp_ransac(Xlp, xlp, valid=stp, seed=1000 + k)
+                inl = np.asarray(inl)[:n_r]
                 if int(inl.sum()) < 12:
                     continue
                 Rr, tr = np.asarray(Rr), np.asarray(tr)
@@ -355,8 +376,12 @@ def incremental_slam(
             attempt_relocalize()
             continue
         X = np.stack([mapper.points[point_id[r]] for r in rows])
-        xn = norm(cur_px[rows])
-        R, t, inliers = pnp_ransac(X, xn, seed=k)
+        Xp, xp, n_rows = _pad64(
+            np.asarray(X, np.float32), norm(cur_px[rows])
+        )
+        vmask = np.arange(len(Xp)) < n_rows
+        R, t, inliers = pnp_ransac(Xp, xp, valid=vmask, seed=k)
+        inliers = np.asarray(inliers)[:n_rows]
         if int(np.asarray(inliers).sum()) < max(12, len(rows) // 4):
             # the pose didn't explain the tracked landmarks (corrupted
             # frame, degenerate geometry): treat as tracking loss rather
@@ -386,18 +411,20 @@ def incremental_slam(
                 sel_m = rows_m[aks == ak]
                 Pa = np.concatenate([kf_R[ak], kf_t[ak][:, None]], axis=1)
                 Pb = np.concatenate([R, t[:, None]], axis=1)
-                Xn = np.asarray(
-                    triangulate(Pa, Pb, norm(anchor_px[sel_m]), norm(cur_px[sel_m]))
-                )
+                ta, tb, n_m = _pad64(norm(anchor_px[sel_m]), norm(cur_px[sel_m]))
+                Xn = np.asarray(triangulate(Pa, Pb, ta, tb))[:n_m]
                 # cheirality + reprojection gate in both views
                 Za = (Xn @ kf_R[ak].T + kf_t[ak])[:, 2]
                 Zb = (Xn @ R.T + t)[:, 2]
+                Xp, xp, n_m2 = _pad64(
+                    np.asarray(Xn, np.float32), norm(cur_px[sel_m])
+                )
                 e = np.asarray(
                     reprojection_errors(
                         jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32),
-                        jnp.asarray(Xn, jnp.float32), jnp.asarray(norm(cur_px[sel_m])),
+                        jnp.asarray(Xp), jnp.asarray(xp),
                     )
-                )
+                )[:n_m2]
                 ok = (Za > 0.1) & (Zb > 0.1) & (e < 5.0 / focal)
                 for row, Xw, o in zip(sel_m, Xn, ok):
                     if not o:
