@@ -62,7 +62,36 @@ for H, W in SHAPES:
             ok_p = bool(jnp.isfinite(uo).all())
         except Exception as e:
             ok_p = f"FAIL {str(e)[:80]}"
-    line = f"{H}x{W} band={band}: lk={ok_lk} warp_lk={ok_w} pyrup={ok_p}"
+    # TILE MODE (round 3): halo-extended inputs + scalar-prefetch origin.
+    # Run the top-left tile of a 2x2 grid and pin bit-identity against the
+    # full-frame kernel's region — the property the sharded pyramid
+    # rests on, now proven ON HARDWARE per geometry class.
+    ok_t = "skip"
+    th, tw = H // 2, W // 2
+    halo = 4 + 2
+    if H % 2 == 0 and W % 2 == 0 and warp_lk_band(th, tw, 4) is not None \
+            and halo <= min(th, tw):
+        try:
+            pad = np.zeros((H + 2 * halo, W + 2 * halo), np.float32)
+
+            def ext(x, r0, c0):
+                pp = pad.copy()
+                pp[halo:halo + H, halo:halo + W] = np.asarray(x)
+                return jnp.asarray(
+                    pp[r0:r0 + th + 2 * halo, c0:c0 + tw + 2 * halo]
+                )
+
+            du_t, dv_t = warp_lk_pallas(
+                ext(a, 0, 0), ext(b, 0, 0), ext(u, 0, 0), ext(u, 0, 0),
+                max_disp=4, clamp=8.0, halo=halo, origin=(0, 0),
+                global_hw=(H, W),
+            )
+            same = np.array_equal(np.asarray(du_t), np.asarray(du)[:th, :tw])
+            ok_t = bool(same and jnp.isfinite(du_t).all())
+        except Exception as e:
+            ok_t = f"FAIL {str(e)[:80]}"
+    line = (f"{H}x{W} band={band}: lk={ok_lk} warp_lk={ok_w} pyrup={ok_p} "
+            f"tile={ok_t}")
     print(line, flush=True)
     if "FAIL" in line or "False" in line:
         rc = 1

@@ -32,8 +32,11 @@ run() {
   echo "--- $name rc=$rc"
 }
 
-run bench        900 python bench.py
+# shapes FIRST: the round-3 kernel refactor (scalar-prefetch grids, tile
+# modes) must prove it lowers before bench commits to a fresh compile of
+# the same programs (a lowering failure would burn bench's watchdog)
 run shapes       900 python scripts/tpu_kernel_shapes_check.py
+run bench        900 python bench.py
 run shardedfused 900 python scripts/tpu_sharded_fused_check.py
 run pyrdown      900 python scripts/tpu_pyrdown_experiments.py
 run interleave   600 python scripts/tpu_interleave_poc.py --time
