@@ -19,6 +19,7 @@ from optical_flow_tpu.parallel.halo import exchange_halo, exchange_halo_pyrup
 from optical_flow_tpu.parallel.sharded_lk import sharded_lucas_kanade
 from optical_flow_tpu.parallel.sharded_flow import (
     sharded_coarse_to_fine,
+    sharded_coarse_to_fine_pyramids,
     sharded_coarse_to_fine_with_images,
 )
 from optical_flow_tpu.parallel.sharded_warp import sharded_symmetric_warp
@@ -33,6 +34,7 @@ __all__ = [
     "exchange_halo",
     "sharded_lucas_kanade",
     "sharded_coarse_to_fine",
+    "sharded_coarse_to_fine_pyramids",
     "sharded_coarse_to_fine_with_images",
     "sharded_symmetric_warp",
     "exchange_halo_pyrup",

@@ -85,17 +85,39 @@ def sharded_coarse_to_fine_with_images(
     last warp — the reference's in-place-mutation contract
     (LKof.cpp:193-226), needed by the video loop's faithful_prev_diff
     feedback (ParallelVideoPyr.cpp:841)."""
-    rows_n = mesh.shape[AXIS_ROWS]
-    cols_n = mesh.shape[AXIS_COLS]
-    from optical_flow_tpu.flow.coarse_to_fine import (
-        _validate_levels,
-        resolve_warp_impl,
-    )
-    from optical_flow_tpu.flow.pyramid_loop import run_pyramid
+    from optical_flow_tpu.flow.coarse_to_fine import _validate_levels
 
     levels = _validate_levels(levels, img1.shape, config)
     pyr1 = gaussian_pyramid(img1, levels)
     pyr2 = gaussian_pyramid(img2, levels)
+    return sharded_coarse_to_fine_pyramids(
+        pyr1, pyr2, mesh, config=config, min_tile=min_tile,
+        _need_images=_need_images,
+    )
+
+
+def sharded_coarse_to_fine_pyramids(
+    pyr1,
+    pyr2,
+    mesh: Mesh,
+    *,
+    config: FlowConfig = FlowConfig(),
+    min_tile: int = MIN_TILE,
+    _need_images: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mesh-sharded pyramidal LK over PREBUILT pyramids (level 0 finest) —
+    the streaming-video entry point: each frame's pyramid is built once
+    and serves both its flow pairs (pipeline/video.py reuse), now on the
+    mesh path too."""
+    if len(pyr1) != len(pyr2):
+        raise ValueError(f"pyramid depths differ: {len(pyr1)} vs {len(pyr2)}")
+    rows_n = mesh.shape[AXIS_ROWS]
+    cols_n = mesh.shape[AXIS_COLS]
+    from optical_flow_tpu.flow.coarse_to_fine import resolve_warp_impl
+    from optical_flow_tpu.flow.pyramid_loop import run_pyramid
+
+    pyr1 = list(pyr1)
+    pyr2 = list(pyr2)
 
     # One warp-impl decision for the whole pyramid, shared with the
     # unsharded controller so sharded == unsharded for any config (on TPU

@@ -65,9 +65,9 @@ class VideoPipeline:
         # consecutive pairs ((t-1, t) and (t, t+1)), so cache it instead of
         # rebuilding — ~25% of the per-frame flow work at 1080^2. Only valid
         # when prevDiff is the RAW diff (faithful_prev_diff warps it in
-        # place, so its pyramid differs) and unsharded (the mesh path
-        # builds pyramids inside its own jit).
-        self._reuse_pyramids = not config.faithful_prev_diff and mesh is None
+        # place, so its pyramid differs); the mesh path reuses too
+        # (sharded_coarse_to_fine_pyramids).
+        self._reuse_pyramids = not config.faithful_prev_diff
         self.reset()
 
     def reset(self) -> None:
@@ -132,7 +132,18 @@ class VideoPipeline:
         return tuple(gaussian_pyramid(diff, max_pyramid_levels(diff.shape)))
 
     def _flow_step_pyr_impl(self, prev_pyr, pyr):
-        u, v, _, _ = coarse_to_fine_pyramids(prev_pyr, pyr, config=self.config.flow)
+        if self.mesh is not None:
+            from optical_flow_tpu.parallel.sharded_flow import (
+                sharded_coarse_to_fine_pyramids,
+            )
+
+            u, v, _, _ = sharded_coarse_to_fine_pyramids(
+                prev_pyr, pyr, self.mesh, config=self.config.flow
+            )
+        else:
+            u, v, _, _ = coarse_to_fine_pyramids(
+                prev_pyr, pyr, config=self.config.flow
+            )
         return FrameResult(u, v, detect_gesture(u, v, self.config.gesture))
 
     def _batch_flow_impl(self, prev_diffs, diffs):
@@ -156,7 +167,18 @@ class VideoPipeline:
         pyr = tuple(gaussian_pyramid(diffs, max_pyramid_levels(diffs.shape)))
         prev = tuple(p[:-1] for p in pyr)
         cur = tuple(p[1:] for p in pyr)
-        u, v, _, _ = coarse_to_fine_pyramids(prev, cur, config=self.config.flow)
+        if self.mesh is not None:
+            from optical_flow_tpu.parallel.sharded_flow import (
+                sharded_coarse_to_fine_pyramids,
+            )
+
+            u, v, _, _ = sharded_coarse_to_fine_pyramids(
+                prev, cur, self.mesh, config=self.config.flow
+            )
+        else:
+            u, v, _, _ = coarse_to_fine_pyramids(
+                prev, cur, config=self.config.flow
+            )
         return FrameResult(u, v, detect_gesture(u, v, self.config.gesture))
 
     # --- host loops --------------------------------------------------------

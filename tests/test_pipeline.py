@@ -278,3 +278,38 @@ def test_streaming_pyramid_reuse_matches_unreused():
     for a, b in zip(reused, legacy):
         np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
         np.testing.assert_array_equal(np.asarray(a.v), np.asarray(b.v))
+
+
+def test_streaming_mesh_reuses_pyramids_and_matches_unsharded():
+    """The mesh streaming path now reuses each frame's pyramid
+    (sharded_coarse_to_fine_pyramids) like the single-device path, and
+    its results match the unsharded streaming pipeline (allclose under
+    jit: XLA fuses the tiled and plain programs with different FMA
+    contraction, same as the existing mesh pipeline tests; EAGER
+    bit-identity is pinned in test_parallel.py)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from optical_flow_tpu.parallel import flow_mesh
+    from optical_flow_tpu.pipeline.video import VideoConfig, VideoPipeline
+
+    mesh = flow_mesh(frames=2, rows=2, cols=2)
+    rng = np.random.RandomState(3)
+    frames = [
+        (rng.rand(72, 96, 3) * 255).astype(np.uint8) for _ in range(6)
+    ]
+    cfg = VideoConfig(
+        preprocess=PreprocessConfig(size=(64, 64), faithful_uint8=False),
+        flow=FlowConfig(impl="jnp", levels=3, warp_clamp=4.0),
+        faithful_prev_diff=False,
+    )
+    plain = VideoPipeline(cfg)
+    sharded = VideoPipeline(cfg, mesh=mesh)
+    assert sharded._reuse_pyramids  # the mesh path reuses now
+    r0 = [r for f in frames if (r := plain.push(f)) is not None]
+    r1 = [r for f in frames if (r := sharded.push(f)) is not None]
+    assert len(r0) == len(r1) > 0
+    for a, b in zip(r0, r1):
+        np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a.v), np.asarray(b.v), atol=1e-4)
