@@ -323,3 +323,55 @@ def test_sharded_robust_ba_matches_unsharded():
                                      robust_delta=2.0)
     np.testing.assert_allclose(np.asarray(ref_s.cams), np.asarray(ref.cams),
                                atol=1e-6)
+
+
+def test_sharded_ba_scales_to_10k_points():
+    """sharded_bundle_adjust at the 10k-point/50-camera scale on the
+    8-device mesh: per-shard W blocks stay O(local observations), the
+    camera system is psum-assembled, and the result matches the
+    unsharded solve at reduction-order tolerance."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from optical_flow_tpu.parallel import flow_mesh
+    from optical_flow_tpu.slam.ba import project
+
+    mesh = flow_mesh(frames=2, rows=2, cols=2)
+    rng = np.random.RandomState(12)
+    C, P = 50, 10_000
+    pts = rng.randn(P, 3) * np.array([4.0, 4.0, 1.0]) + np.array([0, 0, 10.0])
+    cams = np.zeros((C, 6))
+    cams[:, 3] = np.linspace(-3, 3, C)
+    cams[:, :3] = rng.randn(C, 3) * 0.01
+    focal = 500.0
+    first = rng.randint(0, C - 5, size=P)
+    cam_idx = (first[:, None] + np.arange(6)[None, :]).reshape(-1).astype(np.int32)
+    pt_idx = np.repeat(np.arange(P), 6).astype(np.int32)
+    proj = jax.jit(jax.vmap(project, in_axes=(0, 0, None)))
+    obs = np.asarray(
+        proj(jnp.asarray(cams)[cam_idx], jnp.asarray(pts)[pt_idx], focal)
+    )
+    cams_n = cams + rng.randn(C, 6) * 0.002
+    pts_n = pts + rng.randn(P, 3) * 0.02
+
+    prob = BAProblem(
+        jnp.asarray(cams_n), jnp.asarray(pts_n), jnp.asarray(cam_idx),
+        jnp.asarray(pt_idx), jnp.asarray(obs), focal,
+    )
+    ref, _ = bundle_adjust(prob, iters=4, lam=1e-4)
+
+    # shard: points grouped contiguously (pt_idx already sorted by point),
+    # observations local to each point shard
+    n = mesh.size
+    P_loc = P // n
+    prob_s = BAProblem(
+        jnp.asarray(cams_n), jnp.asarray(pts_n), jnp.asarray(cam_idx),
+        jnp.asarray(pt_idx % P_loc), jnp.asarray(obs), focal,
+    )
+    ref_s, _ = sharded_bundle_adjust(prob_s, mesh, iters=4, lam=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ref_s.cams), np.asarray(ref.cams), atol=1e-5
+    )
+    rmse = float(
+        reprojection_rmse(prob._replace(cams=ref_s.cams, points=ref_s.points))
+    )
+    assert rmse < 0.1 * float(reprojection_rmse(prob)), rmse
