@@ -86,5 +86,10 @@ def sharded_lucas_kanade(
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=(spec, spec),
+        # impl='pallas'/'auto'-on-TPU runs lucas_kanade_pallas per tile, and
+        # pallas_call's out_shape carries no varying-mesh-axes annotation —
+        # the vma checker rejects it even though every output is
+        # owner-computed from owner-held inputs (halo-free stencil).
+        check_vma=False,
     )
     return fn(img1, img2)
