@@ -188,6 +188,14 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--levels", type=int, default=None)
     ap.add_argument(
+        "--clamp", type=float, default=8.0,
+        help="warp_clamp for the production (corrected) config; the "
+        "shift-warp tap count is 2*ceil(clamp/2)+1 per pass. Measured "
+        "on v5e: clamp 4 is 12%% faster than the clamp-8 default but "
+        "loses large-motion accuracy (scripts/tpu_clamp_experiment.py); "
+        "ignored under --parity",
+    )
+    ap.add_argument(
         "--pairwise",
         action="store_true",
         help="measure isolated flow pairs (both pyramids rebuilt per call) "
@@ -317,7 +325,7 @@ def main():
         jax.block_until_ready(ps)
 
         def _bench_stream(diffs):
-            pyr = tuple(gaussian_pyramid(diffs, levels))
+            pyr = tuple(gaussian_pyramid(diffs, levels, impl=cfg.pyr_impl))
             prev = tuple(p[:-1] for p in pyr)
             cur = tuple(p[1:] for p in pyr)
             u, v, _, _ = coarse_to_fine_pyramids(prev, cur, config=cfg)
@@ -348,7 +356,7 @@ def main():
                     if args.parity
                     else FlowConfig(
                         impl=args.impl, levels=lv, mode="corrected",
-                        warp_clamp=8.0, warp_impl="auto",
+                        warp_clamp=args.clamp, warp_impl="auto",
                     )
                 )
                 fps, _ = measure(size, batch, args.impl, max(6, args.iters // 3), cfg=sweep_cfg)
@@ -371,7 +379,7 @@ def main():
             impl=args.impl,
             levels=levels,
             mode="corrected",
-            warp_clamp=8.0,
+            warp_clamp=args.clamp,
             warp_impl="auto",
         )
     # Headline: the streaming-video formulation (one new pyramid + one
@@ -431,7 +439,11 @@ def main():
             "pairwise" if (args.parity or args.pairwise) else "streaming"
         ),
     }
-    if args.size == 1080 and args.batch == 1 and args.impl == "auto":
+    is_default_config = (
+        args.size == 1080 and args.batch == 1 and args.impl == "auto"
+        and args.clamp == 8.0 and not (args.parity or args.pairwise)
+    )
+    if is_default_config:
         try:  # cache the default-config result for the wedge fallback,
             # with provenance so a stale replay is auditable
             import subprocess
@@ -457,7 +469,10 @@ def main():
                 "detail": {
                     "mpix_per_s": round(mpix_s, 1),
                     "f32_mean_epe_px_vs_goldens": None if epe is None else round(epe, 5),
-                    "config": "parity" if args.parity else "corrected+shift-warp(clamp 8)",
+                    "config": (
+                        "parity" if args.parity
+                        else f"corrected+shift-warp(clamp {args.clamp:g})"
+                    ),
                     "formulation": (
                         "pairwise" if (args.parity or args.pairwise) else "streaming"
                     ),

@@ -44,6 +44,15 @@ class FlowConfig:
     # (cost grows with clamp^2, ~1 ulp from gather); 'auto' = shift on TPU
     # whenever warp_clamp is set, else gather.
     warp_impl: str = "auto"
+    # Pyramid-build implementation (ops/pyramid.pyr_down): 'poly' = the
+    # bit-pinned polyphase VPU path (default); 'mxu' = the column
+    # decimation as one banded matmul on the otherwise-idle MXU.
+    # Measured on v5e (scripts/tpu_pyrdown_experiments.py + batch A/B):
+    # 'mxu' wins ~10% at batch<=2 (192.7 vs 212.9 us, 4-level 1080^2
+    # pair) but is a wash at the streaming video batch (485 us both at
+    # batch 5), so 'poly' stays the default everywhere; the knob exists
+    # for small-batch pairwise deployments.
+    pyr_impl: str = "poly"
     # 'reference': the reference's exact coarse-to-fine scheme (flow NOT
     #   doubled on pyrUp — its output is the goldens' quirky quantity, not
     #   pixel displacement).

@@ -209,8 +209,8 @@ def coarse_to_fine_with_images(
     reference leaves in the caller's Mats via in-place pyramid mutation.
     """
     levels = _validate_levels(levels, img1.shape, config)
-    pyr1 = gaussian_pyramid(img1, levels)
-    pyr2 = gaussian_pyramid(img2, levels)
+    pyr1 = gaussian_pyramid(img1, levels, impl=config.pyr_impl)
+    pyr2 = gaussian_pyramid(img2, levels, impl=config.pyr_impl)
     return coarse_to_fine_pyramids(
         pyr1, pyr2, config=config, _need_images=_need_images
     )

@@ -88,8 +88,8 @@ def sharded_coarse_to_fine_with_images(
     from optical_flow_tpu.flow.coarse_to_fine import _validate_levels
 
     levels = _validate_levels(levels, img1.shape, config)
-    pyr1 = gaussian_pyramid(img1, levels)
-    pyr2 = gaussian_pyramid(img2, levels)
+    pyr1 = gaussian_pyramid(img1, levels, impl=config.pyr_impl)
+    pyr2 = gaussian_pyramid(img2, levels, impl=config.pyr_impl)
     return sharded_coarse_to_fine_pyramids(
         pyr1, pyr2, mesh, config=config, min_tile=min_tile,
         _need_images=_need_images,

@@ -129,7 +129,12 @@ class VideoPipeline:
         return FrameResult(u, v, gesture), next_prev
 
     def _build_pyr_impl(self, diff):
-        return tuple(gaussian_pyramid(diff, max_pyramid_levels(diff.shape)))
+        return tuple(
+            gaussian_pyramid(
+                diff, max_pyramid_levels(diff.shape),
+                impl=self.config.flow.pyr_impl,
+            )
+        )
 
     def _flow_step_pyr_impl(self, prev_pyr, pyr):
         if self.mesh is not None:
@@ -164,7 +169,12 @@ class VideoPipeline:
     def _batch_flow_pyr_impl(self, diffs):
         # one pyramid per diff; the N-2 pairs are batch SLICES of the same
         # level arrays (each frame's pyramid serves both its pairs for free)
-        pyr = tuple(gaussian_pyramid(diffs, max_pyramid_levels(diffs.shape)))
+        pyr = tuple(
+            gaussian_pyramid(
+                diffs, max_pyramid_levels(diffs.shape),
+                impl=self.config.flow.pyr_impl,
+            )
+        )
         prev = tuple(p[:-1] for p in pyr)
         cur = tuple(p[1:] for p in pyr)
         if self.mesh is not None:

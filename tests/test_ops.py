@@ -465,3 +465,29 @@ class TestPyrDownMXU:
 
         with pytest.raises(ValueError, match="impl"):
             pyr_down(jnp.ones((8, 8)), impl="gpu")
+
+    def test_production_config_pyr_impl_end_to_end(self):
+        """FlowConfig(pyr_impl='mxu') — the production-preset pyramid
+        builder — must leave the corrected-mode flow within f32 roundoff
+        of the bit-pinned polyphase build end to end."""
+        from optical_flow_tpu.config import FlowConfig
+        from optical_flow_tpu.flow.coarse_to_fine import coarse_to_fine
+
+        rng = np.random.RandomState(21)
+        base = (rng.rand(96, 128) * 255).astype(np.float32)
+        a = jnp.asarray(base)
+        b = jnp.asarray(np.roll(base, (1, 2), axis=(0, 1)))
+        kw = dict(impl="jnp", mode="corrected", warp_clamp=8.0,
+                  warp_impl="auto", levels=3)
+        up, vp = coarse_to_fine(a, b, 3, config=FlowConfig(**kw))
+        um, vm = coarse_to_fine(
+            a, b, 3, config=FlowConfig(pyr_impl="mxu", **kw)
+        )
+        sl = np.s_[8:-8, 8:-8]
+        du = np.abs(np.asarray(up)[sl] - np.asarray(um)[sl])
+        dv = np.abs(np.asarray(vp)[sl] - np.asarray(vm)[sl])
+        # the solve divides by near-zero determinants in texture-poor
+        # pixels, so pin the bulk (median), not the max
+        assert np.median(du) < 1e-3 and np.median(dv) < 1e-3, (
+            np.median(du), np.median(dv)
+        )
