@@ -14,6 +14,12 @@ from optical_flow_tpu.slam.ba import (
     reprojection_rmse,
     sharded_bundle_adjust,
 )
+from optical_flow_tpu.slam.descriptors import (
+    match_descriptors,
+    ncc_scores,
+    patch_descriptors,
+    verify_tracks,
+)
 from optical_flow_tpu.slam.epipolar import (
     EssentialRansacConfig,
     estimate_essential,
@@ -49,6 +55,10 @@ __all__ = [
     "project",
     "reprojection_rmse",
     "sharded_bundle_adjust",
+    "match_descriptors",
+    "ncc_scores",
+    "patch_descriptors",
+    "verify_tracks",
     "EssentialRansacConfig",
     "estimate_essential",
     "five_point",

@@ -33,6 +33,11 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from optical_flow_tpu.slam.descriptors import (
+    match_descriptors,
+    ncc_scores,
+    patch_descriptors,
+)
 from optical_flow_tpu.slam.epipolar import (
     EssentialRansacConfig,
     estimate_essential,
@@ -110,6 +115,19 @@ def incremental_slam(
     # ill-conditioned, and per-frame BA work is wasted on frames that
     # add no parallax)
     kf_min_disparity: float = 0.0,
+    # appearance drift gate: every track carries a normalized patch
+    # descriptor from its birth position (slam/descriptors.py); a track
+    # whose current-frame NCC against that anchor falls below this is
+    # killed even though LK still reports status=1 — the chained-LK
+    # drift failure PnP's inlier gate catches only after the map is
+    # already polluted. 0 disables the gate (and appearance revival).
+    track_ncc_gate: float = 0.25,
+    # re-association: when re-seeding, a fresh corner whose descriptor
+    # mutually matches a DEAD map track's anchor at >= this NCC revives
+    # that track's map point instead of starting a blank track —
+    # landmarks survive occlusion instead of being re-triangulated as
+    # duplicates
+    revive_min_ncc: float = 0.8,
     # after a verified loop closure, re-anchor the map to the corrected
     # poses and run one global BA so map and trajectory agree again
     final_global_ba: bool = True,
@@ -162,14 +180,24 @@ def incremental_slam(
             out.append(np.concatenate([np.asarray(a), pad]))
         return tuple(out) + (n,)
 
+    def descs_at(img, px):
+        # shape-bucketed (64-multiple) descriptor extraction — same
+        # compile-growth bound as every other host-glue solve here
+        out = _pad64(np.asarray(px, np.float32))
+        padded, n = out[0], out[-1]
+        d = np.asarray(patch_descriptors(jnp.asarray(img), jnp.asarray(padded)))
+        return d[:n]
+
     # --- live track table --------------------------------------------------
     # Each row: current pixel, anchor keyframe + anchor pixel (for
-    # triangulation), map point id (-1 until triangulated), alive flag.
+    # triangulation), map point id (-1 until triangulated), alive flag,
+    # and the appearance anchor (descriptor at birth, drift/revival gate).
     pts0, valid0 = good_features_to_track(jnp.asarray(frame0), max_corners, 0.01, 8)
     cur_px = np.asarray(pts0, np.float32)
     alive = np.asarray(valid0).copy()
     anchor_kf = np.zeros(len(cur_px), np.int32)
     anchor_px = cur_px.copy()
+    anchor_desc = descs_at(frame0, cur_px)
     point_id = np.full(len(cur_px), -1, np.int64)
     next_pid = 0
 
@@ -214,6 +242,15 @@ def incremental_slam(
         new_px = np.asarray(new_px, np.float32)
         alive &= np.asarray(status)
         cur_px = np.where(alive[:, None], new_px, cur_px)
+
+        if track_ncc_gate > 0 and alive.any():
+            # appearance drift gate: LK keeps status=1 on a track sliding
+            # off its landmark; the birth-anchor NCC does not. Flat-at-birth
+            # anchors (all-zero rows) are exempt — no identity to enforce.
+            now_desc = descs_at(cur, cur_px)
+            s = ncc_scores(anchor_desc, now_desc)
+            no_anchor = np.abs(anchor_desc).sum(axis=1) < 1e-6
+            alive &= no_anchor | (s >= track_ncc_gate)
 
         if not bootstrapped:
             # -- bootstrap: essential matrix on anchor(=frame 0) vs current
@@ -308,7 +345,7 @@ def incremental_slam(
             track table from this frame. False = still lost (the caller
             skips the frame and retries on the next one)."""
             nonlocal cur_px, alive, anchor_px, anchor_kf, point_id, rmse
-            nonlocal last_kf_px, kf_seen
+            nonlocal last_kf_px, kf_seen, anchor_desc
             allpts = mapper.all_points()
             d = place_descriptor(cur)
             dists = [
@@ -367,6 +404,7 @@ def incremental_slam(
                      np.full(len(fresh), -1, np.int64)]
                 )
                 alive = np.ones(len(cur_px), bool)
+                anchor_desc = descs_at(cur, cur_px)
                 last_kf_px = cur_px.copy()
                 kf_seen = alive.copy()
                 return True
@@ -451,17 +489,44 @@ def incremental_slam(
             fresh, fvalid = good_features_to_track(
                 jnp.asarray(cur), max_corners, 0.01, 8
             )
-            fresh = np.asarray(fresh, np.float32)
-            fvalid = np.asarray(fvalid)
-            # occupy dead slots first, then grow the table
+            fresh = np.asarray(fresh, np.float32)[np.asarray(fvalid)]
+            consumed = np.zeros(len(fresh), bool)
+            fresh_desc = None
+            if track_ncc_gate > 0 and len(fresh):
+                # appearance revival: a fresh corner that mutually matches
+                # a DEAD map track's birth anchor IS that landmark coming
+                # back from occlusion — rebind the map point instead of
+                # letting triangulation mint a duplicate later
+                dead_map = np.flatnonzero(~alive & (point_id >= 0))
+                dead_map = np.asarray(
+                    [r for r in dead_map if point_id[r] in mapper.points],
+                    np.int64,
+                )
+                fresh_desc = descs_at(cur, fresh)
+                if len(dead_map):
+                    idx, okm = match_descriptors(
+                        fresh_desc, anchor_desc[dead_map],
+                        min_score=revive_min_ncc,
+                    )
+                    for j in np.flatnonzero(okm):
+                        r = dead_map[idx[j]]
+                        cur_px[r] = fresh[j]
+                        alive[r] = True
+                        consumed[j] = True
+            # the rest of the fresh corners occupy dead slots as new tracks
+            left = np.flatnonzero(~consumed)
             dead = np.flatnonzero(~alive)
-            take = min(len(dead), int(fvalid.sum()))
-            src = np.flatnonzero(fvalid)[:take]
+            take = min(len(dead), len(left))
+            src = left[:take]
             cur_px[dead[:take]] = fresh[src]
             anchor_px[dead[:take]] = fresh[src]
             anchor_kf[dead[:take]] = kf_now
             point_id[dead[:take]] = -1
             alive[dead[:take]] = True
+            if track_ncc_gate > 0 and take:
+                if fresh_desc is None:
+                    fresh_desc = descs_at(cur, fresh)
+                anchor_desc[dead[:take]] = fresh_desc[src]
         last_kf_px = cur_px.copy()
         kf_seen = alive.copy()
 
