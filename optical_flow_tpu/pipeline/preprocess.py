@@ -227,8 +227,26 @@ def erode3x3(x, iterations: int = 1):
 
 def preprocess_frame(frame_bgr, config: PreprocessConfig = PreprocessConfig()):
     """resize -> blur -> gray: the per-frame head of the reference chain
-    (ParallelVideoPyr.cpp:782-793). Returns uint8 (or f32) grayscale."""
-    x = resize_cubic(frame_bgr, config.size)
+    (ParallelVideoPyr.cpp:782-793). Returns uint8 (or f32) grayscale.
+
+    In float mode resize (cubic), blur, and BT.601 gray are all LINEAR, so
+    they commute exactly — gray runs FIRST, cutting the resize+blur work
+    to one channel (measured on v5e: 0.93 -> ~0.34 ms of the 1080^2
+    preprocess device time; f32 roundoff-level difference, pinned in
+    tests). The faithful uint8 path keeps the reference's order: its
+    per-stage rounding/saturation is nonlinear and order-sensitive.
+    """
+    x = frame_bgr
+    if not config.faithful_uint8 and x.dtype == jnp.uint8:
+        # fast mode's contract is "do everything in float32"; without this
+        # cast a uint8 frame would re-saturate to uint8 after the resize
+        x = x.astype(jnp.float32)
+    gray_first = (
+        not config.faithful_uint8 and x.ndim >= 3 and x.shape[-1] == 3
+    )
+    if gray_first:
+        x = bgr_to_gray(x)
+    x = resize_cubic(x, config.size)
     x = gaussian_blur(
         x, config.blur_ksize, config.blur_sigma, faithful_uint8=config.faithful_uint8
     )

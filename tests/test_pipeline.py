@@ -261,6 +261,30 @@ def test_fast_preset_runs():
     assert all(np.isfinite(np.asarray(r.u)).all() for r in results)
 
 
+def test_fast_mode_gray_first_commutes():
+    """Fast-mode preprocess runs BT.601 gray BEFORE resize+blur (one
+    channel of MXU/VPU work instead of three); all three ops are linear,
+    so the output must match the reference order at f32 roundoff."""
+    from optical_flow_tpu.pipeline.preprocess import preprocess_frame
+
+    rng = np.random.RandomState(4)
+    frame = (rng.rand(72, 96, 3) * 255).astype(np.uint8)
+    cfg = PreprocessConfig(size=(64, 64), faithful_uint8=False)
+    got = np.asarray(preprocess_frame(jnp.asarray(frame), cfg))
+    assert got.ndim == 2 and got.dtype == np.float32
+    x = jnp.asarray(frame, jnp.float32)
+    x = resize_cubic(x, (64, 64))
+    x = gaussian_blur(x, cfg.blur_ksize, cfg.blur_sigma, faithful_uint8=False)
+    want = np.asarray(bgr_to_gray(x))
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    # and the faithful path keeps the reference order (uint8 per-stage
+    # rounding is order-sensitive): output stays uint8, pinned vs cv2
+    # stage-by-stage in test_fuzz_preprocess.py
+    cfgf = PreprocessConfig(size=(64, 64), faithful_uint8=True)
+    gotf = np.asarray(preprocess_frame(jnp.asarray(frame), cfgf))
+    assert gotf.dtype == np.uint8 and gotf.shape == (64, 64)
+
+
 def test_streaming_pyramid_reuse_matches_unreused():
     """The cached-pyramid streaming path (reuse active when
     faithful_prev_diff=False, no mesh) must be bit-identical to solving
