@@ -195,6 +195,8 @@ def sobel3(img, dx: int, dy: int, out_dtype=jnp.float32):
 
 
 def _morph3x3(x, mode: str, iterations: int):
+    if iterations <= 0:
+        return x
     if jnp.issubdtype(x.dtype, jnp.integer):
         info = jnp.iinfo(x.dtype)
         init = info.min if mode == "max" else info.max
@@ -202,16 +204,19 @@ def _morph3x3(x, mode: str, iterations: int):
         init = -jnp.inf if mode == "max" else jnp.inf
     op = lax.max if mode == "max" else lax.min
     nb = x.ndim - 2
-    for _ in range(iterations):
-        x = lax.reduce_window(
-            x,
-            jnp.asarray(init, x.dtype),
-            op,
-            window_dimensions=(1,) * nb + (3, 3),
-            window_strides=(1,) * x.ndim,
-            padding=[(0, 0)] * nb + [(1, 1), (1, 1)],
-        )
-    return x
+    # n iterated 3x3 dilations/erosions == ONE (2n+1)-square pass (max/min
+    # are associative and the identity padding never wins), at 1/n the HBM
+    # round-trips — these passes are memory-bound at 1080^2
+    k = 2 * iterations + 1
+    r = iterations
+    return lax.reduce_window(
+        x,
+        jnp.asarray(init, x.dtype),
+        op,
+        window_dimensions=(1,) * nb + (k, k),
+        window_strides=(1,) * x.ndim,
+        padding=[(0, 0)] * nb + [(r, r), (r, r)],
+    )
 
 
 def dilate3x3(x, iterations: int = 1):
@@ -225,27 +230,63 @@ def erode3x3(x, iterations: int = 1):
     return _morph3x3(x, "min", iterations)
 
 
+@lru_cache(maxsize=64)
+def _resize_blur_matrix(n_in: int, n_out: int, ksize: int, sigma: float) -> np.ndarray:
+    """(n_out, n_in) one-axis operator for blur(resize(x)): the 1-D
+    Gaussian (BORDER_REFLECT_101) composed onto the bicubic resampling
+    matrix. Row ops and column ops commute, so
+    B_r (M_r x M_c^T) B_c^T = (B_r M_r) x (B_c M_c)^T — the separable
+    9-tap blur disappears into the resize matmuls for free."""
+    M = _resize_matrix(n_in, n_out).astype(np.float64)
+    taps = np.asarray(_gauss_taps(ksize, sigma), np.float64)
+    r = ksize // 2
+    B = np.zeros((n_out, n_out), np.float64)
+    idx = np.arange(n_out)
+    for j, w in enumerate(taps):
+        src = np.abs(idx + j - r)  # REFLECT_101: -k -> k
+        src = np.where(src >= n_out, 2 * (n_out - 1) - src, src)
+        np.add.at(B, (idx, src), w)
+    return (B @ M).astype(np.float32)
+
+
+def _resize_blur_f32(x, size: Tuple[int, int], ksize: int, sigma: float):
+    """Fused resize_cubic + gaussian_blur for channel-free float input
+    (fast-mode gray planes, (..., H, W))."""
+    h_out, w_out = size
+    Mr = jnp.asarray(_resize_blur_matrix(x.shape[-2], h_out, ksize, sigma))
+    Mc = jnp.asarray(_resize_blur_matrix(x.shape[-1], w_out, ksize, sigma))
+    return jnp.einsum(
+        "oh,...hw,pw->...op", Mr, x.astype(jnp.float32), Mc,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
 def preprocess_frame(frame_bgr, config: PreprocessConfig = PreprocessConfig()):
     """resize -> blur -> gray: the per-frame head of the reference chain
     (ParallelVideoPyr.cpp:782-793). Returns uint8 (or f32) grayscale.
 
     In float mode resize (cubic), blur, and BT.601 gray are all LINEAR, so
-    they commute exactly — gray runs FIRST, cutting the resize+blur work
-    to one channel (measured on v5e: 0.93 -> ~0.34 ms of the 1080^2
-    preprocess device time; f32 roundoff-level difference, pinned in
-    tests). The faithful uint8 path keeps the reference's order: its
-    per-stage rounding/saturation is nonlinear and order-sensitive.
+    the whole head commutes and contracts: gray runs FIRST (one channel of
+    work instead of three) and the separable blur folds into the resize
+    matmuls (_resize_blur_matrix) — zero marginal cost. Measured on v5e:
+    0.96 -> 0.35 ms of the 720p->1080^2 preprocess device time;
+    f32-roundoff-level difference, pinned in tests. The faithful uint8
+    path keeps the reference's order: its per-stage rounding/saturation
+    is nonlinear and order-sensitive.
     """
     x = frame_bgr
-    if not config.faithful_uint8 and x.dtype == jnp.uint8:
-        # fast mode's contract is "do everything in float32"; without this
-        # cast a uint8 frame would re-saturate to uint8 after the resize
-        x = x.astype(jnp.float32)
-    gray_first = (
-        not config.faithful_uint8 and x.ndim >= 3 and x.shape[-1] == 3
-    )
-    if gray_first:
-        x = bgr_to_gray(x)
+    if not config.faithful_uint8:
+        if x.dtype == jnp.uint8:
+            # fast mode's contract is "do everything in float32"; without
+            # this cast a uint8 frame would re-saturate after the resize
+            x = x.astype(jnp.float32)
+        if x.ndim >= 3 and x.shape[-1] == 3:
+            x = bgr_to_gray(x)
+        if x.ndim >= 3 and x.shape[-1] == 1:
+            x = x[..., 0]
+        return _resize_blur_f32(
+            x, config.size, config.blur_ksize, config.blur_sigma
+        )
     x = resize_cubic(x, config.size)
     x = gaussian_blur(
         x, config.blur_ksize, config.blur_sigma, faithful_uint8=config.faithful_uint8
