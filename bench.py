@@ -88,11 +88,15 @@ def _bench_programs_cached(args) -> bool:
     ):
         return False
     cache = cache_dir()
-    # _bench_stream + _bench_step (headline + pairwise companion) and the
-    # goldens-parity program (the jitted lambda) all run in a default pass
+    # _bench_stream + _bench_step (headline + pairwise companion), the
+    # e2e video-chain companion, and the goldens-parity program (the
+    # jitted lambda) all run in a default pass. _e2e is exempt: its
+    # failure is caught and reported as a detail, never voiding the
+    # headline, so a cache miss there can't burn the watchdog fatally —
+    # but requiring it keeps the wedged-path run fully compile-free.
     return all(
         glob.glob(os.path.join(cache, f"jit_{name}-*"))
-        for name in ("_bench_stream", "_bench_step", "_lambda")
+        for name in ("_bench_stream", "_bench_step", "_e2e", "_lambda")
     )
 
 
@@ -346,6 +350,57 @@ def main():
         dt = device_total if device_total else wall
         return iters * frames_per_call / dt, iters * frames_per_call / wall
 
+    def measure_e2e(iters, frames_per_call=4, warmup=2):
+        """The FULL flagship chain as the reference times it
+        (ParallelVideoPyr.cpp:836 wraps preprocess + flow + postprocess):
+        720p BGR frames -> fast-preset preprocess (gray/resize/blur fused,
+        diff, threshold, Sobel, morphology) -> streaming pyramidal flow ->
+        gesture detection, one jit, device-span timed per flow frame."""
+        from optical_flow_tpu import coarse_to_fine_pyramids
+        from optical_flow_tpu.config import VideoConfig
+        from optical_flow_tpu.ops.pyramid import gaussian_pyramid
+        from optical_flow_tpu.pipeline.gesture import detect_gesture
+        from optical_flow_tpu.pipeline.preprocess import (
+            diff_features,
+            preprocess_frame,
+        )
+
+        signal.alarm(480)
+        vc = VideoConfig.fast()
+        lv = max_pyramid_levels(vc.preprocess.size)
+        nb = frames_per_call + 2  # nb grays -> nb-1 diffs -> nb-2 flow pairs
+
+        def mk(seed):
+            r = np.random.RandomState(seed)
+            return (jnp.asarray((r.rand(nb, 720, 1280, 3) * 255).astype(np.uint8)),)
+
+        def _e2e(frames):
+            gray = preprocess_frame(frames, vc.preprocess)
+            diffs = diff_features(gray[1:], gray[:-1], vc.preprocess)
+            pyr = tuple(
+                gaussian_pyramid(diffs, lv, impl=vc.flow.pyr_impl)
+            )
+            prev = tuple(p[:-1] for p in pyr)
+            cur = tuple(p[1:] for p in pyr)
+            u, v, _, _ = coarse_to_fine_pyramids(prev, cur, config=vc.flow)
+            g = detect_gesture(u, v, vc.gesture)
+            return u, g.votes
+
+        ps = [mk(s) for s in range(warmup + iters)]
+        jax.block_until_ready(ps)
+        fn = jax.jit(_e2e)
+        for p in ps[:warmup]:
+            sync(fn(*p))
+        trace_dir = "/tmp/optical_flow_bench_trace_e2e"
+        os.system(f"rm -rf {trace_dir}")
+        with jax.profiler.trace(trace_dir):
+            outs = [fn(*p) for p in ps[warmup:]]
+            sync(outs[-1])
+        dev = _device_seconds(trace_dir, "_e2e", iters)
+        if not dev:
+            return None
+        return iters * frames_per_call / dev
+
     if args.sweep:
         print("size  batch  impl    fps        Mpix/s", file=sys.stderr)
         for size in (200, 400, 800, 1080):
@@ -401,6 +456,30 @@ def main():
             args.warmup, levels, cfg,
         )
     mpix_s = fps * H * W / 1e6
+    # end-to-end companion: the whole flagship chain (preprocess + flow +
+    # gesture), the quantity the reference's own frame timer measures
+    # (ParallelVideoPyr.cpp:836). Guarded: a companion failure must not
+    # void the headline artifact.
+    e2e_fps = None
+    if not (args.parity or args.pairwise) and args.size == 1080:
+        # During the companion the alarm must RAISE (caught below), not
+        # emit-stale-and-exit: a wedged fresh compile here would otherwise
+        # discard the fresh headline measured seconds ago.
+        def _raise_alarm(signum, frame):
+            raise TimeoutError("e2e companion timed out (wedged compile?)")
+
+        old_handler = signal.signal(signal.SIGALRM, _raise_alarm)
+        try:
+            e2e_fps = measure_e2e(max(6, args.iters // 3))
+        except Exception as e:
+            print(
+                json.dumps({"detail": {"e2e_error": repr(e)}}),
+                file=sys.stderr,
+                flush=True,
+            )
+        finally:
+            signal.signal(signal.SIGALRM, old_handler)
+            signal.alarm(480)
     # accuracy companion metric: f32 mean EPE vs the reference goldens
     epe = None
     from optical_flow_tpu.utils import goldens
@@ -477,6 +556,9 @@ def main():
                         "pairwise" if (args.parity or args.pairwise) else "streaming"
                     ),
                     "pairwise_fps": round(pair_fps, 2),
+                    "e2e_video_fps_fast_preset": (
+                        None if e2e_fps is None else round(e2e_fps, 2)
+                    ),
                     "wall_clock_fps_incl_transport": round(wall_fps, 2),
                     "timing_source": "device_spans",
                     "levels": levels,
