@@ -50,8 +50,12 @@ class FlowConfig:
     # Measured on v5e (scripts/tpu_pyrdown_experiments.py + batch A/B):
     # 'mxu' wins ~10% at batch<=2 (192.7 vs 212.9 us, 4-level 1080^2
     # pair) but is a wash at the streaming video batch (485 us both at
-    # batch 5), so 'poly' stays the default everywhere; the knob exists
-    # for small-batch pairwise deployments.
+    # batch 5). 'pallas' = the fused band kernel (both passes in one
+    # VMEM visit, kernels/pyrdown_kernel.py): ~14% faster than poly
+    # standalone (157 vs 182 us/pair at 1080^2) yet ALSO a wash inside
+    # the fused streaming chain — XLA overlaps the poly pyramid with
+    # other work. So 'poly' stays the default everywhere; the knobs
+    # exist for pyramid-dominated workloads.
     pyr_impl: str = "poly"
     # 'reference': the reference's exact coarse-to-fine scheme (flow NOT
     #   doubled on pyrUp — its output is the goldens' quirky quantity, not

@@ -109,9 +109,25 @@ def pyr_down(x, impl: str = "poly"):
     MXU — the lane parity-split reshape disappears. K5 taps are exact in
     bf16 so HIGHEST-precision products are exact; only the accumulation
     order differs from the VPU form (f32 roundoff, pinned in
-    tests/test_ops.py). Candidate production path pending the
-    scripts/tpu_pyrdown_experiments.py measurement (ROADMAP).
+    tests/test_ops.py). Measured a wash vs poly at the streaming batch
+    shape (ROADMAP), kept as a knob.
+
+    impl='pallas': the fused band kernel (kernels/pyrdown_kernel.py) —
+    both passes in one VMEM visit, 'mxu' numerics, ~14% faster than poly
+    standalone at 1080^2 but a wash inside the fused streaming chain.
     """
+    if impl == "pallas":
+        # Fused band kernel: both passes in one VMEM visit (row pass
+        # bit-identical poly, column pass = the 'mxu' matmul semantics).
+        # Standalone it beats the XLA poly path ~14% at 1080^2 (157 vs
+        # 182 us/pair on v5e) but is a WASH inside the fused streaming
+        # chain (XLA overlaps the poly pyramid with other work), so it is
+        # an explicit opt-in, not a production default.
+        from optical_flow_tpu.kernels.pyrdown_kernel import pyr_down_pallas
+
+        if x.shape[-2] >= 4 and x.shape[-1] >= 2:
+            return pyr_down_pallas(x).astype(x.dtype)
+        impl = "poly"  # degenerate level: reflect halos don't exist
     W = x.shape[-1]
     Wc = -(-W // 2)
     r = _row_pass_poly(x)
@@ -125,7 +141,9 @@ def pyr_down(x, impl: str = "poly"):
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
     if impl != "poly":
-        raise ValueError(f"pyr_down impl must be 'poly' or 'mxu', got {impl!r}")
+        raise ValueError(
+            f"pyr_down impl must be 'poly', 'mxu', or 'pallas', got {impl!r}"
+        )
     Ec, Oc = _parity_planes(pc, pc.ndim - 1)
     return (
         _K5[0] * Ec[..., :, 0:Wc]

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from optical_flow_tpu.flow.lk import lucas_kanade
+from optical_flow_tpu.ops.pyramid import pyr_down
 from optical_flow_tpu.kernels.warp_lk_kernel import (
     pyrup_warp_lk_pallas,
     warp_lk_band,
@@ -46,6 +47,15 @@ for H, W in SHAPES:
         ok_lk = bool(jnp.isfinite(ul).all())
     except Exception as e:
         ok_lk = f"FAIL {str(e)[:80]}"
+    try:
+        pd = pyr_down(a, impl="pallas")
+        pd_ref = pyr_down(a, impl="mxu")
+        ok_pd = bool(
+            jnp.isfinite(pd).all()
+            and jnp.abs(pd - pd_ref).max() < 1e-3
+        )
+    except Exception as e:
+        ok_pd = f"FAIL {str(e)[:80]}"
     if band is None:
         print(f"{H}x{W}: band=None lk={ok_lk} (warp kernels skipped)")
         continue
@@ -90,8 +100,8 @@ for H, W in SHAPES:
             ok_t = bool(same and jnp.isfinite(du_t).all())
         except Exception as e:
             ok_t = f"FAIL {str(e)[:80]}"
-    line = (f"{H}x{W} band={band}: lk={ok_lk} warp_lk={ok_w} pyrup={ok_p} "
-            f"tile={ok_t}")
+    line = (f"{H}x{W} band={band}: lk={ok_lk} pyrdown={ok_pd} "
+            f"warp_lk={ok_w} pyrup={ok_p} tile={ok_t}")
     print(line, flush=True)
     if "FAIL" in line or "False" in line:
         rc = 1

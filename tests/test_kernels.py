@@ -63,3 +63,66 @@ def test_degenerate_level_returns_zeros():
     u, v = lucas_kanade_pallas(a, a)
     np.testing.assert_array_equal(np.asarray(u), 0)
     np.testing.assert_array_equal(np.asarray(v), 0)
+
+
+class TestPyrDownPallas:
+    """Fused pyr_down band kernel (kernels/pyrdown_kernel.py): poly row
+    pass + matmul column pass in one VMEM visit. On hardware it is the
+    'mxu' semantics (f32 roundoff vs the bit-pinned poly path); here the
+    interpret-mode run is checked against both XLA forms."""
+
+    @pytest.mark.parametrize(
+        "shape",
+        [(64, 96), (2, 256, 256), (1, 135, 271), (41, 130)],
+    )
+    def test_matches_xla_paths(self, shape):
+        from optical_flow_tpu.ops.pyramid import pyr_down
+
+        rng = np.random.RandomState(9)
+        x = jnp.asarray((rng.rand(*shape) * 255).astype(np.float32))
+        poly = np.asarray(pyr_down(x))
+        mxu = np.asarray(pyr_down(x, impl="mxu"))
+        try:
+            if on_tpu:
+                got = np.asarray(pyr_down(x, impl="pallas"))
+            else:
+                from jax.experimental.pallas import tpu as pltpu
+
+                from optical_flow_tpu.kernels.pyrdown_kernel import (
+                    pyr_down_pallas,
+                )
+
+                with pltpu.force_tpu_interpret_mode():
+                    got = np.asarray(pyr_down_pallas(x))
+        except NotImplementedError as e:
+            pytest.skip(f"pallas interpret unsupported here: {e}")
+        assert got.shape == poly.shape
+        np.testing.assert_allclose(got, mxu, atol=2e-4)
+        np.testing.assert_allclose(got, poly, atol=2e-3)
+
+    def test_degenerate_falls_back_to_poly(self):
+        from optical_flow_tpu.ops.pyramid import pyr_down
+
+        x = jnp.asarray(np.random.RandomState(3).rand(3, 7).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(pyr_down(x, impl="pallas")), np.asarray(pyr_down(x))
+        )
+
+    def test_gaussian_pyramid_plumbs_pallas(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from optical_flow_tpu.ops.pyramid import gaussian_pyramid
+
+        rng = np.random.RandomState(7)
+        x = jnp.asarray((rng.rand(64, 64) * 255).astype(np.float32))
+        pa = gaussian_pyramid(x, 3)
+        try:
+            if on_tpu:
+                pb = gaussian_pyramid(x, 3, impl="pallas")
+            else:
+                with pltpu.force_tpu_interpret_mode():
+                    pb = gaussian_pyramid(x, 3, impl="pallas")
+        except NotImplementedError as e:
+            pytest.skip(f"pallas interpret unsupported here: {e}")
+        for a, b in zip(pa, pb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
