@@ -260,16 +260,70 @@ def _resize_blur_matrix(n_in: int, n_out: int, ksize: int, sigma: float) -> np.n
     return (B @ M).astype(np.float32)
 
 
-def _resize_blur_f32(x, size: Tuple[int, int], ksize: int, sigma: float):
+@lru_cache(maxsize=64)
+def _banded_factors(n_in: int, n_out: int, ksize: int, sigma: float, tile: int):
+    """Block-banded split of the (n_out, n_in) fused resize+blur operator.
+
+    The operator is ~13-banded (bicubic tap spread of 4 composed with the
+    (ksize)-tap blur), so the dense matmul wastes ~60x the FLOPs; tiling
+    the OUTPUT axis by `tile` and slicing the input slab each tile
+    actually reads keeps MXU-friendly shapes while cutting compiled FLOPs
+    ~5-6x — measured on v5e at the flagship 720p->1080^2 shape: 145.1 ->
+    44.9 us/frame for the two-axis apply, max |err| vs the f64 oracle
+    3.5e-5 for BOTH forms (scripts/tpu_resize_experiments.py; the bf16
+    dense variant is 34 us but 0.87 absolute error — rejected).
+
+    Returns ((nt, tile, width) per-tile weights, per-tile input starts)."""
+    M = _resize_blur_matrix(n_in, n_out, ksize, sigma)
+    nt = -(-n_out // tile)
+    starts, width = [], 0
+    for t in range(nt):
+        rows = M[t * tile : (t + 1) * tile]
+        nz = np.nonzero(np.abs(rows).sum(0) > 0)[0]
+        starts.append(int(nz.min()))
+        width = max(width, int(nz.max() - nz.min() + 1))
+    width = min(-(-width // 64) * 64, n_in)
+    starts = [min(s, n_in - width) for s in starts]
+    W = np.zeros((nt, tile, width), np.float32)
+    for t in range(nt):
+        rows = M[t * tile : (t + 1) * tile]
+        W[t, : rows.shape[0]] = rows[:, starts[t] : starts[t] + width]
+    return W, tuple(starts)
+
+
+def _resize_blur_f32(x, size: Tuple[int, int], ksize: int, sigma: float,
+                     tile: int = 128):
     """Fused resize_cubic + gaussian_blur for channel-free float input
-    (fast-mode gray planes, (..., H, W))."""
+    (fast-mode gray planes, (..., H, W)) — block-banded on both axes
+    (_banded_factors). The faithful uint8 path keeps the dense
+    resize_cubic: its per-stage rounding is pinned bit-level and must not
+    see a different f32 accumulation order."""
     h_out, w_out = size
-    Mr = jnp.asarray(_resize_blur_matrix(x.shape[-2], h_out, ksize, sigma))
-    Mc = jnp.asarray(_resize_blur_matrix(x.shape[-1], w_out, ksize, sigma))
-    return jnp.einsum(
-        "oh,...hw,pw->...op", Mr, x.astype(jnp.float32), Mc,
-        precision=lax.Precision.HIGHEST,
-    )
+    x = x.astype(jnp.float32)
+    Wr, sr = _banded_factors(x.shape[-2], h_out, ksize, sigma, tile)
+    Wrj = jnp.asarray(Wr)
+    rows = jnp.concatenate(
+        [
+            jnp.einsum(
+                "ij,...jw->...iw", Wrj[t], x[..., s : s + Wr.shape[2], :],
+                precision=lax.Precision.HIGHEST,
+            )
+            for t, s in enumerate(sr)
+        ],
+        axis=-2,
+    )[..., :h_out, :]
+    Wc, sc = _banded_factors(x.shape[-1], w_out, ksize, sigma, tile)
+    Wcj = jnp.asarray(Wc)
+    return jnp.concatenate(
+        [
+            jnp.einsum(
+                "ij,...hj->...hi", Wcj[t], rows[..., s : s + Wc.shape[2]],
+                precision=lax.Precision.HIGHEST,
+            )
+            for t, s in enumerate(sc)
+        ],
+        axis=-1,
+    )[..., :w_out]
 
 
 def preprocess_frame(frame_bgr, config: PreprocessConfig = PreprocessConfig()):
