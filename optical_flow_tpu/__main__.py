@@ -162,10 +162,25 @@ def _cmd_slam(args):
 
     import itertools
 
-    gray_iter = (
-        np.asarray(bgr_to_gray(jnp.asarray(f)))
-        for f in read_frames(args.input, max_frames=args.frames, stride=args.stride)
-    )
+    sbs_baseline = getattr(args, "stereo_sbs", None)
+    if sbs_baseline is not None:
+        # side-by-side stereo video: each frame is (left|right); the map
+        # comes out METRIC in the units the baseline is given in
+        from optical_flow_tpu.slam.stereo import split_sbs
+
+        gray_iter = (
+            split_sbs(np.asarray(bgr_to_gray(jnp.asarray(f))))
+            for f in read_frames(
+                args.input, max_frames=args.frames, stride=args.stride
+            )
+        )
+    else:
+        gray_iter = (
+            np.asarray(bgr_to_gray(jnp.asarray(f)))
+            for f in read_frames(
+                args.input, max_frames=args.frames, stride=args.stride
+            )
+        )
     # peek one frame for the focal default, then STREAM the rest into the
     # pipeline (incremental_slam retains only keyframe frames — memory is
     # O(keyframes), so long videos don't need to fit in host RAM)
@@ -173,13 +188,14 @@ def _cmd_slam(args):
         first = next(gray_iter)
     except StopIteration:
         sys.exit("need at least 2 decodable frames")
-    h, w = first.shape
+    h, w = (first[0] if sbs_baseline is not None else first).shape
     focal = args.focal if args.focal else 0.8 * w  # plausible default FOV
     try:
         res = incremental_slam(
             itertools.chain([first], gray_iter), focal,
             window=args.window, max_corners=args.corners,
             kf_min_disparity=args.kf_disparity,
+            stereo_baseline=sbs_baseline,
         )
     except ValueError as e:
         sys.exit(str(e))
@@ -265,6 +281,12 @@ def main(argv=None):
                    "disparity (px) a frame must add since the last "
                    "keyframe (0 = keyframe every frame)")
     p.add_argument("--out", default=None, help="write poses+map to OUT.npz")
+    p.add_argument(
+        "--stereo-sbs", type=float, default=None, metavar="BASELINE",
+        help="treat the video as side-by-side rectified stereo (left|"
+        "right) with this rig baseline; trajectory and map come out "
+        "METRIC in the baseline's units (slam/stereo.py)",
+    )
     p.set_defaults(fn=_cmd_slam)
 
     p = sub.add_parser(

@@ -46,9 +46,17 @@ from optical_flow_tpu.slam.pose_graph import (
     umeyama_alignment,
     verify_loop_closure,
 )
+from optical_flow_tpu.slam.stereo import (
+    split_sbs,
+    stereo_backproject,
+    stereo_match,
+)
 from optical_flow_tpu.slam.window import WindowedBA
 
 __all__ = [
+    "split_sbs",
+    "stereo_backproject",
+    "stereo_match",
     "WindowedBA",
     "BAProblem",
     "bundle_adjust",

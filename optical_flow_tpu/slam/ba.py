@@ -44,6 +44,13 @@ class BAProblem(NamedTuple):
     obs: jnp.ndarray  # (M, 2) pixel observations
     focal: float = 1.0
     weight: jnp.ndarray | None = None  # (M,) optional per-obs weights
+    # (M,) optional rectified-rig eye offsets: observation m was made by a
+    # camera displaced baseline[m] along the host camera's +x axis (0 for
+    # the host/left eye). residual = pi(R X + t - [b, 0, 0]) - uv, which
+    # makes a stereo right-eye measurement a first-class BA constraint —
+    # depth is observable from a SINGLE keyframe, so thin temporal
+    # baselines no longer leave the problem scale-indeterminate.
+    baseline: jnp.ndarray | None = None
 
 
 def build_track_table(pt_idx, P: int, K: int | None = None, valid=None):
@@ -98,24 +105,31 @@ def _rodrigues(r):
     return jnp.where(th2 > 1e-12, R_big, R_small)
 
 
-def project(cam, X, focal):
-    """Pinhole projection of one point by one camera."""
+def project(cam, X, focal, baseline=0.0):
+    """Pinhole projection of one point by one camera; `baseline` shifts
+    the eye along the camera's +x axis (a rectified rig's right eye)."""
     R = _rodrigues(cam[:3])
     xc = R @ X + cam[3:]
     z = jnp.where(jnp.abs(xc[2]) > 1e-9, xc[2], 1e-9)
-    return focal * xc[:2] / z
+    return focal * jnp.stack([xc[0] - baseline, xc[1]]) / z
 
 
-def _residual_jac(cam, X, uv, focal):
+def _residual_jac(cam, X, uv, focal, baseline):
     """(r (2,), J_cam (2,6), J_pt (2,3)) in closed form via jacfwd (traced
     once; everything fuses into the batch)."""
     def res(cX):
         c, x = cX
-        return project(c, x, focal) - uv
+        return project(c, x, focal, baseline) - uv
 
     r = res((cam, X))
     Jc, Jp = jax.jacfwd(res)((cam, X))
     return r, Jc, Jp
+
+
+def _baselines(problem: BAProblem):
+    if problem.baseline is not None:
+        return problem.baseline
+    return jnp.zeros(problem.obs.shape[:1], problem.obs.dtype)
 
 
 def _assemble(problem: BAProblem, C: int, P: int, table):
@@ -126,8 +140,9 @@ def _assemble(problem: BAProblem, C: int, P: int, table):
     carry zero W blocks and camera index 0, so they contribute exact
     zeros everywhere downstream."""
     f = jnp.asarray(problem.focal, problem.points.dtype)
-    r, Jc, Jp = jax.vmap(_residual_jac, in_axes=(0, 0, 0, None))(
-        problem.cams[problem.cam_idx], problem.points[problem.pt_idx], problem.obs, f
+    r, Jc, Jp = jax.vmap(_residual_jac, in_axes=(0, 0, 0, None, 0))(
+        problem.cams[problem.cam_idx], problem.points[problem.pt_idx],
+        problem.obs, f, _baselines(problem),
     )
     if problem.weight is not None:
         w = problem.weight[:, None]
@@ -241,8 +256,9 @@ def _huber_sqrt_weights(problem: BAProblem, delta):
     the residual and the Jacobians by the weight, so the effective
     least-squares weight is its square."""
     f = jnp.asarray(problem.focal, problem.points.dtype)
-    pred = jax.vmap(project, in_axes=(0, 0, None))(
-        problem.cams[problem.cam_idx], problem.points[problem.pt_idx], f
+    pred = jax.vmap(project, in_axes=(0, 0, None, 0))(
+        problem.cams[problem.cam_idx], problem.points[problem.pt_idx], f,
+        _baselines(problem),
     )
     rn = jnp.sqrt(jnp.sum((pred - problem.obs) ** 2, axis=-1))
     return jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(rn, 1e-12)))
@@ -320,8 +336,9 @@ def reprojection_rmse(problem: BAProblem) -> jnp.ndarray:
     """RMS pixel reprojection error; zero-weight (padding) observations
     are excluded from the mean."""
     f = jnp.asarray(problem.focal, problem.points.dtype)
-    pred = jax.vmap(project, in_axes=(0, 0, None))(
-        problem.cams[problem.cam_idx], problem.points[problem.pt_idx], f
+    pred = jax.vmap(project, in_axes=(0, 0, None, 0))(
+        problem.cams[problem.cam_idx], problem.points[problem.pt_idx], f,
+        _baselines(problem),
     )
     sq = jnp.sum((pred - problem.obs) ** 2, axis=-1)
     if problem.weight is None:
@@ -382,8 +399,10 @@ def sharded_bundle_adjust(
         jnp.asarray(robust_delta, problem.points.dtype) if robust else None
     )
 
-    def local_ba(cams, points, cam_idx, pt_idx, obs, weight, table):
-        prob = BAProblem(cams, points, cam_idx, pt_idx, obs, problem.focal, weight)
+    def local_ba(cams, points, cam_idx, pt_idx, obs, weight, bline, table):
+        prob = BAProblem(
+            cams, points, cam_idx, pt_idx, obs, problem.focal, weight, bline
+        )
 
         def body(carry, _):
             pr, l = carry
@@ -404,7 +423,10 @@ def sharded_bundle_adjust(
     fn = jax.shard_map(
         local_ba,
         mesh=mesh,
-        in_specs=(spec_rep, spec_pt, spec_pt, spec_pt, spec_pt, spec_pt, spec_pt),
+        in_specs=(
+            spec_rep, spec_pt, spec_pt, spec_pt, spec_pt, spec_pt, spec_pt,
+            spec_pt,
+        ),
         out_specs=(spec_rep, spec_pt, spec_rep),
     )
     weight = (
@@ -419,6 +441,7 @@ def sharded_bundle_adjust(
         problem.pt_idx,
         problem.obs,
         weight,
+        _baselines(problem),
         jnp.asarray(tables),
     )
     return problem._replace(cams=cams, points=points), hist

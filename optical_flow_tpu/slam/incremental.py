@@ -133,6 +133,14 @@ def incremental_slam(
     # after a verified loop closure, re-anchor the map to the corrected
     # poses and run one global BA so map and trajectory agree again
     final_global_ba: bool = True,
+    # rectified stereo rig: when set, `frames` yields (left, right) pairs
+    # (or (2, H, W) stacks) and the map is METRIC in baseline units —
+    # bootstrap comes from frame 0's stereo pair (no parallax wait, no
+    # |t|=1 gauge) and new landmarks get stereo depth at their first
+    # keyframe (slam/stereo.py), so monocular scale drift never starts.
+    # Tracking, PnP, loop closure all run on the LEFT stream.
+    stereo_baseline: Optional[float] = None,
+    stereo_max_dy: float = 1.5,
     ransac: EssentialRansacConfig = EssentialRansacConfig(),
 ) -> Optional[SlamResult]:
     """Run the incremental pipeline over grayscale frames — a list OR any
@@ -149,14 +157,29 @@ def incremental_slam(
 
     def _next():
         try:
-            return np.asarray(next(it))
+            f = next(it)
         except StopIteration:
             return None
+        if stereo_baseline is not None:
+            if isinstance(f, (tuple, list)):
+                l, r = f
+            else:
+                f = np.asarray(f)
+                if f.shape[0] != 2:
+                    raise ValueError(
+                        "stereo frames must be (left, right) pairs or "
+                        f"(2, H, W) stacks, got shape {f.shape}"
+                    )
+                l, r = f[0], f[1]
+            return np.asarray(l), np.asarray(r)
+        return np.asarray(f), None
 
-    frame0 = _next()
-    second = _next()
-    if frame0 is None or second is None:
+    first = _next()
+    second_pair = _next()
+    if first is None or second_pair is None:
         raise ValueError("incremental_slam needs >= 2 frames")
+    frame0, right0 = first
+    second, second_right = second_pair
     h, w = frame0.shape[-2:]
     cx = w / 2.0 if cx is None else cx
     cy = h / 2.0 if cy is None else cy
@@ -204,7 +227,6 @@ def incremental_slam(
     next_pid = 0
 
     mapper = WindowedBA(window=window, focal=focal, ba_iters=ba_iters)
-    mapper.add_keyframe(np.zeros(6), [])  # keyframe 0 at the origin
     kf_R = [np.eye(3, dtype=np.float32)]
     kf_t = [np.zeros(3, np.float32)]
     kf_obs: List[list] = [[]]  # per keyframe: [(pid, ABSOLUTE pixel)] — the
@@ -213,12 +235,76 @@ def incremental_slam(
     rmse = None
     last_kf_px = cur_px.copy()  # track positions at the last keyframe...
     kf_seen = alive.copy()  # ...and which rows were alive there
+    keyframes: List[int] = []
+    rig_obs: List[tuple] = []  # (pid, keyframe index, centered right-eye
+    # pixel) — every stereo measurement ever made, re-asserted in the
+    # loop-closure global BA so the refined map stays metric
+
+    def _stereo_new_points(left, right, rows, R, t):
+        """Stereo-measured landmarks for track rows (alive, unmapped):
+        match into the rectified right image, back-project at metric
+        depth, lift into the world via the keyframe pose. Returns
+        {row: (X_world, uv_right)} for the rows whose match passed the
+        epipolar and disparity gates — uv_right is the measured right-eye
+        pixel, which enters the BA as a baseline-offset observation
+        (BAProblem.baseline), anchoring metric depth per keyframe."""
+        from optical_flow_tpu.slam.stereo import stereo_backproject, stereo_match
+
+        if not len(rows):
+            return {}
+        px, n_s = _pad64(cur_px[rows])[0], len(rows)
+        disp, okd, matched = stereo_match(left, right, px, max_dy=stereo_max_dy)
+        disp, okd, matched = disp[:n_s], okd[:n_s], matched[:n_s]
+        Xc = stereo_backproject(
+            cur_px[rows], disp, focal, cx, cy, stereo_baseline
+        )
+        # X_cam = R X_w + t  =>  X_w = R^T (X_cam - t)
+        Xw = (Xc - np.asarray(t, np.float32)) @ np.asarray(R, np.float32)
+        return {
+            int(r): (Xw[i], matched[i]) for i, r in enumerate(rows) if okd[i]
+        }
+
+    def _try_stereo_bootstrap(left, right, src_idx):
+        """Metric map from one stereo pair: keyframe 0 = this frame's
+        left camera. False when the pair yields too few gated matches
+        (featureless/degenerate start — the caller re-seeds on the next
+        frame and retries)."""
+        nonlocal bootstrapped, rmse, next_pid
+        rows = np.flatnonzero(alive)
+        found = _stereo_new_points(left, right, rows, np.eye(3), np.zeros(3))
+        if len(found) < 16:
+            return False
+        new_points, obs = {}, []
+        for row, (Xw, uv_r) in found.items():
+            pid = next_pid
+            next_pid += 1
+            point_id[row] = pid
+            new_points[pid] = Xw.astype(np.float64)
+            obs.append((pid, cur_px[row] - [cx, cy]))
+            obs.append((pid, uv_r - [cx, cy], stereo_baseline))
+            rig_obs.append((pid, 0, uv_r - [cx, cy]))
+        mapper.add_keyframe(np.zeros(6), obs, new_points)
+        kf_obs[0] = [(int(point_id[r]), cur_px[r].copy()) for r in found]
+        # NO optimize() here: a one-camera BA is gauge-degenerate (the
+        # Schur camera system is singular with the only camera pinned)
+        # and would NaN the freshly measured stereo map
+        bootstrapped = True
+        keyframes.append(src_idx)
+        kept[src_idx] = left
+        return True
 
     def pose6(R, t):
         return np.concatenate([_R_to_aa(R), np.asarray(t, np.float64)])
 
     desc_cache = {}
-    kept = {0: frame0}  # keyframe frames only (relocalization/loop store)
+    kept = {}  # keyframe frames only (relocalization/loop store)
+    if stereo_baseline is None:
+        mapper.add_keyframe(np.zeros(6), [])  # keyframe 0 at the origin
+        kept[0] = frame0
+    else:
+        # metric bootstrap from the first stereo pair; on failure the
+        # loop below re-seeds on a later frame and retries
+        _try_stereo_bootstrap(frame0, right0, 0)
 
     def frame_descriptor(idx):
         # place_descriptor is ~2 FFTs + a log-polar resample per call and
@@ -229,16 +315,16 @@ def incremental_slam(
         return desc_cache[idx]
 
     def _stream():
-        # (k, prev, cur, is_last) with one-frame lookahead so the last
-        # frame is known without knowing the video length
-        k, prev, cur = 0, frame0, second
+        # (k, prev, cur, cur_right, is_last) with one-frame lookahead so
+        # the last frame is known without knowing the video length
+        k, prev, cur = 0, (frame0, right0), (second, second_right)
         while cur is not None:
             k += 1
             nxt = _next()
-            yield k, prev, cur, nxt is None
+            yield (k, prev[0]) + cur + (nxt is None,)
             prev, cur = cur, nxt
 
-    for k, prev, cur, is_last in _stream():
+    for k, prev, cur, cur_right, is_last in _stream():
         # -- track everything one frame forward
         new_px, status, _ = track_features(prev, cur, cur_px)
         new_px = np.asarray(new_px, np.float32)
@@ -253,6 +339,24 @@ def incremental_slam(
             s = ncc_scores(anchor_desc, now_desc)
             no_anchor = np.abs(anchor_desc).sum(axis=1) < 1e-6
             alive &= no_anchor | (s >= track_ncc_gate)
+
+        if not bootstrapped and stereo_baseline is not None:
+            # the first pair was too thin (featureless/degenerate start):
+            # rebuild the track table on THIS frame and bootstrap from its
+            # stereo pair — the world frame is wherever bootstrap succeeds
+            pts_r, valid_r = good_features_to_track(
+                jnp.asarray(cur), max_corners, 0.01, 8
+            )
+            cur_px = np.asarray(pts_r, np.float32)
+            alive = np.asarray(valid_r).copy()
+            anchor_kf = np.zeros(len(cur_px), np.int32)
+            anchor_px = cur_px.copy()
+            anchor_desc = descs_at(cur, cur_px)
+            point_id = np.full(len(cur_px), -1, np.int64)
+            _try_stereo_bootstrap(cur, cur_right, k)
+            last_kf_px = cur_px.copy()
+            kf_seen = alive.copy()
+            continue
 
         if not bootstrapped:
             # -- bootstrap: essential matrix on anchor(=frame 0) vs current
@@ -440,10 +544,29 @@ def incremental_slam(
             if ok
         ]
 
-        # -- triangulate matured anchor tracks into new map points
+        # -- new map points
         kf_now = len(kf_R) - 1
-        mature = alive & (point_id < 0) & (anchor_kf <= kf_now - 1 - triangulate_after)
         new_points = {}
+        if stereo_baseline is not None:
+            # stereo depth is available the moment a track is seen from a
+            # keyframe — no parallax maturity wait, and the landmark is
+            # metric from birth. Rows whose stereo match fails (occluded
+            # in the right view, off-scanline) stay unmapped and fall
+            # through to the temporal triangulation below.
+            rows_s = np.flatnonzero(alive & (point_id < 0))
+            for row, (Xw, uv_r) in _stereo_new_points(
+                cur, cur_right, rows_s, R, t
+            ).items():
+                pid = next_pid
+                next_pid += 1
+                point_id[row] = pid
+                new_points[pid] = Xw.astype(np.float64)
+                obs.append((pid, cur_px[row] - [cx, cy]))
+                obs.append((pid, uv_r - [cx, cy], stereo_baseline))
+                rig_obs.append((pid, kf_now, uv_r - [cx, cy]))
+        # -- triangulate matured anchor tracks (monocular path; stereo
+        # fallback for match failures)
+        mature = alive & (point_id < 0) & (anchor_kf <= kf_now - 1 - triangulate_after)
         if mature.sum() >= 4:
             rows_m = np.flatnonzero(mature)
             aks = anchor_kf[rows_m]
@@ -479,7 +602,11 @@ def incremental_slam(
         for pid in new_points:
             row = int(np.flatnonzero(point_id == pid)[0])
             mapper.add_observation(pid, int(anchor_kf[row]), anchor_px[row] - [cx, cy])
-        kf_obs.append([(int(p), np.asarray(uv) + [cx, cy]) for p, uv in obs])
+        # the relocalization index keeps LEFT-eye pixels only (entries
+        # with a third element are right-eye rig observations)
+        kf_obs.append(
+            [(int(e[0]), np.asarray(e[1]) + [cx, cy]) for e in obs if len(e) == 2]
+        )
         rmse = mapper.optimize()
         # pull the BA-refined poses back into the odometry chain
         for i, p6 in enumerate(mapper.poses):
@@ -616,13 +743,23 @@ def incremental_slam(
 
             pids = sorted(pts)
             pidx = {p: i for i, p in enumerate(pids)}
-            ci, pi, uv = [], [], []
+            ci, pi, uv, bl = [], [], [], []
             for kf_i, obs_list in enumerate(kf_obs):
                 for p, px in obs_list:
                     if p in pidx:
                         ci.append(kf_i)
                         pi.append(pidx[p])
                         uv.append(np.asarray(px, np.float64) - [cx, cy])
+                        bl.append(0.0)
+            # every stereo right-eye measurement re-enters the global BA:
+            # without them the mono reprojection problem is scale-gauge
+            # free and the refinement could drift off metric
+            for p, kf_i, uv_r in rig_obs:
+                if p in pidx:
+                    ci.append(kf_i)
+                    pi.append(pidx[p])
+                    uv.append(np.asarray(uv_r, np.float64))
+                    bl.append(float(stereo_baseline))
             cams = np.stack(
                 [np.concatenate([_R_to_aa(R), t]) for R, t in zip(Rn, tn)]
             ).astype(np.float64)
@@ -635,6 +772,7 @@ def incremental_slam(
                 jnp.asarray(np.stack(uv)),
                 focal,
                 jnp.asarray(np.ones(len(ci))),
+                jnp.asarray(np.asarray(bl)),
             )
             # Huber loss: the global problem spans every association ever
             # made — one wrong track must not drag the whole loop-corrected

@@ -1,0 +1,96 @@
+"""Stereo depth for the SLAM frontend: rectified-pair disparity via the
+same sparse-LK engine that tracks features over time.
+
+The reference has no stereo (it is a monocular OpenCV LK project,
+SURVEY.md §2), but its sparse-LK demo (of.cpp:21-101) is exactly the
+machinery a rectified stereo matcher needs: on a rectified rig the
+right-image correspondence of a left corner lies on the SAME scanline,
+so `track_features(left, right, pts)` with an epipolar gate (|dy| small)
+IS the stereo matcher — one jitted batched kernel, no new compute path.
+
+Given the rig baseline, disparity fixes metric depth (Z = f·b/d), which
+closes the one structural gap of the monocular pipeline: scale. A stereo
+bootstrap makes the map metric from frame 0 (no parallax accumulation,
+no |t|=1 gauge), and per-keyframe stereo depth keeps every new landmark
+metric, so monocular scale drift never accumulates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from optical_flow_tpu.track.sparse_lk import SparseLKConfig, track_features
+
+
+def stereo_match(
+    left,
+    right,
+    pts,
+    *,
+    max_dy: float = 1.5,
+    min_disparity: float = 0.25,
+    max_disparity: Optional[float] = None,
+    config: Optional[SparseLKConfig] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Match left-image points into a rectified right image.
+
+    pts: (K, 2) float32 (x, y) in the LEFT image.
+    Returns (disparity (K,) float32, ok (K,) bool, matched (K, 2) — the
+    measured right-image pixels, the BA's right-eye observations).
+    disparity = x_l − x_r (positive for a standard rig: the right camera
+    sees points shifted left). The epipolar gate rejects matches that
+    drift off the scanline (|Δy| > max_dy — on a rectified rig those are
+    LK failures, whatever their status flag says), as are non-positive
+    or out-of-range disparities.
+    """
+    pts = np.asarray(pts, np.float32)
+    if config is None:
+        # disparity is systematically LARGER than temporal flow (a whole
+        # baseline of parallax in one hop): one extra pyramid level over
+        # the cv2-default 3 raises the capture range past typical rig
+        # disparities (measured on the synthetic rig: a uniform 20 px
+        # disparity is found by 62/200 corners at max_level=2 but
+        # 196/200 at max_level=3, tests/test_stereo_slam.py)
+        config = SparseLKConfig(max_level=3)
+    matched, status, _ = track_features(left, right, pts, config)
+    matched = np.asarray(matched, np.float32)
+    disp = pts[:, 0] - matched[:, 0]
+    dy = np.abs(pts[:, 1] - matched[:, 1])
+    ok = np.asarray(status, bool) & (dy <= max_dy) & (disp >= min_disparity)
+    if max_disparity is not None:
+        ok &= disp <= max_disparity
+    return disp.astype(np.float32), ok, matched
+
+
+def stereo_backproject(
+    pts, disp, focal: float, cx: float, cy: float, baseline: float
+) -> np.ndarray:
+    """Metric 3-D points in the LEFT camera frame from pixel + disparity.
+
+    Z = focal·baseline / disparity; X, Y from the pinhole model. pts may
+    include rows with invalid disparity — guard with the `ok` mask from
+    stereo_match before trusting the output.
+    """
+    pts = np.asarray(pts, np.float32)
+    disp = np.maximum(np.asarray(disp, np.float32), 1e-6)
+    z = np.float32(focal * baseline) / disp
+    x = (pts[:, 0] - np.float32(cx)) * z / np.float32(focal)
+    y = (pts[:, 1] - np.float32(cy)) * z / np.float32(focal)
+    return np.stack([x, y, z], axis=1)
+
+
+def split_sbs(frame) -> Tuple[np.ndarray, np.ndarray]:
+    """Split a side-by-side stereo frame (left|right) into the pair.
+
+    The standard packing for stereo video files; `python -m
+    optical_flow_tpu slam --stereo-sbs <baseline>` feeds video through
+    this. Odd widths drop the centre column (a rectified SBS frame is
+    even-width by construction).
+    """
+    f = np.asarray(frame)
+    w = f.shape[-1] // 2
+    return f[..., :w], f[..., f.shape[-1] - w :]

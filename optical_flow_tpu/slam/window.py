@@ -66,13 +66,17 @@ class WindowedBA:
     def add_keyframe(
         self,
         pose_init,
-        observations: Sequence[Tuple[int, Sequence[float]]],
+        observations: Sequence[Tuple],
         new_points: Optional[Dict[int, Sequence[float]]] = None,
     ) -> int:
         """Append a keyframe.
 
         pose_init: (6,) initial pose guess.
-        observations: [(point_id, (u, v)), ...] for this keyframe.
+        observations: [(point_id, (u, v)), ...] for this keyframe; an
+        entry may carry a third element — a rectified-rig eye offset
+        (BAProblem.baseline): (point_id, (u, v), baseline). A stereo
+        right-eye measurement enters the solve that way, making depth
+        observable from a single keyframe.
         new_points: {point_id: (x, y, z)} initial positions for ids not
         seen before (must cover any observation of an unknown id).
         Returns the keyframe index.
@@ -85,17 +89,19 @@ class WindowedBA:
                     raise ValueError(f"point {pid} was retired; ids are single-use")
                 self.points[pid] = np.asarray(X, self.dtype).copy()
                 self._tracks.setdefault(pid, [])
-        for pid, uv in observations:
+        for entry in observations:
+            pid, uv = entry[0], entry[1]
+            b = float(entry[2]) if len(entry) > 2 else 0.0
             if pid in self.retired:
                 continue  # stale track: the map already froze this point
             if pid not in self.points:
                 raise ValueError(f"observation of unknown point {pid}")
-            self._tracks[pid].append((k, np.asarray(uv, self.dtype)))
+            self._tracks[pid].append((k, np.asarray(uv, self.dtype), b))
             self._last_seen[pid] = k
         self._retire(k)
         return k
 
-    def add_observation(self, pid: int, cam_index: int, uv) -> None:
+    def add_observation(self, pid: int, cam_index: int, uv, baseline: float = 0.0) -> None:
         """Attach an observation of live point `pid` from an EARLIER
         keyframe (e.g. the anchor view a track was triangulated against).
         Does not refresh the retirement clock — the track still retires
@@ -104,7 +110,9 @@ class WindowedBA:
             return
         if pid not in self.points:
             raise ValueError(f"observation of unknown point {pid}")
-        self._tracks[pid].append((int(cam_index), np.asarray(uv, self.dtype)))
+        self._tracks[pid].append(
+            (int(cam_index), np.asarray(uv, self.dtype), float(baseline))
+        )
 
     def _retire(self, newest: int) -> None:
         """Freeze points whose tracks ended before the active window."""
@@ -123,15 +131,16 @@ class WindowedBA:
         pids = sorted(self.points)
         if not pids:
             return None
-        cam_set = sorted({k for pid in pids for (k, _) in self._tracks[pid]})
+        cam_set = sorted({t[0] for pid in pids for t in self._tracks[pid]})
         cam_map = {c: i for i, c in enumerate(cam_set)}
         pt_map = {p: i for i, p in enumerate(pids)}
-        cam_idx, pt_idx, uvs = [], [], []
+        cam_idx, pt_idx, uvs, blines = [], [], [], []
         for pid in pids:
-            for k, uv in self._tracks[pid]:
+            for k, uv, b in self._tracks[pid]:
                 cam_idx.append(cam_map[k])
                 pt_idx.append(pt_map[pid])
                 uvs.append(uv)
+                blines.append(b)
         # out-of-window cameras participate (their observations anchor the
         # points) but stay fixed; the oldest in-window camera is also the
         # gauge anchor when nothing older exists (bundle_adjust pins
@@ -159,6 +168,8 @@ class WindowedBA:
         uv_arr[:M] = np.stack(uvs)
         w = np.zeros(M_b, self.dtype)
         w[:M] = 1.0
+        b_arr = np.zeros(M_b, self.dtype)
+        b_arr[:M] = blines
         fixed_b = np.ones(C_b, bool)
         fixed_b[:C] = fixed
         prob = BAProblem(
@@ -169,6 +180,7 @@ class WindowedBA:
             jnp.asarray(uv_arr),
             self.focal,
             jnp.asarray(w),
+            jnp.asarray(b_arr),
         )
         return prob, cam_set, pids, jnp.asarray(fixed_b)
 
