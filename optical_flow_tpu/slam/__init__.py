@@ -46,6 +46,10 @@ from optical_flow_tpu.slam.pose_graph import (
     umeyama_alignment,
     verify_loop_closure,
 )
+from optical_flow_tpu.slam.imu import (
+    preintegrate,
+    visual_inertial_alignment,
+)
 from optical_flow_tpu.slam.stereo import (
     split_sbs,
     stereo_backproject,
@@ -54,6 +58,8 @@ from optical_flow_tpu.slam.stereo import (
 from optical_flow_tpu.slam.window import WindowedBA
 
 __all__ = [
+    "preintegrate",
+    "visual_inertial_alignment",
     "split_sbs",
     "stereo_backproject",
     "stereo_match",
