@@ -375,3 +375,83 @@ def test_sharded_ba_scales_to_10k_points():
         reprojection_rmse(prob._replace(cams=ref_s.cams, points=ref_s.points))
     )
     assert rmse < 0.1 * float(reprojection_rmse(prob)), rmse
+
+
+def _make_rig_scene(C=4, P=32, b=0.3, seed=5, dtype=np.float64):
+    """_make_scene plus a right-eye observation of every point from every
+    camera (BAProblem.baseline)."""
+    cams, pts, ci, pi_, obs, focal = _make_scene(C=C, P=P, seed=seed, dtype=dtype)
+    from optical_flow_tpu.slam.ba import project
+
+    obs_r = np.stack([
+        np.asarray(project(cams[c], pts[p], focal, b))
+        for c, p in zip(np.asarray(ci), np.asarray(pi_))
+    ])
+    ci2 = jnp.concatenate([ci, ci])
+    pi2 = jnp.concatenate([pi_, pi_])
+    obs2 = jnp.concatenate([obs, jnp.asarray(obs_r, dtype)])
+    bl = jnp.concatenate([
+        jnp.zeros(len(np.asarray(ci)), dtype), jnp.full(len(obs_r), b, dtype)
+    ])
+    return cams, pts, ci2, pi2, obs2, bl, focal
+
+
+def test_rig_observations_lock_metric_scale():
+    """The point of BAProblem.baseline: a global scale perturbation
+    (points and translations x1.25) is INVISIBLE to mono BA (scale gauge
+    freedom - the residuals are already zero) but right-eye observations
+    see it, and the rig solve pulls the scale back to metric."""
+    cams, pts, ci, pi_, obs, bl, focal = _make_rig_scene()
+    s = 1.25
+    cams_s = cams.at[:, 3:].multiply(s)
+    pts_s = pts * s
+
+    mono = BAProblem(cams_s, pts_s, ci[: len(ci) // 2], pi_[: len(pi_) // 2],
+                     obs[: len(obs) // 2], focal)
+    mono_ref, _ = bundle_adjust(mono, iters=8, lam=1e-6)
+    # mono: scaled scene reprojects perfectly; BA cannot know the scale
+    assert float(reprojection_rmse(mono_ref)) < 1e-6
+    assert abs(float(jnp.linalg.norm(mono_ref.points[0])) /
+               float(jnp.linalg.norm(pts[0])) - s) < 0.01
+
+    rig = BAProblem(cams_s, pts_s, ci, pi_, obs, focal, None, bl)
+    rig_ref, _ = bundle_adjust(rig, iters=12, lam=1e-6)
+    # rig: the right eye's fixed metric baseline makes the x1.25 visible
+    scale_back = float(jnp.linalg.norm(rig_ref.points[5])) / float(
+        jnp.linalg.norm(pts[5])
+    )
+    assert abs(scale_back - 1.0) < 0.02, scale_back
+    assert float(reprojection_rmse(rig_ref)) < 0.05
+
+
+def test_sharded_ba_matches_unsharded_with_rig_obs():
+    """BAProblem.baseline through sharded_bundle_adjust: identical to the
+    unsharded solve (the baseline column shards with the observations)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from optical_flow_tpu.parallel import flow_mesh
+
+    mesh = flow_mesh(frames=2, rows=2, cols=2)
+    C, P = 4, 32
+    cams, pts, ci, pi_, obs, bl, focal = _make_rig_scene()
+    rng = np.random.RandomState(11)
+    cams_n = cams + jnp.asarray(rng.randn(C, 6) * 0.01)
+    pts_n = pts + jnp.asarray(rng.randn(P, 3) * 0.05)
+
+    prob = BAProblem(cams_n, pts_n, ci, pi_, obs, focal, None, bl)
+    ref, _ = bundle_adjust(prob, iters=6, lam=1e-3)
+
+    n = mesh.size
+    P_loc = P // n
+    order = np.argsort(np.asarray(pi_), kind="stable")
+    prob_s = BAProblem(
+        cams_n, pts_n,
+        jnp.asarray(np.asarray(ci)[order]),
+        jnp.asarray(np.asarray(pi_)[order] % P_loc),
+        jnp.asarray(np.asarray(obs)[order]),
+        focal, None,
+        jnp.asarray(np.asarray(bl)[order]),
+    )
+    ref_s, _ = sharded_bundle_adjust(prob_s, mesh, iters=6, lam=1e-3)
+    np.testing.assert_allclose(np.asarray(ref_s.cams), np.asarray(ref.cams), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref_s.points), np.asarray(ref.points), atol=1e-6)
