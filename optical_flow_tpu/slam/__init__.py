@@ -51,6 +51,8 @@ from optical_flow_tpu.slam.imu import (
     visual_inertial_alignment,
 )
 from optical_flow_tpu.slam.stereo import (
+    dense_depth,
+    dense_disparity,
     split_sbs,
     stereo_backproject,
     stereo_match,
@@ -60,6 +62,8 @@ from optical_flow_tpu.slam.window import WindowedBA
 __all__ = [
     "preintegrate",
     "visual_inertial_alignment",
+    "dense_depth",
+    "dense_disparity",
     "split_sbs",
     "stereo_backproject",
     "stereo_match",

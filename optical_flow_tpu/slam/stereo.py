@@ -83,6 +83,58 @@ def stereo_backproject(
     return np.stack([x, y, z], axis=1)
 
 
+def dense_disparity(left, right, *, config=None, max_dy: float = 1.0):
+    """DENSE sub-pixel disparity from the flagship pyramidal-LK engine.
+
+    On a rectified rig, left→right optical flow IS the disparity field:
+    u = −disparity, v ≈ 0. This reuses the whole TPU dense-flow stack —
+    fused Pallas kernels, shift warps, streaming pyramids — so dense
+    depth runs at dense-flow speed (~2000 fps/chip at 1080², bench.py)
+    instead of the per-corner sparse path.
+
+    Returns (disparity (H, W) float32, valid (H, W) bool). `valid`
+    rejects pixels whose vertical flow exceeds max_dy (off-scanline ⇒
+    the match is wrong on a rectified rig) or whose disparity is
+    non-positive (behind the rig / textureless solve).
+    """
+    import jax.numpy as jnp_
+
+    from optical_flow_tpu.config import FlowConfig
+    from optical_flow_tpu.flow.coarse_to_fine import coarse_to_fine
+
+    if config is None:
+        # displacement-true flow (the reference's quirky no-double pyrUp
+        # mode would NOT return pixel-true disparities). clamp 24, not
+        # the video default 8: rig disparities are systematically larger
+        # than frame-to-frame motion, and the per-level warp clamp is
+        # the binding limit (measured on the synthetic rig at 12-40 px
+        # true disparity: clamp 8 -> 33% valid / 2.0 px median error,
+        # clamp 24 -> 92% / 0.97 px; at <= 13 px disparity the engine is
+        # at 0.12 px / 100% valid either way).
+        config = FlowConfig(mode="corrected", warp_clamp=24.0)
+    u, v = coarse_to_fine(
+        jnp_.asarray(left, jnp_.float32), jnp_.asarray(right, jnp_.float32),
+        config.levels, config=config,
+    )
+    disp = -u
+    valid = (jnp_.abs(v) <= max_dy) & (disp > 0)
+    return disp, valid
+
+
+def dense_depth(disparity, focal: float, baseline: float, valid=None):
+    """Metric depth map Z = focal·baseline / disparity; invalid or
+    non-positive disparities → 0 (the cv::divide x/0→0 convention the
+    rest of the engine uses)."""
+    import jax.numpy as jnp_
+
+    d = jnp_.asarray(disparity, jnp_.float32)
+    ok = d > 1e-6
+    if valid is not None:
+        ok = ok & valid
+    z = jnp_.where(ok, jnp_.float32(focal * baseline) / jnp_.maximum(d, 1e-6), 0.0)
+    return z
+
+
 def split_sbs(frame) -> Tuple[np.ndarray, np.ndarray]:
     """Split a side-by-side stereo frame (left|right) into the pair.
 

@@ -220,3 +220,62 @@ def test_stereo_slam_stacked_input():
     est = res.centers()
     true = np.asarray([centers[i] for i in res.keyframes])
     assert np.linalg.norm(est - true, axis=1).mean() < 0.05
+
+
+def _textured_rig(baseline, seed=4, h=320, w=416, focal=400.0):
+    """High-frequency texture (per-pixel noise, light blur): dense LK's
+    3x3 windows need gradients everywhere, unlike the corner-based
+    sparse path."""
+    rng = np.random.RandomState(seed)
+    base = cv2.GaussianBlur((rng.rand(h, w) * 255).astype(np.float32), (5, 5), 1.2)
+    base = (255 * (base - base.min()) / np.ptp(base)).astype(np.uint8)
+    depth = np.clip(
+        4.0 + 6.0 * cv2.resize(rng.rand(10, 13).astype(np.float32), (w, h),
+                               interpolation=cv2.INTER_CUBIC), 3.0, 12.0)
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    left, ul, vl = _view(base, depth, xs, ys, focal, 0.0, 0.0)
+    right, _, _ = _view(base, depth, xs, ys, focal, baseline, 0.0)
+    d_src = cv2.remap(depth.astype(np.float32), ul, vl, cv2.INTER_LINEAR)
+    return left, right, focal * baseline / d_src, d_src, focal
+
+
+def test_dense_disparity_small_baseline_subpixel():
+    """Disparities <= 13 px: the dense engine is sub-pixel nearly
+    everywhere (measured 0.12 px median, 100% valid)."""
+    from optical_flow_tpu.slam.stereo import dense_depth, dense_disparity
+
+    left, right, true_disp, d_src, focal = _textured_rig(baseline=0.1)
+    disp, valid = dense_disparity(left, right)
+    disp, valid = np.asarray(disp), np.asarray(valid)
+    m = np.zeros_like(valid)
+    m[20:-20, 20:-60] = True  # interior (outside warp-boundary band)
+    assert valid[m].mean() > 0.95, valid[m].mean()
+    err = np.abs(disp - true_disp)[valid & m]
+    assert np.median(err) < 0.25, np.median(err)
+    z = np.asarray(dense_depth(disp, focal, 0.1, jnp.asarray(valid)))
+    sel = valid & m & (z > 0)
+    zrel = np.abs(z - d_src)[sel] / d_src[sel]
+    assert np.median(zrel) < 0.05, np.median(zrel)
+
+
+def test_dense_disparity_large_baseline_envelope():
+    """12-40 px disparities: the clamp-24 default keeps ~90% of pixels
+    valid at ~1 px median error (clamp 8 collapses to 33% / 2 px — the
+    per-level warp clamp is the binding limit, pinned here)."""
+    from optical_flow_tpu.config import FlowConfig
+    from optical_flow_tpu.slam.stereo import dense_disparity
+
+    left, right, true_disp, _, _ = _textured_rig(baseline=0.3)
+    m = None
+    disp, valid = dense_disparity(left, right)
+    disp, valid = np.asarray(disp), np.asarray(valid)
+    m = np.zeros_like(valid)
+    m[20:-20, 20:-60] = True
+    assert valid[m].mean() > 0.85, valid[m].mean()
+    err = np.abs(disp - true_disp)[valid & m]
+    assert np.median(err) < 1.5, np.median(err)
+
+    tight = FlowConfig(mode="corrected", warp_clamp=8.0)
+    disp8, valid8 = dense_disparity(left, right, config=tight)
+    assert np.asarray(valid8)[m].mean() < 0.6  # the envelope is real
