@@ -41,3 +41,39 @@ def prefetch_to_device(
             break
         yield item
     t.join()
+
+
+def prefetch_chunks_to_device(
+    frames: Iterable[np.ndarray],
+    chunk_size: int,
+    depth: int = 2,
+    device: Optional[jax.Device] = None,
+) -> Iterator[jax.Array]:
+    """Stack frames into (chunk_size, ...) batches and stage them on device
+    from a background thread. The final batch may be shorter. One H2D
+    transfer per chunk (instead of per frame) is what lets the chunked
+    pipeline amortize dispatch + transfer latency over many frames."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            buf: list = []
+            for f in frames:
+                buf.append(np.ascontiguousarray(f))
+                if len(buf) == chunk_size:
+                    q.put(jax.device_put(np.stack(buf), device))
+                    buf = []
+            if buf:
+                q.put(jax.device_put(np.stack(buf), device))
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item
+    t.join()

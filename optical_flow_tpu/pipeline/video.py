@@ -61,6 +61,8 @@ class VideoPipeline:
         self._build_pyr = jax.jit(self._build_pyr_impl)
         self._flow_step_pyr = jax.jit(self._flow_step_pyr_impl)
         self._batch_flow_pyr = jax.jit(self._batch_flow_pyr_impl)
+        self._chunk_first = jax.jit(self._chunk_first_impl)
+        self._chunk_step = jax.jit(self._chunk_step_impl)
         # Streaming pyramid reuse: each frame's Gaussian pyramid serves two
         # consecutive pairs ((t-1, t) and (t, t+1)), so cache it instead of
         # rebuilding — ~25% of the per-frame flow work at 1080^2. Only valid
@@ -190,6 +192,104 @@ class VideoPipeline:
                 prev, cur, config=self.config.flow
             )
         return FrameResult(u, v, detect_gesture(u, v, self.config.gesture))
+
+    # --- chunked streaming (one dispatch per N frames) ----------------------
+
+    def _flow_from_pyr_pairs(self, prev, cur):
+        if self.mesh is not None:
+            from optical_flow_tpu.parallel.sharded_flow import (
+                sharded_coarse_to_fine_pyramids,
+            )
+
+            u, v, _, _ = sharded_coarse_to_fine_pyramids(
+                prev, cur, self.mesh, config=self.config.flow
+            )
+        else:
+            u, v, _, _ = coarse_to_fine_pyramids(prev, cur, config=self.config.flow)
+        return FrameResult(u, v, detect_gesture(u, v, self.config.gesture))
+
+    def _chunk_first_impl(self, frames):
+        """First chunk: N raw frames -> N-2 results + carry (no prior state).
+
+        Reproduces the streaming warm-up (two frames consumed before the
+        first result, ParallelVideoPyr.cpp:794-822) inside one traced call.
+        """
+        grays = preprocess_frame(frames, self.config.preprocess)
+        diffs = diff_features(grays[1:], grays[:-1], self.config.preprocess)
+        pyr = self._build_pyr_impl(diffs)
+        prev = tuple(p[:-1] for p in pyr)
+        cur = tuple(p[1:] for p in pyr)
+        result = self._flow_from_pyr_pairs(prev, cur)
+        carry = (grays[-1], tuple(p[-1] for p in pyr))
+        return result, carry
+
+    def _chunk_step_impl(self, carry, frames):
+        """Steady-state chunk: carry + N raw frames -> N results + new carry.
+
+        The carry is (last gray, last diff pyramid) so chunk boundaries are
+        seamless: results are the same pair sequence the per-frame `push`
+        loop produces, but the host dispatches ONE program per chunk instead
+        of four per frame (the dispatch-depth lever VERDICT r3 #1 asks the
+        bench to sweep)."""
+        prev_gray, prev_pyr = carry
+        grays = preprocess_frame(frames, self.config.preprocess)
+        all_grays = jnp.concatenate([prev_gray[None], grays], axis=0)
+        diffs = diff_features(all_grays[1:], all_grays[:-1], self.config.preprocess)
+        pyr = self._build_pyr_impl(diffs)
+        prev = tuple(
+            jnp.concatenate([pp[None], p[:-1]], axis=0)
+            for pp, p in zip(prev_pyr, pyr)
+        )
+        result = self._flow_from_pyr_pairs(prev, pyr)
+        carry = (grays[-1], tuple(p[-1] for p in pyr))
+        return result, carry
+
+    def run_chunked(
+        self,
+        frames: Iterable[np.ndarray],
+        chunk_size: int = 16,
+        prefetch: int = 2,
+    ) -> Iterator[FrameResult]:
+        """Streaming over chunks: yields one FrameResult of `chunk_size`
+        frames (leading batch axis) per dispatch, same pair sequence as
+        `run`. Requires faithful_prev_diff=False (the warped-diff feedback
+        is per-frame sequential). A short tail (< chunk_size frames) is
+        processed per-frame via `push` and yielded as single-frame results
+        (no batch axis) to avoid compiling a second chunk shape.
+        """
+        if self.config.faithful_prev_diff:
+            raise ValueError(
+                "chunked mode needs faithful_prev_diff=False (the warped-diff "
+                "feedback is a sequential dependency)"
+            )
+        self.reset()
+        from optical_flow_tpu.io.prefetch import prefetch_chunks_to_device
+
+        carry = None
+        tail: list = []
+        for chunk in prefetch_chunks_to_device(
+            frames, chunk_size=chunk_size, depth=prefetch
+        ):
+            if chunk.shape[0] < chunk_size:
+                tail.append(chunk)
+                break
+            if carry is None:
+                result, carry = self._chunk_first(chunk)
+            else:
+                result, carry = self._chunk_step(carry, chunk)
+            yield result
+        # tail frames: per-frame path, seeded from the chunk carry
+        if tail:
+            if carry is not None:
+                self._prev_gray = carry[0]
+                self._prev_pyr = carry[1]
+                # prev_diff is only consulted for the non-reuse path; the
+                # reuse path (faithful_prev_diff=False) keys off _prev_pyr
+                self._prev_diff = carry[1][0]
+            for frame in tail[0]:
+                result = self.push(frame)
+                if result is not None:
+                    yield result
 
     # --- host loops --------------------------------------------------------
 

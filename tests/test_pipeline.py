@@ -337,3 +337,58 @@ def test_streaming_mesh_reuses_pyramids_and_matches_unsharded():
     for a, b in zip(r0, r1):
         np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u), atol=1e-4)
         np.testing.assert_allclose(np.asarray(a.v), np.asarray(b.v), atol=1e-4)
+
+
+def test_run_chunked_matches_streaming():
+    """run_chunked (one dispatch per chunk, carry across chunk boundaries)
+    must produce the same pair sequence as the per-frame run() loop,
+    including across a chunk boundary and a short per-frame tail."""
+    cfg = VideoConfig(
+        preprocess=PreprocessConfig(size=(96, 96)),
+        flow=FlowConfig(impl="jnp"),
+        faithful_prev_diff=False,
+    )
+    frames = _synthetic_frames(13)  # 2 full chunks of 5 + a 3-frame tail
+    stream = list(VideoPipeline(cfg).run(frames, prefetch=0))
+    chunked = list(VideoPipeline(cfg).run_chunked(frames, chunk_size=5, prefetch=1))
+    # flatten chunk results (leading batch axis) + per-frame tail results
+    flat_u, flat_v, flat_votes = [], [], []
+    for res in chunked:
+        u = np.asarray(res.u)
+        if u.ndim == 3:
+            for i in range(u.shape[0]):
+                flat_u.append(u[i])
+                flat_v.append(np.asarray(res.v)[i])
+                flat_votes.append(int(np.asarray(res.gesture.votes)[i]))
+        else:
+            flat_u.append(u)
+            flat_v.append(np.asarray(res.v))
+            flat_votes.append(int(res.gesture.votes))
+    assert len(flat_u) == len(stream) == len(frames) - 2
+    for i, res in enumerate(stream):
+        np.testing.assert_allclose(np.asarray(res.u), flat_u[i], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res.v), flat_v[i], atol=1e-5)
+        assert int(res.gesture.votes) == flat_votes[i]
+
+
+def test_run_chunked_exact_multiple_and_short_input():
+    """No-tail (frame count a multiple of chunk_size) and shorter-than-one-
+    chunk inputs both produce the full expected result count."""
+    cfg = VideoConfig(
+        preprocess=PreprocessConfig(size=(64, 64)),
+        flow=FlowConfig(impl="jnp"),
+        faithful_prev_diff=False,
+    )
+    frames = _synthetic_frames(8, h=80, w=100)
+    chunked = list(VideoPipeline(cfg).run_chunked(frames, chunk_size=4))
+    n = sum(r.u.shape[0] if r.u.ndim == 3 else 1 for r in chunked)
+    assert n == 6
+    short = list(VideoPipeline(cfg).run_chunked(frames[:3], chunk_size=8))
+    n_short = sum(r.u.shape[0] if r.u.ndim == 3 else 1 for r in short)
+    assert n_short == 1
+
+
+def test_run_chunked_requires_batchable_state():
+    pipe = VideoPipeline(_small_video_config())  # faithful_prev_diff=True
+    with pytest.raises(ValueError):
+        list(pipe.run_chunked(_synthetic_frames(6), chunk_size=4))
