@@ -31,6 +31,7 @@ shard_map = jax.shard_map
 
 from optical_flow_tpu.flow.lk import lucas_kanade
 from optical_flow_tpu.parallel.mesh import AXIS_COLS, AXIS_FRAMES, AXIS_ROWS
+from optical_flow_tpu.parallel.vma_compat import vma_kwargs
 
 _HALO = 2  # gradient stencil (1 back) + 3x3 window (1 each way)
 
@@ -90,6 +91,8 @@ def sharded_lucas_kanade(
         # pallas_call's out_shape carries no varying-mesh-axes annotation —
         # the vma checker rejects it even though every output is
         # owner-computed from owner-held inputs (halo-free stencil).
-        check_vma=False,
+        # Version-gated: the checker stays ON once the installed JAX
+        # accepts pallas_call outputs (parallel/vma_compat.py repro).
+        **vma_kwargs(),
     )
     return fn(img1, img2)

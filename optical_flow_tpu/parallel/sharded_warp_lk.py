@@ -40,6 +40,7 @@ from optical_flow_tpu.kernels.warp_lk_kernel import (
 )
 from optical_flow_tpu.parallel.halo import exchange_halo, exchange_halo_pyrup
 from optical_flow_tpu.parallel.mesh import AXIS_COLS, AXIS_FRAMES, AXIS_ROWS
+from optical_flow_tpu.parallel.vma_compat import vma_kwargs
 
 shard_map = jax.shard_map
 
@@ -111,8 +112,9 @@ def sharded_warp_lk(
         in_specs=(spec, spec, spec, spec),
         out_specs=(spec, spec),
         # pallas_call's out_shape carries no varying-mesh-axes annotation;
-        # the halo exchange already makes every output owner-computed
-        check_vma=False,
+        # the halo exchange already makes every output owner-computed.
+        # Version-gated (parallel/vma_compat.py repro).
+        **vma_kwargs(),
     )
     return fn(img1, img2, u, v)
 
@@ -201,6 +203,6 @@ def sharded_pyrup_warp_lk(
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=(spec, spec),
-        check_vma=False,
+        **vma_kwargs(),
     )
     return fn(img1, img2, u_coarse, v_coarse)

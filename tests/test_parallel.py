@@ -486,3 +486,53 @@ def _sequential_sharded_pyrup(img1, img2, uc, vc, mesh, *, max_disp, clamp):
             ou = ou.at[osl].set(du)
             ov = ov.at[osl].set(dv)
     return ou, ov
+
+
+def test_vma_gate_tracks_installed_jax():
+    """The check_vma workaround is version-gated (VERDICT r3 #4): the
+    minimal repro (pallas_call output under shard_map, checker ON) decides
+    whether the checker stays enabled. Whichever way the installed JAX
+    behaves, vma_kwargs() must make the repro trace successfully — so the
+    workaround disappears automatically when upstream fixes the checker,
+    and is never weaker than needed."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from optical_flow_tpu.parallel.vma_compat import vma_accepts_pallas, vma_kwargs
+
+    def _copy_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    def _body(x):
+        return pl.pallas_call(
+            _copy_kernel,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=True,
+        )(x)
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("x",))
+    x = jnp.zeros((8, 128), jnp.float32)
+
+    accepts = vma_accepts_pallas()
+    if accepts:
+        # fixed upstream: the gate must NOT disable the checker
+        assert vma_kwargs() == {}
+        jax.eval_shape(
+            jax.shard_map(_body, mesh=mesh, in_specs=P("x"), out_specs=P("x")), x
+        )
+    else:
+        # bug present: checker-on must fail, and the gate's kwargs must fix it
+        assert vma_kwargs() == {"check_vma": False}
+        with pytest.raises(Exception):
+            jax.eval_shape(
+                jax.shard_map(_body, mesh=mesh, in_specs=P("x"), out_specs=P("x")),
+                x,
+            )
+    # with the gate applied, the repro always traces
+    jax.eval_shape(
+        jax.shard_map(
+            _body, mesh=mesh, in_specs=P("x"), out_specs=P("x"), **vma_kwargs()
+        ),
+        x,
+    )
