@@ -345,9 +345,14 @@ def preprocess_frame(frame_bgr, config: PreprocessConfig = PreprocessConfig()):
             # fast mode's contract is "do everything in float32"; without
             # this cast a uint8 frame would re-saturate after the resize
             x = x.astype(jnp.float32)
-        if x.ndim >= 3 and x.shape[-1] == 3:
-            x = bgr_to_gray(x)
-        if x.ndim >= 3 and x.shape[-1] == 1:
+        if x.ndim >= 3 and x.shape[-1] in (3, 4):
+            # BGRA: cvtColor(BGR2GRAY) ignores alpha; drop it before gray
+            # (ADVICE r3: a 4-channel frame previously fell through and
+            # was silently resampled as a (W, 4) image). A last dim not in
+            # (1, 3, 4) is a batched-grayscale width, not channels — same
+            # heuristic as resize_cubic/gaussian_blur.
+            x = bgr_to_gray(x[..., :3])
+        elif x.ndim >= 3 and x.shape[-1] == 1:
             x = x[..., 0]
         return _resize_blur_f32(
             x, config.size, config.blur_ksize, config.blur_sigma

@@ -99,9 +99,14 @@ def match_descriptors(
     else:
         second = np.full(len(da), -np.inf, np.float32)
     mutual = np.argmax(S, axis=0)[idx] == np.arange(len(da))
+    # Lowe ratio only makes sense for positive best scores: for best < 0,
+    # ratio*best would INVERT the gate's semantics (ADVICE r3). Rows with
+    # best <= 0 fail the ratio test outright — an NCC best match that is
+    # anti-correlated is never a distinctive match.
     ok = (
         mutual
         & (best >= min_score)
+        & (best > 0)
         & (second <= ratio * best)
     )
     return idx.astype(np.int64), ok

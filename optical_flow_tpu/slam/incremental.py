@@ -130,6 +130,11 @@ def incremental_slam(
     # landmarks survive occlusion instead of being re-triangulated as
     # duplicates
     revive_min_ncc: float = 0.8,
+    # revival is appearance + GEOMETRY (ADVICE r3): the fresh corner must
+    # also lie within this pixel radius of the dead landmark's reprojection
+    # under the current pose — on repetitive texture (windows,
+    # checkerboards) NCC alone can rebind a landmark anywhere in the image
+    revive_px_radius: float = 20.0,
     # after a verified loop closure, re-anchor the map to the corrected
     # poses and run one global BA so map and trajectory agree again
     final_global_ba: bool = True,
@@ -211,7 +216,10 @@ def incremental_slam(
         out = _pad64(np.asarray(px, np.float32))
         padded, n = out[0], out[-1]
         d = np.asarray(patch_descriptors(jnp.asarray(img), jnp.asarray(padded)))
-        return d[:n]
+        # writable copy: anchor_desc rows are updated in place (revival
+        # slots, per-keyframe refresh) and np.asarray of a jax array is a
+        # read-only buffer view
+        return d[:n].copy()
 
     # --- live track table --------------------------------------------------
     # Each row: current pixel, anchor keyframe + anchor pixel (for
@@ -637,8 +645,21 @@ def incremental_slam(
                         fresh_desc, anchor_desc[dead_map],
                         min_score=revive_min_ncc,
                     )
+                    Rk = np.asarray(kf_R[kf_now], np.float64)
+                    tk = np.asarray(kf_t[kf_now], np.float64)
                     for j in np.flatnonzero(okm):
                         r = dead_map[idx[j]]
+                        # geometric gate: reproject the landmark with the
+                        # (BA-refined) current pose; a match far from the
+                        # prediction is repetitive texture, not a revival
+                        Xc = Rk @ np.asarray(
+                            mapper.points[point_id[r]], np.float64
+                        ) + tk
+                        if Xc[2] <= 0.1:
+                            continue
+                        pred = focal * Xc[:2] / Xc[2] + np.asarray([cx, cy])
+                        if np.linalg.norm(fresh[j] - pred) > revive_px_radius:
+                            continue
                         cur_px[r] = fresh[j]
                         alive[r] = True
                         consumed[j] = True
@@ -656,6 +677,18 @@ def incremental_slam(
                 if fresh_desc is None:
                     fresh_desc = descs_at(cur, fresh)
                 anchor_desc[dead[:take]] = fresh_desc[src]
+        if track_ncc_gate > 0:
+            # refresh appearance anchors at every keyframe a track survives
+            # (ADVICE r3): under slow viewpoint/scale/illumination change
+            # the birth descriptor decays and the drift gate would kill
+            # long healthy tracks; gating against the last-keyframe
+            # appearance keeps the slid-off-landmark detection (drift is
+            # fast between keyframes) while tolerating gradual change.
+            # anchor_px/anchor_kf stay at birth — they are the
+            # triangulation baseline, not appearance state.
+            live_rows = np.flatnonzero(alive)
+            if len(live_rows):
+                anchor_desc[live_rows] = descs_at(cur, cur_px[live_rows])
         last_kf_px = cur_px.copy()
         kf_seen = alive.copy()
 

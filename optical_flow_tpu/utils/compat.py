@@ -114,12 +114,20 @@ def warm_compile_client() -> None:
                     ),
                 )
             except Exception as e:
+                # surface the probe's own stderr: "wedged runtime" (hang)
+                # and "device held by another process" (error) need
+                # different operator responses
+                probe_err = ""
+                stderr = getattr(e, "stderr", None)
+                if stderr:
+                    tail = stderr.decode("utf-8", "replace").strip().splitlines()
+                    probe_err = " Probe stderr tail: " + " | ".join(tail[-3:])
                 raise RuntimeError(
                     "TPU runtime unresponsive (device acquisition or compile "
                     "hung in a probe subprocess) — decoding would deadlock "
                     "this process. Use the CPU backend "
                     "(jax.config.update('jax_platforms', 'cpu') or --cpu) "
-                    "until the runtime recovers."
+                    "until the runtime recovers." + probe_err
                 ) from e
         if jax.default_backend() != "tpu":
             return

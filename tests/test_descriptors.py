@@ -156,3 +156,18 @@ class TestRevivalEndToEnd:
         assert res is not None
         assert res.keyframes[-1] == len(frames) - 1
         assert res.rmse is not None and res.rmse < 5.0, res.rmse
+
+
+def test_ratio_gate_rejects_negative_best():
+    """A best match with negative NCC is never distinctive: with
+    min_score <= 0 the old gate `second <= ratio * best` INVERTED its
+    semantics for best < 0 (ADVICE r3); now best <= 0 rows simply fail."""
+    u = np.zeros(64, np.float32)
+    v = np.zeros(64, np.float32)
+    u[0] = 1.0
+    v[1] = 1.0
+    da = np.stack([u, v])
+    # every db column scores <= 0 against every da row
+    db = np.stack([-u, -v, -(u + v) / np.sqrt(2, dtype=np.float32)])
+    idx, ok = match_descriptors(da, db, min_score=-1.0)
+    assert not ok.any()

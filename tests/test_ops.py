@@ -491,3 +491,18 @@ class TestPyrDownMXU:
         assert np.median(du) < 1e-3 and np.median(dv) < 1e-3, (
             np.median(du), np.median(dv)
         )
+
+
+def test_pyr_down_pallas_small_shape_fallback_is_poly():
+    """pyr_down(impl='pallas') silently falls back to 'poly' numerics for
+    levels with H < 4 or W < 2 (reflect halos don't exist there), so one
+    gaussian_pyramid can mix accumulation orders across levels. Pin the
+    boundary (ADVICE r3): below it the pallas entry point must be
+    BIT-identical to poly — the fallback really is poly, and the mixed-
+    numerics seam is exactly at (H >= 4 and W >= 2)."""
+    r = np.random.RandomState(7)
+    for shape in ((3, 9), (2, 9), (3, 1), (5, 1), (1, 1)):
+        m = jnp.asarray(r.rand(*shape).astype(np.float32) * 255.0)
+        got = np.asarray(pyr_down(m, impl="pallas"))
+        want = np.asarray(pyr_down(m, impl="poly"))
+        np.testing.assert_array_equal(got, want)

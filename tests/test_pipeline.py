@@ -392,3 +392,20 @@ def test_run_chunked_requires_batchable_state():
     pipe = VideoPipeline(_small_video_config())  # faithful_prev_diff=True
     with pytest.raises(ValueError):
         list(pipe.run_chunked(_synthetic_frames(6), chunk_size=4))
+
+
+def test_fast_mode_bgra_drops_alpha():
+    """4-channel (BGRA) frames in fast mode must gray the BGR channels and
+    ignore alpha (ADVICE r3: previously BGRA fell through to the resize
+    core and was silently resampled as a (W, 4) image)."""
+    from optical_flow_tpu.pipeline.preprocess import preprocess_frame
+
+    rng = np.random.RandomState(9)
+    bgr = (rng.rand(72, 96, 3) * 255).astype(np.uint8)
+    alpha = (rng.rand(72, 96, 1) * 255).astype(np.uint8)
+    bgra = np.concatenate([bgr, alpha], axis=-1)
+    cfg = PreprocessConfig(size=(64, 64), faithful_uint8=False)
+    got3 = np.asarray(preprocess_frame(jnp.asarray(bgr), cfg))
+    got4 = np.asarray(preprocess_frame(jnp.asarray(bgra), cfg))
+    assert got4.shape == (64, 64)
+    np.testing.assert_array_equal(got3, got4)
