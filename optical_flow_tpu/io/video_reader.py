@@ -45,12 +45,17 @@ class VideoReader:
 
     An integer source selects a capture device (the reference's
     VideoCapture(0), ParallelVideoPyr.cpp:737) via the cv2 backend.
+
+    gray=True yields (H, W) GRAY8 frames instead — BT.601 luma produced
+    during decode (libswscale/ffmpeg), so a third of the bytes cross
+    host->device for gray-first consumers (the fast-preset pipeline).
     """
 
-    def __init__(self, path, backend: str = "auto"):
+    def __init__(self, path, backend: str = "auto", gray: bool = False):
         from optical_flow_tpu.utils.compat import warm_compile_client
 
         warm_compile_client()  # before any codec library loads (see compat.py)
+        self.gray = bool(gray)
         if isinstance(path, int) or (isinstance(path, str) and path.isdigit()):
             self.path = int(path)
             self._init_cv2_camera()
@@ -109,25 +114,32 @@ class VideoReader:
     def _iter_native(self):
         from optical_flow_tpu.native import NativeFramePipe
 
-        with NativeFramePipe(self.path) as pipe:
+        with NativeFramePipe(self.path, gray=self.gray) as pipe:
             yield from pipe
 
     def _iter_ffmpeg(self):
-        nbytes = self.width * self.height * 3
+        ch = 1 if self.gray else 3
+        nbytes = self.width * self.height * ch
         proc = subprocess.Popen(
             [
                 shutil.which("ffmpeg"), "-v", "error", "-i", self.path,
-                "-f", "rawvideo", "-pix_fmt", "bgr24", "-",
+                "-f", "rawvideo", "-pix_fmt", "gray" if self.gray else "bgr24",
+                "-",
             ],
             stdout=subprocess.PIPE,
             bufsize=nbytes * 4,
         )
         try:
+            shape = (
+                (self.height, self.width)
+                if self.gray
+                else (self.height, self.width, 3)
+            )
             while True:
                 buf = proc.stdout.read(nbytes)
                 if len(buf) < nbytes:
                     break
-                yield np.frombuffer(buf, np.uint8).reshape(self.height, self.width, 3)
+                yield np.frombuffer(buf, np.uint8).reshape(shape)
         finally:
             proc.stdout.close()
             proc.terminate()
@@ -142,7 +154,9 @@ class VideoReader:
                 ok, frame = cap.read()
                 if not ok:
                     break
-                yield frame
+                # host-side gray: cv2 has no decode-time luma output, but
+                # the H2D saving is the same
+                yield cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if self.gray else frame
         finally:
             cap.release()
 
@@ -152,6 +166,7 @@ def read_frames(
     max_frames: Optional[int] = None,
     start: int = 0,
     stride: int = 1,
+    gray: bool = False,
 ) -> Iterator[np.ndarray]:
     """Frames [start::stride], up to max_frames of them.
 
@@ -161,17 +176,18 @@ def read_frames(
     preceding keyframe + decode-discard to the exact frame — O(GOP)
     instead of decoding `start` frames); other backends, or streams that
     can't seek, skip decoded frames, which is exact for any codec.
+    gray=True yields (H, W) decode-time luma (see VideoReader).
     """
     if stride < 1:
         raise ValueError("stride must be >= 1 (decode cannot run backwards)")
-    reader = VideoReader(path)
+    reader = VideoReader(path, gray=gray)
     source: Iterator[np.ndarray] = iter(reader)
     base = 0
     if start > 0 and getattr(reader, "backend", None) == "native":
         from optical_flow_tpu.native import NativeFramePipe
 
         try:
-            pipe = NativeFramePipe(reader.path, start=start)
+            pipe = NativeFramePipe(reader.path, start=start, gray=gray)
 
             def _seeked():
                 with pipe:

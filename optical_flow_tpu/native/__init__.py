@@ -70,6 +70,16 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.fp_open_fmt.restype = ctypes.c_void_p
+        lib.fp_open_fmt.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         lib.fp_probe.restype = ctypes.c_int
         lib.fp_probe.argtypes = [
             ctypes.c_char_p,
@@ -111,11 +121,17 @@ def probe_native(path):
 class NativeFramePipe:
     """Ring-buffered libavcodec decode on a C++ thread (overlaps compute)."""
 
-    def __init__(self, path: str, ring: int = 4, start: int = 0):
+    def __init__(self, path: str, ring: int = 4, start: int = 0,
+                 gray: bool = False):
         """start > 0 seeks the container (av_seek_frame to the preceding
         keyframe + decode-discard to the exact frame) before streaming —
         O(GOP) instead of decoding `start` frames. Raises RuntimeError if
-        the stream can't seek (caller falls back to decode-and-skip)."""
+        the stream can't seek (caller falls back to decode-and-skip).
+
+        gray=True yields (H, W) GRAY8 frames — BT.601 luma straight from
+        libswscale, one byte per pixel: a third of the bytes crossing
+        host->device, for consumers that gray-convert first anyway (the
+        fast-preset preprocess)."""
         lib = load_library()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -123,21 +139,18 @@ class NativeFramePipe:
         w = ctypes.c_int(0)
         h = ctypes.c_int(0)
         fps = ctypes.c_double(0.0)
-        if start > 0:
-            self._h = lib.fp_open_at(
-                str(path).encode(), ring, start,
-                ctypes.byref(w), ctypes.byref(h), ctypes.byref(fps),
-            )
-        else:
-            self._h = lib.fp_open(
-                str(path).encode(), ring, ctypes.byref(w), ctypes.byref(h), ctypes.byref(fps)
-            )
+        self._h = lib.fp_open_fmt(
+            str(path).encode(), ring, start, 1 if gray else 0,
+            ctypes.byref(w), ctypes.byref(h), ctypes.byref(fps),
+        )
         if not self._h:
             raise RuntimeError(f"fp_open failed for {path} (start={start})")
         self.width = w.value
         self.height = h.value
         self.fps = fps.value
-        self._buf = np.empty((self.height, self.width, 3), np.uint8)
+        self.gray = bool(gray)
+        shape = (self.height, self.width) if gray else (self.height, self.width, 3)
+        self._buf = np.empty(shape, np.uint8)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:

@@ -45,6 +45,10 @@ struct Decoder {
   int width = 0;
   int height = 0;
   double fps = 0.0;
+  bool gray = false;  // GRAY8 output (1 byte/px): one sws YUV->gray pass
+                      // instead of YUV->BGR24, and a third of the bytes
+                      // crossing host->device (PCIe or tunnel) when the
+                      // consumer is the fast (gray-first) preprocess
   bool draining = false;
   bool have_pending = false;  // pkt holds data the codec hasn't accepted yet
   bool skipping = false;      // discarding pre-seek-target frames
@@ -133,12 +137,13 @@ struct Decoder {
         }
         if (!sws) {
           sws = sws_getContext(width, height, (AVPixelFormat)frame->format,
-                               width, height, AV_PIX_FMT_BGR24, SWS_BILINEAR,
-                               nullptr, nullptr, nullptr);
+                               width, height,
+                               gray ? AV_PIX_FMT_GRAY8 : AV_PIX_FMT_BGR24,
+                               SWS_BILINEAR, nullptr, nullptr, nullptr);
           if (!sws) return 0;
         }
         uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
-        int dst_stride[4] = {3 * width, 0, 0, 0};
+        int dst_stride[4] = {(gray ? 1 : 3) * width, 0, 0, 0};
         sws_scale(sws, frame->data, frame->linesize, 0, height, dst, dst_stride);
         av_frame_unref(frame);
         return 1;
@@ -231,21 +236,27 @@ void* reader_main(void* arg) {
 
 extern "C" {
 
-// Open `path`; on success writes the stream geometry into out params and
-// starts the decode thread with `ring_capacity` frames of lookahead.
-FramePipe* fp_open(const char* path, int ring_capacity, int* out_w, int* out_h,
-                   double* out_fps) {
+// Open `path` at frame index `start_frame` (0 = beginning; >0 seeks the
+// container: av_seek_frame to the preceding keyframe + decode-discard to
+// the exact frame — NULL if the stream cannot seek, callers fall back to
+// decode-and-skip). `gray` != 0 emits GRAY8 (h*w bytes/frame) instead of
+// BGR24 (h*w*3). Writes stream geometry into the out params and starts
+// the decode thread with `ring_capacity` frames of lookahead.
+FramePipe* fp_open_fmt(const char* path, int ring_capacity, long start_frame,
+                       int gray, int* out_w, int* out_h, double* out_fps) {
   if (ring_capacity <= 0) return nullptr;
   auto* fp = new FramePipe();
-  if (!fp->dec.open(path)) {
+  fp->dec.gray = gray != 0;
+  if (!fp->dec.open(path) ||
+      (start_frame > 0 && !fp->dec.seek_frame_index(start_frame))) {
     delete fp;
     return nullptr;
   }
   if (out_w) *out_w = fp->dec.width;
   if (out_h) *out_h = fp->dec.height;
   if (out_fps) *out_fps = fp->dec.fps;
-  fp->ring.frame_bytes =
-      static_cast<size_t>(fp->dec.width) * fp->dec.height * 3;
+  fp->ring.frame_bytes = static_cast<size_t>(fp->dec.width) *
+                         fp->dec.height * (gray ? 1 : 3);
   fp->ring.capacity = ring_capacity;
   fp->ring.data.resize(fp->ring.frame_bytes * ring_capacity);
   if (pthread_create(&fp->reader, nullptr, reader_main, fp) != 0) {
@@ -256,31 +267,16 @@ FramePipe* fp_open(const char* path, int ring_capacity, int* out_w, int* out_h,
   return fp;
 }
 
-// fp_open starting at frame index `start_frame` via container seek
-// (av_seek_frame to the preceding keyframe + decode-discard to the exact
-// frame). NULL if the stream cannot seek — callers fall back to
-// decode-and-skip from zero.
+// Back-compat wrappers (BGR24).
+FramePipe* fp_open(const char* path, int ring_capacity, int* out_w, int* out_h,
+                   double* out_fps) {
+  return fp_open_fmt(path, ring_capacity, 0, 0, out_w, out_h, out_fps);
+}
+
 FramePipe* fp_open_at(const char* path, int ring_capacity, long start_frame,
                       int* out_w, int* out_h, double* out_fps) {
-  if (ring_capacity <= 0) return nullptr;
-  auto* fp = new FramePipe();
-  if (!fp->dec.open(path) || !fp->dec.seek_frame_index(start_frame)) {
-    delete fp;
-    return nullptr;
-  }
-  if (out_w) *out_w = fp->dec.width;
-  if (out_h) *out_h = fp->dec.height;
-  if (out_fps) *out_fps = fp->dec.fps;
-  fp->ring.frame_bytes =
-      static_cast<size_t>(fp->dec.width) * fp->dec.height * 3;
-  fp->ring.capacity = ring_capacity;
-  fp->ring.data.resize(fp->ring.frame_bytes * ring_capacity);
-  if (pthread_create(&fp->reader, nullptr, reader_main, fp) != 0) {
-    delete fp;
-    return nullptr;
-  }
-  fp->reader_started = true;
-  return fp;
+  return fp_open_fmt(path, ring_capacity, start_frame, 0, out_w, out_h,
+                     out_fps);
 }
 
 // Geometry-only probe: open the container/codec headers, no decode

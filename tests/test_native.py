@@ -183,3 +183,44 @@ def test_threaded_decode_bit_exact(lib, monkeypatch):
     assert len(single) == len(multi) == 6
     for a, b in zip(single, multi):
         np.testing.assert_array_equal(a, b)
+
+
+def test_frame_pipe_gray_decode(lib):
+    """gray=True yields (H, W) GRAY8 luma straight from the decoder. It is
+    a ONE-hop YUV->gray conversion, so it differs from the two-hop
+    YUV->BGR24->BT.601 chain by small rounding (bounded here), while
+    moving a third of the bytes."""
+    import cv2
+
+    from optical_flow_tpu.io.video_reader import read_frames
+    from optical_flow_tpu.utils.goldens import reference_dir
+
+    ref = reference_dir()
+    if ref is None or not (ref / "pacman.mp4").exists():
+        pytest.skip("pacman.mp4 not available")
+    gray = list(read_frames(ref / "pacman.mp4", max_frames=3, gray=True))
+    bgr = list(read_frames(ref / "pacman.mp4", max_frames=3))
+    assert gray[0].ndim == 2 and gray[0].dtype == np.uint8
+    assert bgr[0].shape == gray[0].shape + (3,)
+    for g, b in zip(gray, bgr):
+        want = cv2.cvtColor(b, cv2.COLOR_BGR2GRAY)
+        d = np.abs(g.astype(np.int32) - want.astype(np.int32))
+        # mean + 99th percentile: individual pixels at sharp CHROMA edges
+        # legitimately differ more (4:2:0 chroma upsampling artifacts
+        # enter through the BGR hop; the direct luma path has none)
+        assert d.mean() < 2.0 and np.percentile(d, 99) <= 8, (
+            d.max(), d.mean(), np.percentile(d, 99))
+
+
+def test_frame_pipe_gray_seek_matches_unseeked(lib):
+    """Container seeking composes with gray output."""
+    from optical_flow_tpu.io.video_reader import read_frames
+    from optical_flow_tpu.utils.goldens import reference_dir
+
+    ref = reference_dir()
+    if ref is None or not (ref / "pacman.mp4").exists():
+        pytest.skip("pacman.mp4 not available")
+    plain = list(read_frames(ref / "pacman.mp4", max_frames=6, gray=True))
+    seeked = list(read_frames(ref / "pacman.mp4", max_frames=2, start=4, gray=True))
+    np.testing.assert_array_equal(plain[4], seeked[0])
+    np.testing.assert_array_equal(plain[5], seeked[1])
