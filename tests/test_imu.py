@@ -34,8 +34,10 @@ def test_preintegrate_constant_rates_closed_form():
     v = np.zeros(3)
     p = np.zeros(3)
     for _ in range(N):
-        p = p + v * h + 0.5 * (R @ a) * h * h
-        v = v + (R @ a) * h
+        Rm, _ = cv2.Rodrigues(w * (h / 2))  # midpoint rotation (slam/imu.py)
+        aw = (R @ Rm) @ a
+        p = p + v * h + 0.5 * aw * h * h
+        v = v + aw * h
         Rh, _ = cv2.Rodrigues(w * h)
         R = R @ Rh
     np.testing.assert_allclose(np.asarray(dv), v, atol=1e-4)  # f32 scan
@@ -187,3 +189,102 @@ def test_alignment_on_monocular_slam_result():
     np.testing.assert_allclose(
         g / np.linalg.norm(g), G_W / 9.81, atol=0.1
     )
+
+
+def _rotating_trajectory(K=12, period=6.0, rate_hz=200.0, spin_period=4.0):
+    """The circular trajectory with the BODY additionally spinning — about
+    one axis for the first half of the log and a different one for the
+    second half. Bias estimation NEEDS this rotation-axis variety: under
+    a single fixed spin axis the accel-bias component along that axis is
+    a constant world-frame acceleration, exactly confounded with gravity
+    (measured here: the free (g, ba) system is rank-deficient and scale
+    lands anywhere)."""
+    import cv2
+
+    om = 2 * np.pi / period
+    k1 = np.asarray([0.3, 0.2, 1.0])
+    k1 /= np.linalg.norm(k1)
+    k2 = np.asarray([1.0, -0.3, 0.2])
+    k2 /= np.linalg.norm(k2)
+    om_spin = 2 * np.pi / spin_period
+    t_switch = period * (K - 1) / K / 2.0
+
+    def c(t):
+        return np.stack([0.12 * np.sin(om * t), 0.08 * (1 - np.cos(om * t)),
+                         np.zeros_like(t)], -1)
+
+    def acc_w(t):
+        return np.stack([-0.12 * om * om * np.sin(om * t),
+                         0.08 * om * om * np.cos(om * t),
+                         np.zeros_like(t)], -1)
+
+    def axis(t):
+        return k1 if t < t_switch else k2
+
+    def R_wb(t):  # body->world: piecewise single-axis spin, continuous
+        if t < t_switch:
+            R, _ = cv2.Rodrigues(k1 * (om_spin * t))
+            return R
+        R0, _ = cv2.Rodrigues(k1 * (om_spin * t_switch))
+        R1, _ = cv2.Rodrigues(k2 * (om_spin * (t - t_switch)))
+        return R0 @ R1
+
+    kf_t = np.linspace(0.0, period * (K - 1) / K, K)
+    n = int(round((kf_t[1] - kf_t[0]) * rate_hz))
+    gyros, accels, dts = [], [], []
+    for i in range(K - 1):
+        ts = kf_t[i] + (np.arange(n) + 0.5) / rate_hz
+        # single-axis segments: body rate = om_spin * axis (axis is the
+        # same in world and body frames while spinning about it)
+        gyros.append(np.stack([axis(t) * om_spin for t in ts]))
+        accels.append(
+            np.stack([R_wb(t).T @ (a - G_W) for t, a in zip(ts, acc_w(ts))])
+        )
+        dts.append(np.full(n, 1.0 / rate_hz))
+    poses = np.stack([R_wb(t).T for t in kf_t])  # world->cam = (R^wb)^T
+    return c(kf_t), poses, kf_t, np.stack(gyros), np.stack(accels), np.stack(dts)
+
+
+def test_gyro_bias_estimation_recovers_injected_bias():
+    from optical_flow_tpu.slam.imu import estimate_gyro_bias
+
+    bg_true = np.asarray([0.01, -0.008, 0.012])
+    centers, poses, kf_t, gyro, accel, dt = _rotating_trajectory()
+    bg = estimate_gyro_bias(poses, gyro + bg_true, dt)
+    np.testing.assert_allclose(bg, bg_true, atol=1.5e-3)
+
+
+def test_alignment_with_bias_under_realistic_biases():
+    """VERDICT r3 #6's done-criterion, both halves: under bg=0.01 rad/s,
+    ba=0.1 m/s^2 the bias-free solver measurably fails, and the
+    bias-estimating pipeline recovers scale within a few percent."""
+    from optical_flow_tpu.slam.imu import visual_inertial_alignment_with_bias
+
+    s_true = 3.7
+    bg_true = np.asarray([0.01, -0.006, 0.008])
+    ba_true = np.asarray([0.10, -0.07, 0.05])
+    centers, poses, kf_t, gyro, accel, dt = _rotating_trajectory()
+    gyro_m = gyro + bg_true
+    accel_m = accel + ba_true
+    trans = np.stack([-R @ c for R, c in zip(poses, centers)]) / s_true
+
+    # the bias-free solver on biased logs: measurably wrong scale
+    _, dv_b, dp_b = preintegrate(gyro_m, accel_m, dt)
+    s_biased, _, _, rms_biased = visual_inertial_alignment(
+        poses, trans, np.diff(kf_t), np.asarray(dv_b), np.asarray(dp_b),
+        gravity_mag=9.81,
+    )
+    assert abs(s_biased - s_true) / s_true > 0.05, (
+        "bias-free solver unexpectedly robust", s_biased)
+
+    s, g, v, bg, ba, rms = visual_inertial_alignment_with_bias(
+        poses, trans, np.diff(kf_t), gyro_m, accel_m, dt,
+        gravity_mag=9.81, estimate_accel_bias=True,
+    )
+    assert abs(s - s_true) / s_true < 0.03, (s, s_true)
+    np.testing.assert_allclose(bg, bg_true, atol=1.5e-3)
+    np.testing.assert_allclose(ba, ba_true, atol=0.04)
+    np.testing.assert_allclose(
+        g / np.linalg.norm(g), G_W / np.linalg.norm(G_W), atol=0.05
+    )
+    assert rms < rms_biased
