@@ -142,7 +142,7 @@ def _resolve_level_step(config: FlowConfig, warp_impl: str, max_disp: int, warp_
     def level_step(i, a, b, uc, vc):
         H, W = a.shape[-2], a.shape[-1]
         if (
-            warp_lk_band(H, W, max_disp) is not None
+            warp_lk_band(H, W, max_disp, pyrup=True) is not None
             and H % 2 == 0
             and W % 2 == 0
             and uc.shape[-2] * 2 == H

@@ -53,44 +53,116 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def warp_lk_band(H: int, W: int, max_disp: int) -> Optional[int]:
-    """Band height for the fused kernel, or None if (H, W) doesn't fit.
+# The Mosaic compiler's ACTUAL scoped-VMEM allocation per band row,
+# MEASURED on v5e (2026-08-19, scripts/tpu_vmem_calibration.py) by forcing
+# over-large bands at every padded-width class and reading the size out of
+# the OOM diagnostic. It is 1.4-2.8x the analytic buffer estimate with a
+# width-dependent shape no multiplicative factor captures; the old factor
+# model chose pyrup bands whose FRESH compile OOMs the 16 MiB scoped
+# limit — masked for two rounds by the persistent compile cache serving
+# executables built under older tooling. Keyed by Wc = round_up(W, 128)
+# (the only width the kernel's buffers see); values are bytes/row at
+# LARGE rows — per-row cost grows mildly with rows, so these upper-bound
+# every smaller candidate band. Re-run the calibration script after a
+# jax/libtpu upgrade and refresh.
+_VMEM_PER_ROW = {
+    # Wc=768 is NOT the raw probe value (112900): per-row cost is band-
+    # dependent non-monotonically and the band the probe happened to hit
+    # (152) is anomalously cheap at this width — band 104 measured 144.4
+    # KB/row (18.05M total at W=720, 19.07M at W=768). Entry raised above
+    # the worst measured band at this width.
+    "pyrup": {
+        256: 70612, 384: 94341, 512: 126742, 640: 135683, 768: 160000,
+        896: 179706, 1024: 199229, 1152: 222123, 1280: 244499,
+        1408: 262908, 1536: 280017, 1664: 291110, 1792: 320471,
+        1920: 339767, 2048: 352001,
+    },
+    "plain": {
+        256: 48667, 384: 61770, 512: 79981, 640: 91750, 768: 106883,
+        896: 121756, 1024: 136786, 1152: 151209, 1280: 165937,
+        1408: 181170, 1536: 194887, 1664: 210501, 1792: 225069,
+        1920: 238853, 2048: 253515,
+    },
+}
+# Budget under the 16 MiB scoped-vmem limit. The table upper-bounds true
+# usage for any band SMALLER than its probe band (total allocation is
+# convex in rows: per-row cost grows with rows), so candidates certified
+# <= 15.5 MiB by the table sit well below it in practice (e.g. 1080^2
+# pyrup band 48: bound 15.25M, measured 14.2M).
+_VMEM_BUDGET = 31 << 19
 
-    Rows are padded to Hp = round_up(H, 8); the band must divide Hp (so
-    every REFLECT_101 row fix sits at a static in-band offset) and be a
-    multiple of 8 (f32 sublane tile). Among the divisors, pick the LARGEST
-    whose estimated VMEM footprint (double-buffered input slabs + working
-    planes, sized by the actual padded width) fits the budget — narrow
-    levels get tall bands, so the per-band fixed costs (DMA issue,
-    transposes) stop dominating the small pyramid levels.
+
+def _vmem_per_row(Wc: int, pyrup: bool) -> float:
+    tab = _VMEM_PER_ROW["pyrup" if pyrup else "plain"]
+    if Wc in tab:
+        return tab[Wc]
+    if Wc < 256:
+        return tab[256]  # conservative: narrower buffers cost less
+    # beyond the table: extrapolate from the top two knots, +10% margin
+    return (tab[2048] + (tab[2048] - tab[1920]) / 128 * (Wc - 2048)) * 1.1
+
+
+def warp_lk_tiling(
+    H: int, W: int, max_disp: int, *, pyrup: bool = False
+) -> Optional[Tuple[int, int]]:
+    """(Hp, band) for the fused kernel, or None if (H, W) doesn't fit.
+
+    Rows are padded to Hp >= round_up(H, 8) (a multiple of 8) and the band
+    must divide Hp (so every REFLECT_101 row fix sits at a static in-band
+    offset) and be a multiple of 8 (f32 sublane tile). Hp is allowed a few
+    percent of SLACK rows beyond the minimum: pad rows are zeros, their
+    outputs are discarded, and a slightly larger Hp often admits a much
+    larger dividing band — fewer bands means fewer fixed per-band costs
+    (DMA issues, transposes, halo re-reads). Among candidates whose
+    MEASURED VMEM cost (_VMEM_PER_ROW) fits the budget, minimize the total
+    rows processed, nbands * (band + 2R); tie-break toward the smaller Hp.
+
+    `pyrup` selects the calibration for pyrup_warp_lk_pallas, whose
+    upsample temporaries roughly double the compiler's actual scoped
+    allocation per band row vs the plain warp_lk_pallas variant.
     """
     if H < 8 or W < 4:
         return None
-    Hp = _round_up(H, 8)
+    H8 = _round_up(H, 8)
     R = _round_up(max_disp + 2, 4)
     Wc = _round_up(W, 128)
     Wp = Wc + _round_up(2 * R, 128)
-    budget = 10 << 20  # ~10 MiB of the ~16 MiB VMEM
-    best = None
-    for band in range(8, Hp + 1, 8):
-        if Hp % band:
-            continue
-        if band > 160 and Wp > 512 and best is not None:
-            # empirical Mosaic limit: a 200-row band at Wp=640 crashes the
-            # AOT compiler with no diagnostic (exit 1) even though the
-            # VMEM estimate fits, while tall bands at Wp <= 512 (200@384,
-            # 272@512) compile and run. Cap unless nothing smaller
-            # divides Hp.
-            continue
-        rows = band + 2 * R
-        # 2 imgs x 2 slots slabs at Wp, ~2.5 coarse-flow slabs (pyrup
-        # variant), ~16 working planes at the tmp width
-        vmem = 4 * rows * (4 * Wp + Wp // 2 + 16 * (Wc + 4))
-        if vmem <= budget:
-            best = band
-        elif best is None:
-            best = band  # nothing fits: smallest divisor, let Mosaic try
-    return best
+    per_row = _vmem_per_row(Wc, pyrup)
+    best = None  # (cost, Hp, band)
+    slack = max(32, H8 // 12)
+    for Hp in range(H8, H8 + slack + 1, 8):
+        for band in range(8, Hp + 1, 8):
+            if Hp % band:
+                continue
+            if band > 160 and Wp > 512:
+                # empirical Mosaic limit: a 200-row band at Wp=640 crashes
+                # the AOT compiler with no diagnostic (exit 1) even though
+                # the VMEM estimate fits, while tall bands at Wp <= 512
+                # (200@384, 272@512) compile and run.
+                continue
+            rows = band + 2 * R
+            if rows * per_row > _VMEM_BUDGET:
+                continue
+            cost = (Hp // band) * rows
+            if best is None or (cost, Hp) < (best[0], best[1]):
+                best = (cost, Hp, band)
+    if best is not None:
+        return best[1], best[2]
+    # nothing fits the budget: smallest divisor of the minimal Hp, let
+    # Mosaic try (tiny/degenerate shapes)
+    for band in range(8, H8 + 1, 8):
+        if H8 % band == 0:
+            return H8, band
+    return None
+
+
+def warp_lk_band(
+    H: int, W: int, max_disp: int, *, pyrup: bool = False
+) -> Optional[int]:
+    """Band height for the fused kernel, or None if (H, W) doesn't fit.
+    Gate form of warp_lk_tiling (see there for the selection rule)."""
+    t = warp_lk_tiling(H, W, max_disp, pyrup=pyrup)
+    return None if t is None else t[1]
 
 
 def _warp_lk_kernel(
@@ -273,10 +345,14 @@ def _warp_lk_core(x1, x2, qx_t, qy_w, row0, col0, *, W, Hg, Wg, Wc, band, C, R):
     return jnp.where(keep, du, 0.0), jnp.where(keep, dv, 0.0)
 
 
-@partial(jax.jit, static_argnames=("band", "C", "clamp", "sign", "halo", "Hg", "Wg"))
+@partial(
+    jax.jit,
+    static_argnames=("band", "C", "clamp", "sign", "halo", "Hg", "Wg", "Hp"),
+)
 def _warp_lk_batched(
     img1, img2, u, v, origin, band: int, C: int, clamp: float, sign: float,
     halo: int = 0, Hg: Optional[int] = None, Wg: Optional[int] = None,
+    Hp: Optional[int] = None,
 ):
     """img1/img2/u/v: (B, H + 2*halo, W + 2*halo) when halo > 0 — a mesh
     tile extended with its exchanged halo (real neighbour data, or zeros
@@ -291,7 +367,10 @@ def _warp_lk_batched(
     R = _round_up(C + 2, 4)  # must match _warp_lk_kernel
     if halo > R:
         raise ValueError(f"halo {halo} exceeds the kernel's slab margin {R}")
-    Hp = _round_up(H, 8)  # band divides Hp (warp_lk_band); rows H..Hp-1 dropped
+    # band divides Hp (warp_lk_tiling, possibly with slack rows beyond
+    # round_up(H, 8)); rows H..Hp-1 are zero-padded junk and dropped
+    Hp = _round_up(H, 8) if Hp is None else Hp
+    assert Hp % band == 0 and Hp >= H
     nbands = Hp // band
     Wc = _round_up(W, 128)
     Wp = Wc + _round_up(2 * R, 128)  # cols [-R, Wc+R) live at offset R
@@ -361,9 +440,10 @@ def warp_lk_pallas(
     corresponding region of the full-frame kernel bit-for-bit.
     """
     H, W = img1.shape[-2] - 2 * halo, img1.shape[-1] - 2 * halo
-    band = warp_lk_band(H, W, max_disp)
-    if band is None:
+    tiling = warp_lk_tiling(H, W, max_disp)
+    if tiling is None:
         raise ValueError(f"shape {img1.shape} unsupported by the fused kernel")
+    Hp, band = tiling
     dtype = jnp.float32
     lead = img1.shape[:-2]
     He, We = img1.shape[-2], img1.shape[-1]
@@ -375,7 +455,7 @@ def warp_lk_pallas(
     )
     du, dv = _warp_lk_batched(
         *args, origin, band=band, C=int(max_disp), clamp=float(clamp),
-        sign=-1.0 if negate else 1.0, halo=halo, Hg=Hg, Wg=Wg,
+        sign=-1.0 if negate else 1.0, halo=halo, Hg=Hg, Wg=Wg, Hp=Hp,
     )
     return du.reshape(lead + (H, W)), dv.reshape(lead + (H, W))
 
@@ -530,12 +610,13 @@ def _pyrup_warp_lk_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("band", "C", "clamp", "halo", "flow_halo", "Hg", "Wg"),
+    static_argnames=("band", "C", "clamp", "halo", "flow_halo", "Hg", "Wg", "Hp"),
 )
 def _pyrup_warp_lk_batched(
     img1, img2, uc, vc, origin, band: int, C: int, clamp: float,
     halo: int = 0, flow_halo: bool = False,
     Hg: Optional[int] = None, Wg: Optional[int] = None,
+    Hp: Optional[int] = None,
 ):
     """Tile mode (halo > 0 / flow_halo): img1/img2 arrive extended by
     `halo` exchanged pixels per side; uc/vc arrive extended by (Ocr rows,
@@ -553,7 +634,10 @@ def _pyrup_warp_lk_batched(
     Ocr = R // 2 + 1
     Hc = uc.shape[-2] - (2 * Ocr if flow_halo else 0)
     Wcc = uc.shape[-1] - (4 if flow_halo else 0)
-    Hp = _round_up(H, 8)
+    # band divides Hp (warp_lk_tiling, possibly with slack rows beyond
+    # round_up(H, 8)); rows H..Hp-1 are zero-padded junk and dropped
+    Hp = _round_up(H, 8) if Hp is None else Hp
+    assert Hp % band == 0 and Hp >= H
     nbands = Hp // band
     Wc = _round_up(W, 128)
     Wp = Wc + _round_up(2 * R, 128)
@@ -653,7 +737,8 @@ def pyrup_warp_lk_pallas(
     coarse buffer geometry matches the full-frame kernel's exactly).
     """
     H, W = img1.shape[-2] - 2 * halo, img1.shape[-1] - 2 * halo
-    band = warp_lk_band(H, W, max_disp)
+    tiling = warp_lk_tiling(H, W, max_disp, pyrup=True)
+    band = None if tiling is None else tiling[1]
     if band is None or H % 2 or W % 2 or (halo and H % 8):
         raise ValueError(f"shape {img1.shape} unsupported by the fused kernel")
     Ocr = pyrup_coarse_halo(max_disp) if halo else 0
@@ -676,5 +761,6 @@ def pyrup_warp_lk_pallas(
     u, v = _pyrup_warp_lk_batched(
         a[0], a[1], f[0], f[1], origin, band=band, C=int(max_disp),
         clamp=float(clamp), halo=halo, flow_halo=bool(halo), Hg=Hg, Wg=Wg,
+        Hp=tiling[0],
     )
     return u.reshape(lead + (H, W)), v.reshape(lead + (H, W))

@@ -255,7 +255,7 @@ def _resolve_sharded_level_step(
             halves
             and H % 2 == 0
             and W % 2 == 0
-            and warp_lk_band(H, W, max_disp) is not None
+            and warp_lk_band(H, W, max_disp, pyrup=True) is not None
         ):
             return pyrup_warp_lk_pallas(
                 a, b, uc, vc, max_disp=max_disp, clamp=clamp

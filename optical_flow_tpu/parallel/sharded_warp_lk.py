@@ -158,7 +158,7 @@ def sharded_pyrup_warp_lk_fits(
     return (
         h % 8 == 0
         and w % 2 == 0
-        and warp_lk_band(h, w, max_disp) is not None
+        and warp_lk_band(h, w, max_disp, pyrup=True) is not None
         and max_disp + 2 <= min(h, w)
         and pyrup_coarse_halo(max_disp) <= h // 2
         and 2 <= w // 2

@@ -234,10 +234,23 @@ def test_fused_pyramid_end_to_end():
 def test_band_constraints():
     assert warp_lk_band(1080, 1080, 5) == 72  # largest divisor within VMEM
     assert warp_lk_band(540, 540, 5) == 136  # narrow level -> tall band
-    assert warp_lk_band(270, 270, 5) == 272  # single band
+    assert warp_lk_band(270, 270, 5) == 136  # 2 bands (table-bounded)
     assert warp_lk_band(50, 40, 5) == 56  # Hp=56, single band
     assert warp_lk_band(64, 2, 5) is None  # too narrow
     assert warp_lk_band(4, 64, 5) is None  # too short
+    # pyrup variant: the compiler's actual scoped allocation per band row
+    # is ~1.4-2.8x the analytic estimate with a width-dependent shape
+    # (measured on v5e 2026-08-19, scripts/tpu_vmem_calibration.py; e.g.
+    # 18.98M at 1080/band 72 OOMs the 16M limit), so its bands shrink
+    # where the plain variant's fit; Hp slack rows recover dividing bands
+    # the tight round_up(H, 8) padding forbids.
+    from optical_flow_tpu.kernels.warp_lk_kernel import warp_lk_tiling
+
+    assert warp_lk_tiling(1080, 1080, 8, pyrup=True) == (1104, 48)
+    assert warp_lk_tiling(540, 540, 8, pyrup=True) == (560, 80)
+    assert warp_lk_tiling(270, 270, 8, pyrup=True) == (272, 136)
+    # plain 1080 band is unchanged by the calibration
+    assert warp_lk_tiling(1080, 1080, 8) == (1080, 72)
     with pytest.raises(ValueError):
         warp_lk_pallas(
             jnp.zeros((4, 64)), jnp.zeros((4, 64)), jnp.zeros((4, 64)),
