@@ -236,7 +236,7 @@ def main(argv=None):
     p.set_defaults(fn=_cmd_flow)
 
     p = sub.add_parser("video", help="video gesture tracking")
-    p.add_argument("--input", required=True, help="video file or camera index")
+    p.add_argument("--input", required=True, help="video file, camera (0 / device:0 / /dev/video0) or pipe:WxH[@FPS]:PATH")
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"])

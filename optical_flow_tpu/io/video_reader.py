@@ -40,11 +40,54 @@ def _probe_ffmpeg(path: str) -> Optional[Tuple[int, int, float]]:
         return None
 
 
-class VideoReader:
-    """Iterate HxWx3 uint8 BGR frames from a video file or camera.
+def _parse_pipe_spec(spec: str):
+    """'pipe:WxH[@FPS]:PATH' -> (width, height, fps, path) or None.
 
-    An integer source selects a capture device (the reference's
-    VideoCapture(0), ParallelVideoPyr.cpp:737) via the cv2 backend.
+    A rawvideo pipe source (BGR24, or GRAY8 with gray=True) — how an
+    external capture tool (a remote ffmpeg/gstreamer grabbing a camera,
+    a renderer) feeds frames in through a FIFO without re-encoding."""
+    if not spec.startswith("pipe:"):
+        return None
+    try:
+        geom, path = spec[5:].split(":", 1)
+        if "@" in geom:
+            geom, fps = geom.split("@", 1)
+            fps = float(fps)
+        else:
+            fps = 0.0
+        w, h = (int(x) for x in geom.split("x"))
+        return w, h, fps, path
+    except ValueError:
+        raise ValueError(
+            f"bad pipe spec {spec!r}: expected pipe:WxH[@FPS]:PATH"
+        ) from None
+
+
+def _parse_device_spec(path):
+    """Camera sources -> '/dev/videoN' device path, else None.
+
+    Accepts an int, a digit string, 'device:N' and '/dev/videoN' — the
+    reference's VideoCapture(0) modality (ParallelVideoPyr.cpp:737)."""
+    if isinstance(path, int):
+        return f"/dev/video{path}"
+    s = str(path)
+    if s.isdigit():
+        return f"/dev/video{int(s)}"
+    if s.startswith("device:") and s[7:].isdigit():
+        return f"/dev/video{int(s[7:])}"
+    if s.startswith("/dev/video"):
+        return s
+    return None
+
+
+class VideoReader:
+    """Iterate HxWx3 uint8 BGR frames from a video file, camera or pipe.
+
+    Camera sources — an integer, 'device:N' or '/dev/videoN' (the
+    reference's VideoCapture(0), ParallelVideoPyr.cpp:737) — capture via
+    the native V4L2 backend (ioctl+mmap, native/v4l2cap.cpp), falling
+    back to cv2.VideoCapture. 'pipe:WxH[@FPS]:PATH' reads rawvideo frames
+    from a FIFO/file (an external capture tool's output).
 
     gray=True yields (H, W) GRAY8 frames instead — BT.601 luma produced
     during decode (libswscale/ffmpeg), so a third of the bytes cross
@@ -56,9 +99,15 @@ class VideoReader:
 
         warm_compile_client()  # before any codec library loads (see compat.py)
         self.gray = bool(gray)
-        if isinstance(path, int) or (isinstance(path, str) and path.isdigit()):
-            self.path = int(path)
-            self._init_cv2_camera()
+        pipe = _parse_pipe_spec(path) if isinstance(path, str) else None
+        if pipe is not None:
+            self.width, self.height, self.fps, self.path = pipe
+            self.backend = "pipe"
+            return
+        dev = _parse_device_spec(path)
+        if dev is not None:
+            self.path = dev
+            self._init_camera(backend)
             return
         self.path = str(path)
         if not Path(self.path).exists():
@@ -93,10 +142,31 @@ class VideoReader:
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
-    def _init_cv2_camera(self):
+    def _init_camera(self, backend: str):
+        # native V4L2 first (ioctl+mmap ring, v4l2cap.cpp), cv2 fallback
+        if backend in ("auto", "v4l2"):
+            from optical_flow_tpu.native import NativeCamera, load_library
+
+            if load_library() is not None:
+                try:
+                    cam = NativeCamera(self.path, gray=self.gray)
+                    self.backend = "v4l2"
+                    self.width, self.height, self.fps = (
+                        cam.width, cam.height, cam.fps,
+                    )
+                    self._camera = cam
+                    return
+                except RuntimeError:
+                    if backend == "v4l2":
+                        raise
         import cv2
 
         self.backend = "cv2"
+        # cv2 wants the device INDEX
+        idx = self.path
+        if isinstance(idx, str) and idx.startswith("/dev/video"):
+            idx = int(idx[len("/dev/video"):])
+        self.path = idx
         cap = cv2.VideoCapture(self.path)
         self.width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
@@ -104,12 +174,32 @@ class VideoReader:
         cap.release()
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        if self.backend == "native":
+        if self.backend == "v4l2":
+            with getattr(self, "_camera") as cam:
+                yield from cam
+        elif self.backend == "pipe":
+            yield from self._iter_pipe()
+        elif self.backend == "native":
             yield from self._iter_native()
         elif self.backend == "ffmpeg":
             yield from self._iter_ffmpeg()
         else:
             yield from self._iter_cv2()
+
+    def _iter_pipe(self):
+        ch = 1 if self.gray else 3
+        nbytes = self.width * self.height * ch
+        shape = (
+            (self.height, self.width)
+            if self.gray
+            else (self.height, self.width, 3)
+        )
+        with open(self.path, "rb", buffering=nbytes * 4) as f:
+            while True:
+                buf = f.read(nbytes)
+                if len(buf) < nbytes:
+                    break
+                yield np.frombuffer(buf, np.uint8).reshape(shape)
 
     def _iter_native(self):
         from optical_flow_tpu.native import NativeFramePipe

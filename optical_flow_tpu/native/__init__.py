@@ -93,6 +93,18 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.fp_buffered.argtypes = [ctypes.c_void_p]
         lib.fp_close.restype = None
         lib.fp_close.argtypes = [ctypes.c_void_p]
+        lib.cam_open.restype = ctypes.c_void_p
+        lib.cam_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.cam_next.restype = ctypes.c_int
+        lib.cam_next.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.cam_close.restype = None
+        lib.cam_close.argtypes = [ctypes.c_void_p]
         lib.gf_load.restype = ctypes.c_long
         lib.gf_load.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long]
         lib.gf_save.restype = ctypes.c_int
@@ -167,6 +179,60 @@ class NativeFramePipe:
     def close(self) -> None:
         if self._h:
             self._lib.fp_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeCamera:
+    """Live V4L2 capture via the kernel API (native/v4l2cap.cpp) — the
+    reference's cv::VideoCapture(0) modality (ParallelVideoPyr.cpp:737)
+    without OpenCV: ioctl + mmap streaming ring, libswscale conversion to
+    BGR24 (or decode-time GRAY8), MJPEG cameras through libavcodec."""
+
+    def __init__(self, device: str = "/dev/video0", gray: bool = False):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        w = ctypes.c_int(0)
+        h = ctypes.c_int(0)
+        fps = ctypes.c_double(0.0)
+        self._h = lib.cam_open(
+            str(device).encode(), 1 if gray else 0,
+            ctypes.byref(w), ctypes.byref(h), ctypes.byref(fps),
+        )
+        if not self._h:
+            raise RuntimeError(f"cam_open failed for {device}")
+        self.width = w.value
+        self.height = h.value
+        self.fps = fps.value
+        self.gray = bool(gray)
+        shape = (self.height, self.width) if gray else (self.height, self.width, 3)
+        self._buf = np.empty(shape, np.uint8)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            ok = self._lib.cam_next(
+                self._h, self._buf.ctypes.data_as(ctypes.c_char_p)
+            )
+            if not ok:
+                break
+            yield self._buf.copy()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.cam_close(self._h)
             self._h = None
 
     def __enter__(self):

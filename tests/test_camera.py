@@ -1,0 +1,139 @@
+"""Live-capture input modality (VERDICT r3 #7).
+
+The reference's flagship and both sparse demos capture a webcam
+(cv::VideoCapture(0), /root/reference/ParallelVideoPyr.cpp:737,
+/root/reference/of.cpp:45). The repo's equivalents:
+
+  - native V4L2 capture (optical_flow_tpu/native/v4l2cap.cpp) behind
+    VideoReader('device:N' / '/dev/videoN' / int), cv2 fallback;
+  - a rawvideo 'pipe:WxH[@FPS]:PATH' source — the synthetic/virtual
+    camera CI can actually exercise (no /dev/video* exists in the test
+    container), and how an external capture tool feeds frames in.
+
+The real-device path is gated on /dev/video0 existing; everything else
+(spec parsing, the pipe plumbing shared with the camera consumers, gray
+mode, CLI dispatch) runs everywhere.
+"""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from optical_flow_tpu.io.video_reader import (
+    VideoReader,
+    _parse_device_spec,
+    _parse_pipe_spec,
+    read_frames,
+)
+
+
+def test_device_spec_parsing():
+    assert _parse_device_spec(0) == "/dev/video0"
+    assert _parse_device_spec("3") == "/dev/video3"
+    assert _parse_device_spec("device:1") == "/dev/video1"
+    assert _parse_device_spec("/dev/video2") == "/dev/video2"
+    assert _parse_device_spec("clip.mp4") is None
+    assert _parse_device_spec("device:x") is None
+
+
+def test_pipe_spec_parsing():
+    assert _parse_pipe_spec("pipe:64x48@10:/tmp/f") == (64, 48, 10.0, "/tmp/f")
+    assert _parse_pipe_spec("pipe:320x240:/tmp/fifo") == (320, 240, 0.0, "/tmp/fifo")
+    assert _parse_pipe_spec("clip.mp4") is None
+    with pytest.raises(ValueError):
+        _parse_pipe_spec("pipe:badgeom:/tmp/f")
+
+
+def _feed_fifo(path, frames):
+    with open(path, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+
+
+@pytest.mark.parametrize("gray", [False, True])
+def test_pipe_source_yields_frames(tmp_path, gray):
+    """A FIFO carrying rawvideo acts as a virtual camera: frames arrive
+    with the declared geometry, bit-exact."""
+    fifo = tmp_path / "cam.fifo"
+    os.mkfifo(fifo)
+    rng = np.random.RandomState(7)
+    shape = (48, 64) if gray else (48, 64, 3)
+    frames = [rng.randint(0, 256, size=shape, dtype=np.uint8) for _ in range(5)]
+    t = threading.Thread(target=_feed_fifo, args=(fifo, frames))
+    t.start()
+    try:
+        spec = f"pipe:64x48@10:{fifo}"
+        reader = VideoReader(spec, gray=gray)
+        assert reader.backend == "pipe"
+        assert (reader.width, reader.height, reader.fps) == (64, 48, 10.0)
+        got = list(reader)
+    finally:
+        t.join()
+    assert len(got) == 5
+    for a, b in zip(got, frames):
+        assert a.shape == shape
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pipe_source_through_read_frames(tmp_path):
+    """read_frames stride/max_frames work over a pipe source — the CLI
+    path (`python -m optical_flow_tpu video --input pipe:...`)."""
+    fifo = tmp_path / "cam.fifo"
+    os.mkfifo(fifo)
+    frames = [np.full((8, 16, 3), i, np.uint8) for i in range(6)]
+    t = threading.Thread(target=_feed_fifo, args=(fifo, frames))
+    t.start()
+    try:
+        got = list(read_frames(f"pipe:16x8:{fifo}", max_frames=2, stride=2))
+    finally:
+        t.join()
+    assert [int(f[0, 0, 0]) for f in got] == [0, 2]
+
+
+def test_camera_falls_back_to_cv2(monkeypatch):
+    """With no native camera available, device sources land on
+    cv2.VideoCapture with the device INDEX (reference parity)."""
+    import optical_flow_tpu.io.video_reader as vr
+
+    class FakeCap:
+        def __init__(self, idx):
+            self.idx = idx
+
+        def get(self, prop):
+            import cv2
+
+            return {cv2.CAP_PROP_FRAME_WIDTH: 640,
+                    cv2.CAP_PROP_FRAME_HEIGHT: 480,
+                    cv2.CAP_PROP_FPS: 30.0}[prop]
+
+        def release(self):
+            pass
+
+    import cv2
+
+    import optical_flow_tpu.native as native
+
+    def no_camera(*a, **k):
+        raise RuntimeError("no /dev/video0 here")
+
+    monkeypatch.setattr(native, "NativeCamera", no_camera)
+    monkeypatch.setattr(cv2, "VideoCapture", FakeCap)
+    reader = vr.VideoReader("device:0")
+    assert reader.backend == "cv2"
+    assert reader.path == 0  # cv2 takes the index, not /dev/video0
+    assert (reader.width, reader.height, reader.fps) == (640, 480, 30.0)
+
+
+@pytest.mark.skipif(not os.path.exists("/dev/video0"), reason="no camera")
+def test_native_v4l2_capture_real_device():
+    """Real webcam: a few BGR frames with the negotiated geometry."""
+    from optical_flow_tpu.native import NativeCamera
+
+    with NativeCamera("/dev/video0") as cam:
+        it = iter(cam)
+        for _ in range(3):
+            frame = next(it)
+            assert frame.shape == (cam.height, cam.width, 3)
+            assert frame.dtype == np.uint8
