@@ -522,6 +522,7 @@ def main():
                     else FlowConfig(
                         impl=args.impl, levels=lv, mode="corrected",
                         warp_clamp=args.clamp, warp_impl="auto",
+                        pyr_impl="auto",
                     )
                 )
                 fps, _ = measure(size, batch, args.impl, max(6, args.iters // 3), cfg=sweep_cfg)
@@ -546,6 +547,7 @@ def main():
             mode="corrected",
             warp_clamp=args.clamp,
             warp_impl="auto",
+            pyr_impl="auto",
         )
     # Headline: the streaming-video formulation (one new pyramid + one
     # pair solve per frame — what the flagship loop and pipeline/video.py

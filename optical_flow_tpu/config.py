@@ -52,10 +52,12 @@ class FlowConfig:
     # pair) but is a wash at the streaming video batch (485 us both at
     # batch 5). 'pallas' = the fused band kernel (both passes in one
     # VMEM visit, kernels/pyrdown_kernel.py): ~14% faster than poly
-    # standalone (157 vs 182 us/pair at 1080^2) yet ALSO a wash inside
-    # the fused streaming chain — XLA overlaps the poly pyramid with
-    # other work. So 'poly' stays the default everywhere; the knobs
-    # exist for pyramid-dominated workloads.
+    # standalone (157 vs 182 us/pair at 1080^2). Round 3 measured the
+    # full streaming chain a wash; under the round-4 band layout 'pallas'
+    # wins ~7% end to end (590 -> 549 us/pair, device spans), so the
+    # production presets use 'auto' = pallas on TPU, poly elsewhere.
+    # 'poly' stays the dataclass default: parity contracts (goldens,
+    # sharded-vs-unsharded bit-identity) are pinned on it.
     pyr_impl: str = "poly"
     # 'reference': the reference's exact coarse-to-fine scheme (flow NOT
     #   doubled on pyrUp — its output is the goldens' quirky quantity, not
@@ -113,7 +115,10 @@ class VideoConfig:
         should calibrate GestureConfig against their own footage."""
         return cls(
             preprocess=PreprocessConfig(size=size, faithful_uint8=False),
-            flow=FlowConfig(mode="corrected", warp_clamp=8.0, warp_impl="auto"),
+            flow=FlowConfig(
+                mode="corrected", warp_clamp=8.0, warp_impl="auto",
+                pyr_impl="auto",
+            ),
             faithful_prev_diff=False,
         )
     # Reference quirk: coarseToFineEstimation warps its inputs in place

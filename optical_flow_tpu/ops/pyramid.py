@@ -114,15 +114,21 @@ def pyr_down(x, impl: str = "poly"):
 
     impl='pallas': the fused band kernel (kernels/pyrdown_kernel.py) —
     both passes in one VMEM visit, 'mxu' numerics, ~14% faster than poly
-    standalone at 1080^2 but a wash inside the fused streaming chain.
+    standalone at 1080^2. Round 3 measured it a WASH inside the fused
+    streaming chain; under the round-4 band layout it wins ~7% end to end
+    (590 -> 549 us/pair at 1080^2, device spans), so the production
+    presets opt in via 'auto'.
+
+    impl='auto': 'pallas' on the TPU backend, 'poly' elsewhere (the
+    Mosaic kernel has no CPU lowering; CPU keeps the bit-pinned path).
     """
+    if impl == "auto":
+        import jax
+
+        impl = "pallas" if jax.default_backend() == "tpu" else "poly"
     if impl == "pallas":
         # Fused band kernel: both passes in one VMEM visit (row pass
         # bit-identical poly, column pass = the 'mxu' matmul semantics).
-        # Standalone it beats the XLA poly path ~14% at 1080^2 (157 vs
-        # 182 us/pair on v5e) but is a WASH inside the fused streaming
-        # chain (XLA overlaps the poly pyramid with other work), so it is
-        # an explicit opt-in, not a production default.
         from optical_flow_tpu.kernels.pyrdown_kernel import pyr_down_pallas
 
         if x.shape[-2] >= 4 and x.shape[-1] >= 2:
@@ -142,7 +148,8 @@ def pyr_down(x, impl: str = "poly"):
         ).astype(x.dtype)
     if impl != "poly":
         raise ValueError(
-            f"pyr_down impl must be 'poly', 'mxu', or 'pallas', got {impl!r}"
+            "pyr_down impl must be 'poly', 'mxu', 'pallas' or 'auto', "
+            f"got {impl!r}"
         )
     Ec, Oc = _parity_planes(pc, pc.ndim - 1)
     return (

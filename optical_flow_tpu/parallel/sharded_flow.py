@@ -88,8 +88,13 @@ def sharded_coarse_to_fine_with_images(
     from optical_flow_tpu.flow.coarse_to_fine import _validate_levels
 
     levels = _validate_levels(levels, img1.shape, config)
-    pyr1 = gaussian_pyramid(img1, levels, impl=config.pyr_impl)
-    pyr2 = gaussian_pyramid(img2, levels, impl=config.pyr_impl)
+    # 'auto' resolves to 'poly' here: the mesh-sharded pyramid's
+    # tile-vs-full bit-identity is pinned for the poly path, and a
+    # pallas_call under XLA's automatic sharding of these global arrays
+    # is unproven — keep the sharded build on the bit-pinned form.
+    pyr_impl = "poly" if config.pyr_impl == "auto" else config.pyr_impl
+    pyr1 = gaussian_pyramid(img1, levels, impl=pyr_impl)
+    pyr2 = gaussian_pyramid(img2, levels, impl=pyr_impl)
     return sharded_coarse_to_fine_pyramids(
         pyr1, pyr2, mesh, config=config, min_tile=min_tile,
         _need_images=_need_images,

@@ -506,3 +506,15 @@ def test_pyr_down_pallas_small_shape_fallback_is_poly():
         got = np.asarray(pyr_down(m, impl="pallas"))
         want = np.asarray(pyr_down(m, impl="poly"))
         np.testing.assert_array_equal(got, want)
+
+
+def test_pyr_down_auto_resolves_poly_off_tpu():
+    """pyr_impl='auto' (the production presets) must be BIT-identical to
+    the pinned poly path off-TPU — the Mosaic kernel has no CPU lowering
+    and CPU keeps the parity semantics."""
+    from optical_flow_tpu.ops.pyramid import pyr_down
+
+    x = jnp.asarray(np.random.RandomState(11).rand(64, 96).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(pyr_down(x, impl="auto")), np.asarray(pyr_down(x))
+    )
