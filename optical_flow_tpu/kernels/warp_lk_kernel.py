@@ -552,29 +552,42 @@ def _pyrup_warp_lk_kernel(
     fc = lax.broadcasted_iota(jnp.int32, (band + 2 * R, Wt), 1) - 2 + col0
     inimg = (fr >= 0) & (fr < Hg) & (fc >= 0) & (fc < Wg)
 
-    def upsample(c):
+    def upsample2(cx, cy):
         # COLUMN pass first at coarse height (ops/pyramid.py
         # _pyr_up_stack_cols_first — the jnp corrected path mirrors this
         # order, keeping fused == unfused float-for-float). The lane
         # interleave Mosaic can't lower becomes a sublane (row) interleave
         # in TRANSPOSED space — one transpose in, one out, at the COARSE
         # height (half the relayout volume of transposing after the row
-        # pass; see scripts/tpu_interleave_poc.py). Buffer col m = coarse
-        # col m-2; fine col 2n-2 <- coarse cols n-1..n+1.
-        ct = c.T  # (Wpc, nc+2)
+        # pass; see scripts/tpu_interleave_poc.py). BOTH flow components
+        # ride ONE transpose sandwich (concatenated along the coarse-row
+        # axis — elementwise taps and the sublane interleave are
+        # per-column, so values are bit-identical to two separate
+        # sandwiches while Mosaic pays the small-shape transpose overhead
+        # half as often: 442 -> 412 us/call at 1080^2, v5e device spans).
+        # Buffer col m = coarse col m-2; fine col 2n-2 <- coarse n-1..n+1.
+        c2 = jnp.concatenate([cx, cy], axis=0)  # (2(nc+2), Wpc)
+        ct = c2.T  # (Wpc, 2(nc+2))
         evc = K[0] * ct[0:mc, :] + K[2] * ct[1 : mc + 1, :] + K[4] * ct[2 : mc + 2, :]
         odc = K[1] * ct[1 : mc + 1, :] + K[3] * ct[2 : mc + 2, :]
-        cols2 = jnp.stack([evc, odc], axis=-2).reshape(2 * mc, nc + 2).T  # (nc+2, Wt)
-        # rows: even fine row 2y <- coarse y-1..y+1, odd <- y..y+1
-        # (slab row j = coarse yc0-1+j); the row interleave lowers natively.
-        ev = K[0] * cols2[0:nc, :] + K[2] * cols2[1 : nc + 1, :] + K[4] * cols2[2 : nc + 2, :]
-        od = K[1] * cols2[1 : nc + 1, :] + K[3] * cols2[2 : nc + 2, :]
-        up = jnp.stack([ev, od], axis=-2).reshape(2 * nc, 2 * mc)
-        # corrected-mode doubling AFTER the col pass, like the XLA
-        # `2.0 * pyr_up(u)`; flow outside the image is exactly 0 (matches
-        # the unfused path's zero padding — the asym pyrUp border rows
-        # must not leak past the image edge)
-        return jnp.where(inimg, 2.0 * up, 0.0)
+        cols2 = (
+            jnp.stack([evc, odc], axis=-2).reshape(2 * mc, 2 * (nc + 2)).T
+        )  # (2(nc+2), Wt)
+
+        def rows(cols2):
+            # rows: even fine row 2y <- coarse y-1..y+1, odd <- y..y+1
+            # (slab row j = coarse yc0-1+j); the row interleave lowers
+            # natively.
+            ev = K[0] * cols2[0:nc, :] + K[2] * cols2[1 : nc + 1, :] + K[4] * cols2[2 : nc + 2, :]
+            od = K[1] * cols2[1 : nc + 1, :] + K[3] * cols2[2 : nc + 2, :]
+            up = jnp.stack([ev, od], axis=-2).reshape(2 * nc, 2 * mc)
+            # corrected-mode doubling AFTER the col pass, like the XLA
+            # `2.0 * pyr_up(u)`; flow outside the image is exactly 0
+            # (matches the unfused path's zero padding — the asym pyrUp
+            # border rows must not leak past the image edge)
+            return jnp.where(inimg, 2.0 * up, 0.0)
+
+        return rows(cols2[: nc + 2]), rows(cols2[nc + 2 :])
 
     def flow_slab(k):
         cfull = fbufs[k, slot]
@@ -587,8 +600,7 @@ def _pyrup_warp_lk_kernel(
             cfull[off_stride : off_stride + nc + 2],
         )
 
-    upx = upsample(flow_slab(0))
-    upy = upsample(flow_slab(1))
+    upx, upy = upsample2(flow_slab(0), flow_slab(1))
 
     half = jnp.asarray(-0.5, f32)  # corrected mode: convergent (negated) warp
     cl = jnp.asarray(clamp, f32)
