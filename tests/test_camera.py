@@ -137,3 +137,14 @@ def test_native_v4l2_capture_real_device():
             frame = next(it)
             assert frame.shape == (cam.height, cam.width, 3)
             assert frame.dtype == np.uint8
+
+
+def test_native_camera_missing_device_fails_cleanly():
+    """cam_open on a nonexistent device must return NULL -> RuntimeError
+    (not crash), leaving the fallback chain usable."""
+    from optical_flow_tpu.native import NativeCamera, load_library
+
+    if load_library() is None:
+        pytest.skip("native library unavailable")
+    with pytest.raises(RuntimeError, match="cam_open failed"):
+        NativeCamera("/dev/video99")
