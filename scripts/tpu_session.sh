@@ -38,9 +38,14 @@ run() {
 run shapes       900 python scripts/tpu_kernel_shapes_check.py
 run bench        900 python bench.py
 run shardedfused 900 python scripts/tpu_sharded_fused_check.py
+run multitile    900 python scripts/tpu_sharded_fused_check.py --multi-tile --artifact MULTITILE_SWEEP.json
 run pyrdown      900 python scripts/tpu_pyrdown_experiments.py
 run interleave   600 python scripts/tpu_interleave_poc.py --time
 run sparselk     900 python scripts/tpu_sparse_lk_check.py
 run vpurate      600 python scripts/tpu_vpu_rate_probe.py
 run resize       900 python scripts/tpu_resize_experiments.py
 echo "=== session done; logs in /tmp/tpu_session_*.log ==="
+echo "After a jax/libtpu UPGRADE also run: python scripts/tpu_vmem_calibration.py"
+echo "(refresh _VMEM_PER_ROW in kernels/warp_lk_kernel.py + a fresh-cache"
+echo " compile sweep — the compile cache can mask bands that no longer fit;"
+echo " see ROADMAP.md round-4 note)"
