@@ -50,6 +50,12 @@ from optical_flow_tpu.slam.imu import (
     preintegrate,
     visual_inertial_alignment,
 )
+from optical_flow_tpu.slam.vi_ba import (
+    VIBAProblem,
+    refine_with_imu,
+    vi_bundle_adjust,
+    vi_problem_from_ba,
+)
 from optical_flow_tpu.slam.stereo import (
     dense_depth,
     dense_disparity,
@@ -62,6 +68,10 @@ from optical_flow_tpu.slam.window import WindowedBA
 __all__ = [
     "preintegrate",
     "visual_inertial_alignment",
+    "VIBAProblem",
+    "refine_with_imu",
+    "vi_bundle_adjust",
+    "vi_problem_from_ba",
     "dense_depth",
     "dense_disparity",
     "split_sbs",

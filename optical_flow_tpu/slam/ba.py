@@ -174,57 +174,66 @@ def _schur_reduce(Hpp, bp, Wp, camT, lam, C: int):
 
     S_partial = - sum_p W_p Vinv_p W_p^T, assembled per track-slot pair
     (k, q) and scatter-added into camera blocks: O(P K^2) work, O(P K)
-    memory per slot — the sparse Schur assembly."""
+    memory per slot — the sparse Schur assembly.
+
+    Camera-block width D comes from Wp (..., D, 3): 6 for pure-visual BA,
+    9 for visual-inertial states (slam/vi_ba.py) — the math is identical."""
     P, K = camT.shape
+    D = Wp.shape[-2]
     eye3 = jnp.eye(3, dtype=Hpp.dtype)
     Vinv = jnp.linalg.inv(Hpp + lam * eye3[None])  # (P,3,3)
-    WV = jnp.einsum("pkij,pjl->pkil", Wp, Vinv)  # (P,K,6,3)
-    S = jnp.zeros((C * C, 6, 6), Hpp.dtype)
+    WV = jnp.einsum("pkij,pjl->pkil", Wp, Vinv)  # (P,K,D,3)
+    S = jnp.zeros((C * C, D, D), Hpp.dtype)
     for k in range(K):  # static unroll; K = longest track
-        contrib = -jnp.einsum("pil,pqjl->pqij", WV[:, k], Wp)  # (P,K,6,6)
+        contrib = -jnp.einsum("pil,pqjl->pqij", WV[:, k], Wp)  # (P,K,D,D)
         seg = camT[:, k][:, None] * C + camT  # (P,K) -> flat cam-pair ids
         S = S + jax.ops.segment_sum(
-            contrib.reshape(P * K, 6, 6), seg.reshape(P * K), C * C
+            contrib.reshape(P * K, D, D), seg.reshape(P * K), C * C
         )
-    S = S.reshape(C, C, 6, 6).transpose(0, 2, 1, 3)  # (C,6,C,6)
+    S = S.reshape(C, C, D, D).transpose(0, 2, 1, 3)  # (C,D,C,D)
     rhs = jax.ops.segment_sum(
-        jnp.einsum("pkil,pl->pki", WV, bp).reshape(P * K, 6),
+        jnp.einsum("pkil,pl->pki", WV, bp).reshape(P * K, D),
         camT.reshape(P * K),
         C,
-    )  # (C,6): + W Vinv bp
+    )  # (C,D): + W Vinv bp
     return S, rhs, Vinv
 
 
-def _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam, fixed=None):
+def _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam, fixed=None,
+                   fixed_dofs=None):
     """Dense solve of the reduced camera system
     S = blockdiag(Hcc + lam I) - W Vinv W^T (the latter is S_partial).
 
     fixed: optional (C,) bool — cameras whose delta is constrained to 0
     (windowed BA holds out-of-window cameras). Defaults to camera 0 only
-    (gauge anchor)."""
-    C = Hcc.shape[0]
-    block = Hcc + lam * jnp.eye(6, dtype=Hcc.dtype)[None]
+    (gauge anchor). fixed_dofs: optional (C*D,) bool overriding the
+    per-camera mask with per-DOF pins (vi_ba pins keyframe 0's pose but
+    leaves its velocity live)."""
+    C, D = Hcc.shape[0], Hcc.shape[-1]
+    block = Hcc + lam * jnp.eye(D, dtype=Hcc.dtype)[None]
 
     def add_block(c, M):
-        cur = lax.dynamic_slice(M, (c * 6, c * 6), (6, 6))
-        return lax.dynamic_update_slice(M, cur + block[c], (c * 6, c * 6))
+        cur = lax.dynamic_slice(M, (c * D, c * D), (D, D))
+        return lax.dynamic_update_slice(M, cur + block[c], (c * D, c * D))
 
-    S = lax.fori_loop(0, C, add_block, S_partial.reshape(C * 6, C * 6))
-    rhs = (-bc + rhs_partial).reshape(C * 6)
+    S = lax.fori_loop(0, C, add_block, S_partial.reshape(C * D, C * D))
+    rhs = (-bc + rhs_partial).reshape(C * D)
     # Gauge fix INSIDE the system: constrain pinned cameras' deltas to 0
     # (replace their rows/cols with identity) so the point
     # back-substitution sees the pinned solution — zeroing delta after the
     # solve would let each iteration's point updates track a camera motion
     # that is then discarded, and leaves the gauge direction to lam alone.
-    if fixed is None:
-        fixed = jnp.arange(C) == 0
-    free = jnp.repeat(~fixed, 6)  # (6C,) True where the solve is live
-    n = S.shape[0]
+    if fixed_dofs is not None:
+        free = ~fixed_dofs
+    else:
+        if fixed is None:
+            fixed = jnp.arange(C) == 0
+        free = jnp.repeat(~fixed, D)  # (DC,) True where the solve is live
     keep = free[:, None] & free[None, :]
     S = jnp.where(keep, S, 0.0)
     S = S + jnp.diag(jnp.where(free, 0.0, 1.0).astype(S.dtype))
     rhs = jnp.where(free, rhs, 0.0)
-    return jnp.linalg.solve(S, rhs).reshape(C, 6)
+    return jnp.linalg.solve(S, rhs).reshape(C, D)
 
 
 def _back_substitute(Vinv, Wp, camT, bp, delta_c):

@@ -1,0 +1,391 @@
+"""Tightly-coupled visual-inertial bundle adjustment.
+
+The reference is pure vision (SURVEY.md §2); `slam/imu.py` added the
+loosely-coupled layer (preintegration + the linear VI initialization).
+This module closes the remaining gap to a production VI stack: the
+preintegrated IMU deltas become FACTORS inside bundle adjustment, jointly
+refined with the reprojection residuals, instead of a one-shot alignment
+applied after vision has already converged.
+
+State per keyframe is 9-DOF: axis-angle rotation r and translation t of
+the world->cam pose (as in `ba.BAProblem`) plus the world-frame velocity
+v. Gravity is a known constant of the problem (from
+`visual_inertial_alignment*`), and biases are assumed corrected upstream
+(`estimate_gyro_bias` / the accel-bias columns) — the factors consume
+already-corrected deltas. Between consecutive keyframes i -> i+1 the
+standard preintegration constraints contribute 9 residuals:
+
+    r_R = Log(dR_i^T  R_i R_{i+1}^T)                       (body frame)
+    r_v = R_i (v_{i+1} - v_i - g T_i)            - dv_i
+    r_p = R_i (c_{i+1} - c_i - v_i T_i - g T_i^2/2) - dp_i
+
+with R_i the world->cam rotation, c_i = -R_i^T t_i the camera center and
+body == camera frame (the `slam/imu.py` convention). Each residual block
+is scaled by an information weight (1/sigma); reprojection residuals are
+in pixels, so the defaults assume sigma_R ~ 1e-3 rad, sigma_v ~ 1e-2 m/s,
+sigma_p ~ 1e-3 m for a ~1 px pixel sigma — pass `imu_weight` to match a
+real sensor's noise model.
+
+TPU-native structure (same skeleton as `slam/ba.py`): all reprojection
+residuals/Jacobians in one vmap batch, the point blocks eliminated by the
+sparse Schur complement, and the IMU factors — which never touch points —
+assembled directly into the REDUCED camera system as (i, i), (i, i+1),
+(i+1, i), (i+1, i+1) blocks of the dense (C*9)^2 solve. The whole
+Gauss-Newton loop is one `lax.scan` under jit. The IMU terms make metric
+scale OBSERVABLE: a uniformly rescaled monocular solution has identical
+reprojection residuals (the gauge direction vision cannot see) but
+violates the metric dv/dp deltas, so VI-BA pulls the map back to metric
+scale — pinned by tests/test_vi_ba.py.
+
+Gauge: keyframe 0's POSE is pinned (6 DOF); its velocity stays live (the
+IMU observes it). With gravity known the residual yaw-about-g gauge is
+absorbed by the pose pin, exactly as in standard VI odometry.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .ba import (
+    _back_substitute,
+    _rodrigues,
+    _schur_reduce,
+    _solve_cameras,
+    build_track_table,
+    project,
+)
+from .imu import _log_so3
+
+
+class VIBAProblem(NamedTuple):
+    """Visual-inertial BA problem over C keyframes and P points.
+
+    The visual part mirrors `ba.BAProblem` with 9-wide states; the
+    inertial part carries one preintegrated interval per consecutive
+    keyframe pair (`slam.imu.preintegrate` on each interval's samples,
+    bias-corrected)."""
+
+    states: jnp.ndarray  # (C, 9): axis-angle r, translation t, velocity v
+    points: jnp.ndarray  # (P, 3)
+    cam_idx: jnp.ndarray  # (M,) int32
+    pt_idx: jnp.ndarray  # (M,) int32
+    obs: jnp.ndarray  # (M, 2) pixel observations
+    dR: jnp.ndarray  # (C-1, 3, 3) preintegrated rotations
+    dv: jnp.ndarray  # (C-1, 3)
+    dp: jnp.ndarray  # (C-1, 3)
+    interval_T: jnp.ndarray  # (C-1,) interval durations [s]
+    gravity: jnp.ndarray  # (3,) world gravity (acceleration, e.g. (0,-9.81,0))
+    focal: float = 1.0
+    weight: jnp.ndarray | None = None  # (M,) optional per-obs weights
+    baseline: jnp.ndarray | None = None  # (M,) optional rig eye offsets
+    # information weights (1/sigma) for the (rotation, velocity, position)
+    # residual blocks, in (rad, m/s, m)^-1 against pixel-unit reprojection
+    imu_weight: jnp.ndarray = None  # (3,)
+
+
+DEFAULT_IMU_WEIGHT = (1e3, 1e2, 1e3)
+
+
+def _vis_residual_jac(state, X, uv, focal, baseline):
+    """Reprojection residual of one observation against a 9-DOF state:
+    (r (2,), J_state (2,9), J_pt (2,3)). The velocity columns are exact
+    zeros (vision never sees v); jacfwd produces them for free."""
+
+    def res(sX):
+        s, x = sX
+        return project(s[:6], x, focal, baseline) - uv
+
+    r = res((state, X))
+    Js, Jp = jax.jacfwd(res)((state, X))
+    return r, Js, Jp
+
+
+def _imu_residual(si, sj, dR, dv, dp, T, g, w3):
+    """The 9 preintegration residuals between consecutive states (see
+    module docstring), each block scaled by its information weight."""
+    Ri = _rodrigues(si[:3])
+    Rj = _rodrigues(sj[:3])
+    ci = -Ri.T @ si[3:6]
+    cj = -Rj.T @ sj[3:6]
+    vi, vj = si[6:9], sj[6:9]
+    r_rot = _log_so3(dR.T @ (Ri @ Rj.T))
+    r_vel = Ri @ (vj - vi - g * T) - dv
+    r_pos = Ri @ (cj - ci - vi * T - 0.5 * g * T * T) - dp
+    return jnp.concatenate([w3[0] * r_rot, w3[1] * r_vel, w3[2] * r_pos])
+
+
+def _imu_residual_jac(si, sj, dR, dv, dp, T, g, w3):
+    r = _imu_residual(si, sj, dR, dv, dp, T, g, w3)
+    Ji, Jj = jax.jacfwd(_imu_residual, argnums=(0, 1))(
+        si, sj, dR, dv, dp, T, g, w3
+    )
+    return r, Ji, Jj
+
+
+def _imu_system(problem: VIBAProblem, C: int):
+    """Gauss-Newton contribution of the IMU factors to the camera system.
+
+    Returns (H (C,9,C,9), b (C,9), mean_sq_residual). H carries the
+    off-block-diagonal (i, i+1) coupling the block-diagonal `Hcc` path of
+    `_solve_cameras` cannot hold, so the caller folds it into S_partial
+    (which is added to the dense system in full)."""
+    s = problem.states
+    w3 = (
+        problem.imu_weight
+        if problem.imu_weight is not None
+        else jnp.asarray(DEFAULT_IMU_WEIGHT, s.dtype)
+    )
+    r, Ji, Jj = jax.vmap(
+        _imu_residual_jac, in_axes=(0, 0, 0, 0, 0, 0, None, None)
+    )(
+        s[:-1], s[1:], problem.dR, problem.dv, problem.dp,
+        problem.interval_T, problem.gravity, w3,
+    )
+    n = C - 1
+    i_idx = jnp.arange(n, dtype=jnp.int32)
+    j_idx = i_idx + 1
+    # the four (row, col) block families of each binary factor
+    Hm = jnp.concatenate(
+        [
+            jnp.einsum("mki,mkj->mij", Ji, Ji),
+            jnp.einsum("mki,mkj->mij", Ji, Jj),
+            jnp.einsum("mki,mkj->mij", Jj, Ji),
+            jnp.einsum("mki,mkj->mij", Jj, Jj),
+        ]
+    )
+    seg = jnp.concatenate(
+        [
+            i_idx * C + i_idx,
+            i_idx * C + j_idx,
+            j_idx * C + i_idx,
+            j_idx * C + j_idx,
+        ]
+    )
+    H = jax.ops.segment_sum(Hm, seg, C * C)
+    H = H.reshape(C, C, 9, 9).transpose(0, 2, 1, 3)  # (C,9,C,9)
+    bm = jnp.concatenate(
+        [jnp.einsum("mki,mk->mi", Ji, r), jnp.einsum("mki,mk->mi", Jj, r)]
+    )
+    b = jax.ops.segment_sum(bm, jnp.concatenate([i_idx, j_idx]), C)
+    return H, b, jnp.mean(r * r)
+
+
+def _assemble_vis(problem: VIBAProblem, C: int, P: int, table):
+    """Visual blocks with 9-wide camera Jacobians (`ba._assemble` with the
+    state slice; see there for the table/W-sparsity contract)."""
+    f = jnp.asarray(problem.focal, problem.points.dtype)
+    bl = (
+        problem.baseline
+        if problem.baseline is not None
+        else jnp.zeros(problem.obs.shape[:1], problem.obs.dtype)
+    )
+    r, Jc, Jp = jax.vmap(_vis_residual_jac, in_axes=(0, 0, 0, None, 0))(
+        problem.states[problem.cam_idx], problem.points[problem.pt_idx],
+        problem.obs, f, bl,
+    )
+    if problem.weight is not None:
+        w = problem.weight[:, None]
+        r = r * w
+        Jc = Jc * w[..., None]
+        Jp = Jp * w[..., None]
+    Hcc = jax.ops.segment_sum(
+        jnp.einsum("mki,mkj->mij", Jc, Jc), problem.cam_idx, C
+    )
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum("mki,mkj->mij", Jp, Jp), problem.pt_idx, P
+    )
+    bc = jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jc, r), problem.cam_idx, C)
+    bp = jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jp, r), problem.pt_idx, P)
+    Wm = jnp.einsum("mki,mkj->mij", Jc, Jp)  # (M,9,3)
+    mask = table >= 0
+    tt = jnp.where(mask, table, 0)
+    Wp = Wm[tt] * mask[..., None, None]
+    camT = jnp.where(mask, problem.cam_idx[tt], 0)
+    return Hcc, Hpp, bc, bp, Wp, camT, r
+
+
+def _gn_step_vi(problem: VIBAProblem, lam, C: int, P: int, table, fixed_dofs):
+    Hcc, Hpp, bc, bp, Wp, camT, r = _assemble_vis(problem, C, P, table)
+    S_partial, rhs_partial, Vinv = _schur_reduce(Hpp, bp, Wp, camT, lam, C)
+    H_imu, b_imu, msr_imu = _imu_system(problem, C)
+    delta_c = _solve_cameras(
+        Hcc, bc + b_imu, S_partial + H_imu, rhs_partial, lam,
+        fixed_dofs=fixed_dofs,
+    )
+    delta_p = _back_substitute(Vinv, Wp, camT, bp, delta_c)
+    out = problem._replace(
+        states=problem.states + delta_c, points=problem.points + delta_p
+    )
+    return out, jnp.mean(r * r), msr_imu
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _vi_bundle_adjust_jit(problem: VIBAProblem, table, fixed_dofs, iters, lam):
+    C = problem.states.shape[0]
+    P = problem.points.shape[0]
+
+    def body(carry, _):
+        prob, l = carry
+        prob, msr_vis, msr_imu = _gn_step_vi(prob, l, C, P, table, fixed_dofs)
+        return (prob, l), jnp.stack([msr_vis, msr_imu])
+
+    (out, _), hist = lax.scan(body, (problem, lam), None, length=iters)
+    return out, hist
+
+
+def vi_bundle_adjust(
+    problem: VIBAProblem,
+    iters: int = 12,
+    lam: float = 1e-3,
+    fixed_states=None,
+) -> Tuple[VIBAProblem, jnp.ndarray]:
+    """Joint Gauss-Newton over 9-DOF states + points with IMU factors.
+
+    Returns (refined problem, (iters, 2) history of mean-square visual /
+    IMU residuals). Needs concrete pt_idx (the observation table is built
+    host-side) — call from the host loop, not inside jit.
+
+    fixed_states: optional (C,) bool of keyframes whose POSE is held
+    (windowed use); keyframe 0's pose is always pinned as the gauge
+    anchor. Velocities are never pinned — the IMU observes them."""
+    import numpy as np
+
+    C = problem.states.shape[0]
+    P = problem.points.shape[0]
+    if C < 2:
+        raise ValueError("VI-BA needs >= 2 keyframes (one IMU interval)")
+    valid = None if problem.weight is None else np.asarray(problem.weight) > 0
+    table = jnp.asarray(build_track_table(problem.pt_idx, P, valid=valid))
+    pinned = np.zeros(C, bool)
+    pinned[0] = True
+    if fixed_states is not None:
+        pinned |= np.asarray(fixed_states, bool)
+    dofs = np.zeros((C, 9), bool)
+    dofs[pinned, :6] = True  # pose pinned, velocity live
+    lam = jnp.asarray(lam, problem.points.dtype)
+    return _vi_bundle_adjust_jit(
+        problem, table, jnp.asarray(dofs.reshape(-1)), iters, lam
+    )
+
+
+def vi_problem_from_ba(
+    ba_problem,
+    velocities,
+    dR,
+    dv,
+    dp,
+    interval_T,
+    gravity,
+    imu_weight=DEFAULT_IMU_WEIGHT,
+) -> VIBAProblem:
+    """Lift a visual `ba.BAProblem` (consecutive-keyframe cameras) into a
+    `VIBAProblem` given initial velocities and the preintegrated deltas of
+    each consecutive interval (bias-corrected; `slam.imu.preintegrate`)."""
+    states = jnp.concatenate(
+        [ba_problem.cams, jnp.asarray(velocities, ba_problem.cams.dtype)],
+        axis=-1,
+    )
+    return VIBAProblem(
+        states=states,
+        points=ba_problem.points,
+        cam_idx=ba_problem.cam_idx,
+        pt_idx=ba_problem.pt_idx,
+        obs=ba_problem.obs,
+        dR=jnp.asarray(dR, states.dtype),
+        dv=jnp.asarray(dv, states.dtype),
+        dp=jnp.asarray(dp, states.dtype),
+        interval_T=jnp.asarray(interval_T, states.dtype),
+        gravity=jnp.asarray(gravity, states.dtype),
+        focal=ba_problem.focal,
+        weight=ba_problem.weight,
+        baseline=ba_problem.baseline,
+        imu_weight=jnp.asarray(imu_weight, states.dtype),
+    )
+
+
+def refine_with_imu(
+    poses,
+    trans,
+    points,
+    cam_idx,
+    pt_idx,
+    obs,
+    focal,
+    gyro,
+    accel,
+    dt,
+    valid=None,
+    *,
+    gravity_mag: float = 9.81,
+    imu_weight=DEFAULT_IMU_WEIGHT,
+    iters: int = 12,
+    lam: float = 1e-3,
+):
+    """End-to-end tightly-coupled refinement of a monocular solution.
+
+    Pipeline: gyro/accel bias estimation + the linear VI alignment
+    (`slam.imu.visual_inertial_alignment_with_bias`) initialize metric
+    scale, gravity and velocities; the visual solution is rescaled to
+    metric; then `vi_bundle_adjust` jointly refines poses, velocities and
+    points against reprojection + preintegration factors.
+
+    poses/trans: (K,3,3)/(K,3) world->cam keyframe poses (up-to-scale);
+    points (P,3) in the same frame; cam_idx/pt_idx/obs the keyframe
+    observations (`ba.BAProblem` layout); gyro/accel/dt/valid the
+    per-interval IMU logs as in `visual_inertial_alignment_with_bias`.
+
+    Returns (VIBAProblem refined, info dict with scale/gravity/biases and
+    the residual history)."""
+    import cv2
+    import numpy as np
+
+    from .imu import preintegrate, visual_inertial_alignment_with_bias
+
+    live = np.ones(np.asarray(dt).shape, bool) if valid is None else np.asarray(valid, bool)
+    T = np.sum(np.asarray(dt, np.float64) * live, axis=-1)  # (K-1,)
+    s, g, vels, bg, ba_bias, rms = visual_inertial_alignment_with_bias(
+        poses, trans, T, gyro, accel, dt, valid, gravity_mag=gravity_mag,
+    )
+    dR, dv, dp = preintegrate(
+        np.asarray(gyro, np.float32) - np.asarray(bg, np.float32),
+        np.asarray(accel, np.float32) - np.asarray(ba_bias, np.float32),
+        dt, live,
+    )
+    cams = jnp.asarray(
+        np.concatenate(
+            [
+                np.stack([cv2.Rodrigues(np.asarray(R))[0].ravel() for R in poses]),
+                s * np.asarray(trans, np.float64),  # metric translations
+            ],
+            axis=-1,
+        ),
+        jnp.float32,
+    )
+    from .ba import BAProblem
+
+    prob = vi_problem_from_ba(
+        BAProblem(
+            cams=cams,
+            points=jnp.asarray(s * np.asarray(points, np.float64), jnp.float32),
+            cam_idx=jnp.asarray(cam_idx, jnp.int32),
+            pt_idx=jnp.asarray(pt_idx, jnp.int32),
+            obs=jnp.asarray(obs, jnp.float32),
+            focal=focal,
+        ),
+        vels, dR, dv, dp, T, g, imu_weight=imu_weight,
+    )
+    out, hist = vi_bundle_adjust(prob, iters=iters, lam=lam)
+    info = {
+        "scale": float(s),
+        "gravity": np.asarray(g),
+        "gyro_bias": np.asarray(bg),
+        "accel_bias": np.asarray(ba_bias),
+        "alignment_rms": float(rms),
+        "history": np.asarray(hist),
+    }
+    return out, info

@@ -1,0 +1,266 @@
+"""Tightly-coupled visual-inertial BA (slam/vi_ba.py): the preintegration
+residual conventions pinned at ground truth, joint convergence from a
+perturbed init, and the headline property vision alone cannot provide —
+METRIC SCALE OBSERVABILITY: a uniformly rescaled monocular solution has
+identical reprojection residuals (the scale gauge), but violates the
+metric IMU deltas, so VI-BA pulls the map back to true scale while
+vision-only BA provably leaves it where it started."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+jnp = pytest.importorskip("jax.numpy")
+
+from optical_flow_tpu.slam.ba import BAProblem, bundle_adjust, project
+from optical_flow_tpu.slam.imu import preintegrate
+from optical_flow_tpu.slam.vi_ba import (
+    VIBAProblem,
+    refine_with_imu,
+    vi_bundle_adjust,
+    vi_problem_from_ba,
+)
+
+G_W = np.asarray([0.0, -9.81, 0.0])
+FOCAL = 500.0
+
+
+def _traj(t):
+    """Analytic trajectory: center, world acceleration, world->cam R."""
+    om = 2 * np.pi / 8.0
+    r, a = 0.4, 0.1
+    t = np.asarray(t, np.float64)
+    c = np.stack(
+        [r * np.sin(om * t), a * (1 - np.cos(2 * om * t)), r * (1 - np.cos(om * t))],
+        -1,
+    )
+    acc = np.stack(
+        [
+            -r * om * om * np.sin(om * t),
+            4 * a * om * om * np.cos(2 * om * t),
+            r * om * om * np.cos(om * t),
+        ],
+        -1,
+    )
+
+    def rot(ti):
+        # time-varying rotation about two DIFFERENT axes (bias estimation
+        # in refine_with_imu needs the axis variety; see slam/imu.py)
+        ry, _ = cv2.Rodrigues(np.asarray([0.0, 0.25 * np.sin(om * ti), 0.0]))
+        rx, _ = cv2.Rodrigues(
+            np.asarray([0.15 * np.sin(2 * om * ti + 0.5), 0.0, 0.0])
+        )
+        return rx @ ry  # world->cam
+
+    R = np.stack([rot(ti) for ti in np.atleast_1d(t)])
+    return c, acc, R
+
+
+def _make_scene(K=8, dt_kf=0.5, rate=200.0, seed=0):
+    """K keyframes on the analytic trajectory, a landmark cloud observed
+    by all of them, and the exact IMU log of each interval."""
+    rng = np.random.RandomState(seed)
+    kf_t = np.arange(K) * dt_kf
+    centers, _, poses = _traj(kf_t)
+    trans = np.einsum("kij,kj->ki", poses, -centers)
+    X = np.stack(
+        [
+            rng.uniform(-1.2, 1.2, 120),
+            rng.uniform(-0.9, 0.9, 120),
+            rng.uniform(3.0, 6.0, 120),
+        ],
+        -1,
+    )
+    cams = np.concatenate(
+        [np.stack([cv2.Rodrigues(R)[0].ravel() for R in poses]), trans], -1
+    )
+    cam_idx, pt_idx, obs = [], [], []
+    for k in range(K):
+        for p in range(len(X)):
+            uv = np.asarray(project(jnp.asarray(cams[k]), jnp.asarray(X[p]), FOCAL))
+            cam_idx.append(k)
+            pt_idx.append(p)
+            obs.append(uv)
+    # IMU: numeric gyro from the relative-rotation log, analytic accel
+    n = int(round(dt_kf * rate))
+    h = 1.0 / rate
+    gyro = np.zeros((K - 1, n, 3))
+    accel = np.zeros((K - 1, n, 3))
+    dt = np.full((K - 1, n), h)
+    vel = np.zeros((K, 3))
+    eps = 1e-6
+    for k in range(K):
+        c0, _, _ = _traj(kf_t[k] - eps)
+        c1, _, _ = _traj(kf_t[k] + eps)
+        vel[k] = (c1 - c0) / (2 * eps)
+    for i in range(K - 1):
+        for s in range(n):
+            t0 = kf_t[i] + s * h
+            tm = t0 + 0.5 * h
+            _, _, R0 = _traj(t0)
+            _, _, R1 = _traj(t0 + h)
+            w, _ = cv2.Rodrigues(R0[0] @ R1[0].T)
+            gyro[i, s] = w.ravel() / h
+            _, am, Rm = _traj(tm)
+            accel[i, s] = Rm[0] @ (am - G_W)
+    return {
+        "kf_t": kf_t,
+        "poses": poses,
+        "trans": trans,
+        "centers": centers,
+        "vel": vel,
+        "X": X,
+        "cams": cams,
+        "cam_idx": np.asarray(cam_idx, np.int32),
+        "pt_idx": np.asarray(pt_idx, np.int32),
+        "obs": np.stack(obs),
+        "gyro": gyro,
+        "accel": accel,
+        "dt": dt,
+    }
+
+
+def _problem(sc, states=None, points=None):
+    dR, dv, dp = preintegrate(sc["gyro"], sc["accel"], sc["dt"])
+    base = BAProblem(
+        cams=jnp.asarray(sc["cams"] if states is None else states[:, :6]),
+        points=jnp.asarray(sc["X"] if points is None else points),
+        cam_idx=jnp.asarray(sc["cam_idx"]),
+        pt_idx=jnp.asarray(sc["pt_idx"]),
+        obs=jnp.asarray(sc["obs"]),
+        focal=FOCAL,
+    )
+    v = sc["vel"] if states is None else states[:, 6:9]
+    T = np.sum(sc["dt"], -1)
+    return vi_problem_from_ba(base, v, dR, dv, dp, T, G_W)
+
+
+def _scale_of(states, sc):
+    """Mean trajectory-scale ratio vs ground truth (c_0 = 0 by design)."""
+    est = np.stack(
+        [
+            -cv2.Rodrigues(np.asarray(s[:3]))[0].T @ np.asarray(s[3:6])
+            for s in states
+        ]
+    )
+    true = sc["centers"]
+    num = np.linalg.norm(est[1:], axis=1)
+    den = np.linalg.norm(true[1:], axis=1)
+    return float(np.mean(num / den)), est
+
+
+def test_vi_residuals_zero_at_ground_truth():
+    """The formulation's conventions (world->cam poses, c = -R^T t, body
+    == camera, gravity sign) pinned: at ground truth every residual is
+    integration error only."""
+    from optical_flow_tpu.slam.vi_ba import _imu_residual
+
+    sc = _make_scene()
+    prob = _problem(sc)
+    w3 = jnp.asarray([1.0, 1.0, 1.0])
+    for i in range(len(sc["kf_t"]) - 1):
+        r = np.asarray(
+            _imu_residual(
+                prob.states[i], prob.states[i + 1], prob.dR[i], prob.dv[i],
+                prob.dp[i], prob.interval_T[i], prob.gravity, w3,
+            )
+        )
+        assert np.abs(r[:3]).max() < 2e-4, (i, r)  # rad
+        assert np.abs(r[3:6]).max() < 2e-3, (i, r)  # m/s (f32 preint)
+        assert np.abs(r[6:9]).max() < 1e-3, (i, r)  # m
+
+
+def test_vi_ba_converges_from_perturbed_init():
+    sc = _make_scene()
+    rng = np.random.RandomState(7)
+    states = np.concatenate([sc["cams"], sc["vel"]], -1)
+    pert = states.copy()
+    pert[1:, :3] += rng.randn(len(states) - 1, 3) * 0.01
+    pert[1:, 3:6] += rng.randn(len(states) - 1, 3) * 0.02
+    pert[:, 6:9] += rng.randn(len(states), 3) * 0.05
+    Xp = sc["X"] + rng.randn(*sc["X"].shape) * 0.02
+    prob = _problem(sc, states=pert, points=Xp)
+    out, hist = vi_bundle_adjust(prob, iters=12, lam=1e-4)
+    scale, est = _scale_of(np.asarray(out.states), sc)
+    err = np.linalg.norm(est - sc["centers"], axis=1)
+    assert err.mean() < 5e-3, err
+    assert abs(scale - 1.0) < 0.01, scale
+    v_err = np.abs(np.asarray(out.states)[:, 6:9] - sc["vel"]).max()
+    assert v_err < 0.03, v_err
+    # residual history decreases
+    h = np.asarray(hist)
+    assert h[-1, 0] < h[0, 0]
+
+
+def test_vi_ba_recovers_metric_scale_where_vision_cannot():
+    """The headline: scale the whole monocular solution by 1.15 — vision
+    is blind to it (gauge), the IMU factors are not."""
+    sc = _make_scene()
+    s0 = 1.15
+    states = np.concatenate([sc["cams"], sc["vel"]], -1)
+    scaled = states.copy()
+    scaled[:, 3:6] *= s0  # t = -R c scales with c
+    scaled[:, 6:9] *= s0
+    Xs = sc["X"] * s0
+
+    # vision-only BA: the scaled solution is a zero-gradient gauge point
+    vis, _ = bundle_adjust(
+        BAProblem(
+            cams=jnp.asarray(scaled[:, :6]),
+            points=jnp.asarray(Xs),
+            cam_idx=jnp.asarray(sc["cam_idx"]),
+            pt_idx=jnp.asarray(sc["pt_idx"]),
+            obs=jnp.asarray(sc["obs"]),
+            focal=FOCAL,
+        ),
+        iters=8,
+    )
+    s_vis, _ = _scale_of(
+        np.concatenate([np.asarray(vis.cams), scaled[:, 6:9]], -1), sc
+    )
+    assert s_vis > 1.12, s_vis  # scale untouched by vision
+
+    out, _ = vi_bundle_adjust(_problem(sc, states=scaled, points=Xs), iters=15, lam=1e-4)
+    s_vi, est = _scale_of(np.asarray(out.states), sc)
+    assert abs(s_vi - 1.0) < 0.015, s_vi
+    err = np.linalg.norm(est - sc["centers"], axis=1)
+    assert err.mean() < 5e-3, err
+
+
+def test_refine_with_imu_end_to_end_under_bias():
+    """Up-to-scale visual solution + BIASED raw IMU logs -> metric
+    trajectory: bias estimation, linear alignment init, then the joint
+    VI-BA — the full tightly-coupled pipeline in one call."""
+    sc = _make_scene()
+    s_true = 3.0  # metric = s_true * visual units
+    bg = np.asarray([0.01, -0.008, 0.012])
+    ba = np.asarray([0.08, -0.05, 0.10])
+    gyro = sc["gyro"] + bg
+    accel = sc["accel"] + ba
+    out, info = refine_with_imu(
+        sc["poses"],
+        sc["trans"] / s_true,
+        sc["X"] / s_true,
+        sc["cam_idx"],
+        sc["pt_idx"],
+        sc["obs"],
+        FOCAL,
+        gyro,
+        accel,
+        sc["dt"],
+        iters=12,
+    )
+    assert abs(info["scale"] - s_true) / s_true < 0.05, info["scale"]
+    np.testing.assert_allclose(info["gyro_bias"], bg, atol=2e-3)
+    scale, est = _scale_of(np.asarray(out.states), sc)
+    err = np.linalg.norm(est - sc["centers"], axis=1)
+    span = np.linalg.norm(sc["centers"], axis=1).max()
+    assert err.mean() < 0.03 * span, (err.mean(), span)
+    assert abs(scale - 1.0) < 0.03, scale
+
+
+def test_vi_ba_rejects_single_keyframe():
+    sc = _make_scene(K=8)
+    prob = _problem(sc)
+    with pytest.raises(ValueError):
+        vi_bundle_adjust(prob._replace(states=prob.states[:1]))
