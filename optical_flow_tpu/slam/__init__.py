@@ -53,6 +53,7 @@ from optical_flow_tpu.slam.imu import (
 from optical_flow_tpu.slam.vi_ba import (
     VIBAProblem,
     refine_with_imu,
+    sharded_vi_bundle_adjust,
     vi_bundle_adjust,
     vi_problem_from_ba,
 )
@@ -70,6 +71,7 @@ __all__ = [
     "visual_inertial_alignment",
     "VIBAProblem",
     "refine_with_imu",
+    "sharded_vi_bundle_adjust",
     "vi_bundle_adjust",
     "vi_problem_from_ba",
     "dense_depth",

@@ -209,9 +209,20 @@ def _assemble_vis(problem: VIBAProblem, C: int, P: int, table):
     return Hcc, Hpp, bc, bp, Wp, camT, r
 
 
-def _gn_step_vi(problem: VIBAProblem, lam, C: int, P: int, table, fixed_dofs):
+def _gn_step_vi(problem: VIBAProblem, lam, C: int, P: int, table, fixed_dofs,
+                psum_axes=None):
     Hcc, Hpp, bc, bp, Wp, camT, r = _assemble_vis(problem, C, P, table)
     S_partial, rhs_partial, Vinv = _schur_reduce(Hpp, bp, Wp, camT, lam, C)
+    if psum_axes is not None:
+        # Points/observations are sharded; the camera system is the one
+        # global object (slam/ba.py `_gn_step`). The IMU factors are added
+        # AFTER the psum: their inputs (states, deltas) are replicated, so
+        # every device computes the identical H_imu once — psumming it
+        # would multiply the factor by the mesh size.
+        S_partial = lax.psum(S_partial, psum_axes)
+        rhs_partial = lax.psum(rhs_partial, psum_axes)
+        Hcc = lax.psum(Hcc, psum_axes)
+        bc = lax.psum(bc, psum_axes)
     H_imu, b_imu, msr_imu = _imu_system(problem, C)
     delta_c = _solve_cameras(
         Hcc, bc + b_imu, S_partial + H_imu, rhs_partial, lam,
@@ -271,6 +282,109 @@ def vi_bundle_adjust(
     return _vi_bundle_adjust_jit(
         problem, table, jnp.asarray(dofs.reshape(-1)), iters, lam
     )
+
+
+def sharded_vi_bundle_adjust(
+    problem: VIBAProblem,
+    mesh,
+    iters: int = 12,
+    lam: float = 1e-3,
+) -> Tuple[VIBAProblem, jnp.ndarray]:
+    """VI-BA with points + observations sharded over every mesh axis;
+    states, IMU deltas and gravity replicated (same contract as
+    `ba.sharded_bundle_adjust`: P and M divisible by mesh.size, pt_idx
+    LOCAL to each shard's point slice). The visual camera system is
+    psum-reduced; the IMU factors — O(C) data, replicated — are assembled
+    identically on every device after the reduction, so state updates are
+    identical everywhere and point updates stay local. ICI traffic per
+    iteration is O((9C)^2), independent of the number of points."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P_
+
+    from .ba import build_track_table as _btt
+
+    axes = tuple(mesh.axis_names)
+    n = mesh.size
+    P_pts = problem.points.shape[0]
+    M = problem.obs.shape[0]
+    if P_pts % n or M % n:
+        raise ValueError(f"points {P_pts} and obs {M} must divide mesh size {n}")
+    C = problem.states.shape[0]
+    lamv = jnp.asarray(lam, problem.points.dtype)
+    P_local = P_pts // n
+    M_local = M // n
+
+    pt_np = np.asarray(problem.pt_idx)
+    K = max(
+        int(np.bincount(pt_np[d * M_local : (d + 1) * M_local], minlength=1).max())
+        for d in range(n)
+    )
+    tables = np.stack(
+        [
+            _btt(pt_np[d * M_local : (d + 1) * M_local], P_local, K)
+            for d in range(n)
+        ]
+    ).reshape(n * P_local, K)
+
+    dofs = np.zeros((C, 9), bool)
+    dofs[0, :6] = True  # gauge anchor; velocities always live
+    fixed_dofs = jnp.asarray(dofs.reshape(-1))
+
+    def local_vi_ba(
+        states, points, cam_idx, pt_idx, obs, weight, bline, table,
+        dR, dv, dp, T, g, w3,
+    ):
+        prob = VIBAProblem(
+            states=states, points=points, cam_idx=cam_idx, pt_idx=pt_idx,
+            obs=obs, dR=dR, dv=dv, dp=dp, interval_T=T, gravity=g,
+            focal=problem.focal, weight=weight, baseline=bline,
+            imu_weight=w3,
+        )
+
+        def body(carry, _):
+            pr, l = carry
+            pr, msr_vis, msr_imu = _gn_step_vi(
+                pr, l, C, P_local, table, fixed_dofs, psum_axes=axes
+            )
+            return (pr, l), jnp.stack([lax.psum(msr_vis, axes) / n, msr_imu])
+
+        (out, _), hist = lax.scan(body, (prob, lamv), None, length=iters)
+        return out.states, out.points, hist
+
+    spec_pt = P_(axes)
+    spec_rep = P_()
+    fn = jax.shard_map(
+        local_vi_ba,
+        mesh=mesh,
+        in_specs=(
+            spec_rep, spec_pt, spec_pt, spec_pt, spec_pt, spec_pt, spec_pt,
+            spec_pt, spec_rep, spec_rep, spec_rep, spec_rep, spec_rep,
+            spec_rep,
+        ),
+        out_specs=(spec_rep, spec_pt, spec_rep),
+    )
+    weight = (
+        problem.weight
+        if problem.weight is not None
+        else jnp.ones((M,), problem.obs.dtype)
+    )
+    bline = (
+        problem.baseline
+        if problem.baseline is not None
+        else jnp.zeros((M,), problem.obs.dtype)
+    )
+    w3 = (
+        problem.imu_weight
+        if problem.imu_weight is not None
+        else jnp.asarray(DEFAULT_IMU_WEIGHT, problem.states.dtype)
+    )
+    states, points, hist = fn(
+        problem.states, problem.points, problem.cam_idx, problem.pt_idx,
+        problem.obs, weight, bline, jnp.asarray(tables),
+        problem.dR, problem.dv, problem.dp, problem.interval_T,
+        problem.gravity, w3,
+    )
+    return problem._replace(states=states, points=points), hist
 
 
 def vi_problem_from_ba(

@@ -259,6 +259,47 @@ def test_refine_with_imu_end_to_end_under_bias():
     assert abs(scale - 1.0) < 0.03, scale
 
 
+def test_sharded_vi_ba_matches_unsharded():
+    """Points + observations sharded over the 8-device mesh, states and
+    IMU factors replicated: state/point updates match the unsharded VI-BA
+    (the IMU system is assembled AFTER the psum, once per device — the
+    replicated-factor contract of slam/vi_ba.py)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from optical_flow_tpu.parallel import flow_mesh
+    from optical_flow_tpu.slam.vi_ba import sharded_vi_bundle_adjust
+
+    mesh = flow_mesh(frames=2, rows=2, cols=2)
+    sc = _make_scene()
+    rng = np.random.RandomState(5)
+    states = np.concatenate([sc["cams"], sc["vel"]], -1)
+    pert = states.copy()
+    pert[1:, :3] += rng.randn(len(states) - 1, 3) * 0.01
+    pert[1:, 3:6] += rng.randn(len(states) - 1, 3) * 0.02
+    Xp = sc["X"] + rng.randn(*sc["X"].shape) * 0.02
+    prob = _problem(sc, states=pert, points=Xp)
+    ref, _ = vi_bundle_adjust(prob, iters=6, lam=1e-4)
+
+    # group observations by owning shard (15 points x 8 obs per shard)
+    n = mesh.size
+    P_loc = sc["X"].shape[0] // n
+    order = np.argsort(sc["pt_idx"], kind="stable")
+    prob_s = prob._replace(
+        cam_idx=jnp.asarray(sc["cam_idx"][order]),
+        pt_idx=jnp.asarray(sc["pt_idx"][order] % P_loc),
+        obs=jnp.asarray(sc["obs"][order]),
+    )
+    out_s, _ = sharded_vi_bundle_adjust(prob_s, mesh, iters=6, lam=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_s.states), np.asarray(ref.states), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.points), np.asarray(ref.points), atol=1e-6
+    )
+
+
 def test_vi_ba_rejects_single_keyframe():
     sc = _make_scene(K=8)
     prob = _problem(sc)
