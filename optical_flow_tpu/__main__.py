@@ -210,6 +210,33 @@ def _cmd_slam(args):
     )
     for i, (kf, c) in enumerate(zip(res.keyframes, centers)):
         print(f"  kf {i} (frame {kf}): center {np.round(c, 4)}")
+    if getattr(args, "imu", None):
+        # tightly-coupled VI refinement: continuous IMU log (.npz with
+        # t (N,), gyro (N,3) rad/s, accel (N,3) m/s^2, body==camera) ->
+        # metric trajectory (slam/vi_ba.refine_slam_with_imu)
+        import cv2
+
+        from optical_flow_tpu.slam import refine_slam_with_imu
+
+        log = np.load(args.imu)
+        kf_t = np.asarray(res.keyframes, np.float64) * args.stride / args.video_fps
+        out, info = refine_slam_with_imu(
+            res, focal, log["t"], log["gyro"], log["accel"], kf_t,
+            estimate_accel_bias=not args.no_accel_bias,
+        )
+        states = np.asarray(out.states)
+        res.poses = np.stack([cv2.Rodrigues(s[:3])[0] for s in states])
+        res.trans = states[:, 3:6].copy()
+        res.points = np.asarray(out.points)
+        centers = res.centers()
+        print(
+            f"VI refinement: scale {info['scale']:.4f} "
+            f"gyro bias {np.round(info['gyro_bias'], 4)} "
+            f"accel bias {np.round(info['accel_bias'], 3)} "
+            f"gravity {np.round(info['gravity'], 3)}"
+        )
+        for i, (kf, c) in enumerate(zip(res.keyframes, centers)):
+            print(f"  kf {i} (frame {kf}): METRIC center {np.round(c, 4)}")
     if args.out:
         np.savez(
             args.out, poses=res.poses, trans=res.trans, points=res.points,
@@ -286,6 +313,23 @@ def main(argv=None):
         help="treat the video as side-by-side rectified stereo (left|"
         "right) with this rig baseline; trajectory and map come out "
         "METRIC in the baseline's units (slam/stereo.py)",
+    )
+    p.add_argument(
+        "--imu", default=None, metavar="LOG.npz",
+        help="tightly-coupled VI refinement from a continuous IMU log "
+        "(.npz with t (N,), gyro (N,3) rad/s, accel (N,3) m/s^2, body=="
+        "camera frame): bias estimation -> linear alignment -> joint "
+        "VI-BA; trajectory and map come out METRIC (slam/vi_ba.py)",
+    )
+    p.add_argument(
+        "--video-fps", type=float, default=30.0,
+        help="capture frame rate, used to timestamp keyframes against "
+        "the IMU log's t axis (with --imu)",
+    )
+    p.add_argument(
+        "--no-accel-bias", action="store_true",
+        help="skip accel-bias estimation (rotation-poor logs: accel bias "
+        "is separable from gravity only under rotation-axis variety)",
     )
     p.set_defaults(fn=_cmd_slam)
 

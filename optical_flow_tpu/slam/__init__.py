@@ -52,6 +52,8 @@ from optical_flow_tpu.slam.imu import (
 )
 from optical_flow_tpu.slam.vi_ba import (
     VIBAProblem,
+    group_imu_by_keyframes,
+    refine_slam_with_imu,
     refine_with_imu,
     sharded_vi_bundle_adjust,
     vi_bundle_adjust,
@@ -70,6 +72,8 @@ __all__ = [
     "preintegrate",
     "visual_inertial_alignment",
     "VIBAProblem",
+    "group_imu_by_keyframes",
+    "refine_slam_with_imu",
     "refine_with_imu",
     "sharded_vi_bundle_adjust",
     "vi_bundle_adjust",

@@ -49,14 +49,24 @@ from jax import lax
 
 
 def _exp_so3(w):
-    """Axis-angle (3,) -> SO(3), smooth at 0 (f32-safe series switch)."""
+    """Axis-angle (3,) -> SO(3), smooth at 0 (f32-safe series switch).
+
+    The large-angle branch divides by a CLAMPED th2: `where` evaluates
+    both branches, and jacrev propagates NaN from an untaken 0/0 even
+    though the forward pass is fine — at w == 0 exactly (e.g. a
+    stationary gyro log) the unclamped (1-cos)/th2 NaN'd the gyro-bias
+    Jacobian (found by tests/test_vi_ba.py's zero-rotation SLAM log)."""
     th2 = jnp.sum(w * w)
     th = jnp.sqrt(th2 + 1e-24)
     K = jnp.array(
         [[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]], w.dtype
     )
     A = jnp.where(th2 > 1e-12, jnp.sin(th) / th, 1.0 - th2 / 6.0)
-    B = jnp.where(th2 > 1e-12, (1.0 - jnp.cos(th)) / th2, 0.5 - th2 / 24.0)
+    B = jnp.where(
+        th2 > 1e-12,
+        (1.0 - jnp.cos(th)) / jnp.maximum(th2, 1e-12),
+        0.5 - th2 / 24.0,
+    )
     return jnp.eye(3, dtype=w.dtype) + A * K + B * (K @ K)
 
 

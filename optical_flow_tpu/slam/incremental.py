@@ -80,6 +80,15 @@ class SlamResult:
     keyframes: List[int]  # source frame index of each keyframe
     loop_edges: List[tuple]  # (i, j, n_inliers) accepted loop closures
     rmse: Optional[float]  # final windowed-BA reprojection RMSE (px)
+    # the keyframe observations behind the map, in `ba.BAProblem` layout
+    # (obs CENTERED at the principal point; pt_idx rows of `points`;
+    # obs_baseline nonzero for stereo right-eye measurements) — what
+    # downstream refiners need (slam/vi_ba.refine_with_imu consumes these
+    # to run tightly-coupled VI-BA on a finished SLAM solution)
+    cam_idx: Optional[np.ndarray] = None  # (M,) int32
+    pt_idx: Optional[np.ndarray] = None  # (M,) int32
+    obs: Optional[np.ndarray] = None  # (M, 2)
+    obs_baseline: Optional[np.ndarray] = None  # (M,)
 
     def centers(self) -> np.ndarray:
         return np.stack([-R.T @ t for R, t in zip(self.poses, self.trans)])
@@ -819,7 +828,26 @@ def incremental_slam(
     else:
         Rn, tn = np.stack(kf_R), np.stack(kf_t)
 
-    points = np.stack(list(pts.values())) if pts else np.zeros((0, 3))
+    pid_list = list(pts)
+    points = np.stack([pts[p] for p in pid_list]) if pts else np.zeros((0, 3))
+    # export the observations behind the map (BAProblem layout, centered
+    # pixels) so downstream refiners — e.g. tightly-coupled VI-BA — can
+    # re-optimize the finished solution without re-tracking
+    row_of = {p: i for i, p in enumerate(pid_list)}
+    o_ci, o_pi, o_uv, o_bl = [], [], [], []
+    for kf_i, obs_list in enumerate(kf_obs):
+        for p, px in obs_list:
+            if p in row_of:
+                o_ci.append(kf_i)
+                o_pi.append(row_of[p])
+                o_uv.append(np.asarray(px, np.float64) - [cx, cy])
+                o_bl.append(0.0)
+    for p, kf_i, uv_r in rig_obs:
+        if p in row_of:
+            o_ci.append(kf_i)
+            o_pi.append(row_of[p])
+            o_uv.append(np.asarray(uv_r, np.float64))
+            o_bl.append(float(stereo_baseline))
     return SlamResult(
         poses=np.asarray(Rn),
         trans=np.asarray(tn),
@@ -827,4 +855,8 @@ def incremental_slam(
         keyframes=keyframes,
         loop_edges=loop_edges,
         rmse=rmse,
+        cam_idx=np.asarray(o_ci, np.int32),
+        pt_idx=np.asarray(o_pi, np.int32),
+        obs=np.stack(o_uv) if o_uv else np.zeros((0, 2)),
+        obs_baseline=np.asarray(o_bl),
     )

@@ -422,6 +422,95 @@ def vi_problem_from_ba(
     )
 
 
+def group_imu_by_keyframes(t, gyro, accel, kf_t):
+    """Slice a continuous IMU log into padded per-keyframe-interval arrays
+    (the layout `preintegrate`/`visual_inertial_alignment_with_bias`
+    batch over).
+
+    t: (N,) sample timestamps (sorted); gyro/accel: (N, 3); kf_t: (K,)
+    keyframe timestamps. Sample k covers [t_k, t_{k+1}) and belongs to the
+    interval containing t_k; samples outside [kf_t[0], kf_t[-1]) are
+    dropped. Returns (gyro (K-1, W, 3), accel (K-1, W, 3), dt (K-1, W),
+    valid (K-1, W))."""
+    import numpy as np
+
+    t = np.asarray(t, np.float64)
+    kf_t = np.asarray(kf_t, np.float64)
+    gyro = np.asarray(gyro, np.float64)
+    accel = np.asarray(accel, np.float64)
+    if len(t) < 2:
+        raise ValueError("need >= 2 IMU samples")
+    dt_all = np.diff(t)
+    dt_all = np.append(dt_all, dt_all[-1])  # last sample: carry its period
+    seg = np.searchsorted(kf_t, t, side="right") - 1  # interval of each sample
+    K = len(kf_t)
+    live = (seg >= 0) & (seg < K - 1)
+    W = max(int(np.max(np.bincount(seg[live], minlength=K - 1))), 1)
+    g_out = np.zeros((K - 1, W, 3))
+    a_out = np.zeros((K - 1, W, 3))
+    h_out = np.zeros((K - 1, W))
+    ok = np.zeros((K - 1, W), bool)
+    slot = np.zeros(K - 1, np.int64)
+    for k in np.nonzero(live)[0]:
+        i = seg[k]
+        s = slot[i]
+        g_out[i, s] = gyro[k]
+        a_out[i, s] = accel[k]
+        h_out[i, s] = dt_all[k]
+        ok[i, s] = True
+        slot[i] += 1
+    return g_out, a_out, h_out, ok
+
+
+def refine_slam_with_imu(
+    result,
+    focal,
+    imu_t,
+    gyro,
+    accel,
+    kf_t,
+    *,
+    gravity_mag: float = 9.81,
+    imu_weight=DEFAULT_IMU_WEIGHT,
+    iters: int = 12,
+    lam: float = 1e-3,
+    estimate_accel_bias: bool = True,
+):
+    """Tightly-coupled VI refinement of a finished `incremental_slam`
+    solution: the SlamResult carries its own observations (cam_idx/pt_idx/
+    obs), so no re-tracking is needed — group the raw IMU log by the
+    keyframe timestamps, then run the full `refine_with_imu` pipeline.
+
+    result: SlamResult (monocular, up-to-scale); imu_t/gyro/accel: the
+    continuous IMU log; kf_t: (K,) capture timestamps of
+    `result.keyframes` (e.g. np.asarray(result.keyframes) / fps).
+
+    Returns (refined VIBAProblem, info dict) — metric poses in
+    `out.states[:, :6]`, metric map in `out.points`."""
+    import numpy as np
+
+    if result.cam_idx is None or len(result.cam_idx) == 0:
+        raise ValueError("SlamResult carries no observations to refine")
+    g, a, h, ok = group_imu_by_keyframes(imu_t, gyro, accel, kf_t)
+    if not ok.any(axis=1).all():
+        raise ValueError("an inter-keyframe interval has no IMU samples")
+    return refine_with_imu(
+        result.poses,
+        result.trans,
+        result.points,
+        result.cam_idx,
+        result.pt_idx,
+        result.obs,
+        focal,
+        g, a, h, ok,
+        gravity_mag=gravity_mag,
+        imu_weight=imu_weight,
+        iters=iters,
+        lam=lam,
+        estimate_accel_bias=estimate_accel_bias,
+    )
+
+
 def refine_with_imu(
     poses,
     trans,
@@ -439,8 +528,14 @@ def refine_with_imu(
     imu_weight=DEFAULT_IMU_WEIGHT,
     iters: int = 12,
     lam: float = 1e-3,
+    estimate_accel_bias: bool = True,
 ):
     """End-to-end tightly-coupled refinement of a monocular solution.
+
+    estimate_accel_bias: pass False on rotation-poor trajectories — accel
+    bias is separable from gravity only when the body rotates about
+    varied axes (slam/imu.py); on a near-translation-only log the joint
+    solve is rank-deficient and the spurious bias corrupts the deltas.
 
     Pipeline: gyro/accel bias estimation + the linear VI alignment
     (`slam.imu.visual_inertial_alignment_with_bias`) initialize metric
@@ -464,6 +559,7 @@ def refine_with_imu(
     T = np.sum(np.asarray(dt, np.float64) * live, axis=-1)  # (K-1,)
     s, g, vels, bg, ba_bias, rms = visual_inertial_alignment_with_bias(
         poses, trans, T, gyro, accel, dt, valid, gravity_mag=gravity_mag,
+        estimate_accel_bias=estimate_accel_bias,
     )
     dR, dv, dp = preintegrate(
         np.asarray(gyro, np.float32) - np.asarray(bg, np.float32),

@@ -288,3 +288,31 @@ def test_alignment_with_bias_under_realistic_biases():
         g / np.linalg.norm(g), G_W / np.linalg.norm(G_W), atol=0.05
     )
     assert rms < rms_biased
+
+
+def test_gyro_bias_jacobian_finite_at_zero_rates():
+    """Regression: at an EXACTLY zero gyro log (stationary or
+    translation-only rig) the bias Jacobian used to NaN — jnp.where
+    evaluates both branches and jacrev propagated the untaken
+    (1-cos)/th2 0/0 in _exp_so3 (now clamped)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from optical_flow_tpu.slam.imu import _rotation_residuals, estimate_gyro_bias
+
+    rng = np.random.RandomState(0)
+    K = 5
+    poses = np.stack([cv2.Rodrigues(rng.randn(3) * 1e-3)[0] for _ in range(K)])
+    R_rel = jnp.asarray(
+        np.stack([poses[i] @ poses[i + 1].T for i in range(K - 1)]), jnp.float32
+    )
+    gyro = jnp.zeros((K - 1, 20, 3), jnp.float32)
+    dt = jnp.full((K - 1, 20), 0.005, jnp.float32)
+    ok = jnp.ones((K - 1, 20), bool)
+    J = jax.jacrev(_rotation_residuals, argnums=0)(
+        jnp.zeros(3, jnp.float32), gyro, dt, ok, R_rel
+    )
+    assert bool(jnp.isfinite(J).all())
+    bg = estimate_gyro_bias(poses, np.asarray(gyro), np.asarray(dt), np.asarray(ok))
+    assert np.isfinite(bg).all() and np.abs(bg).max() < 0.01

@@ -300,8 +300,162 @@ def test_sharded_vi_ba_matches_unsharded():
     )
 
 
+def test_cli_slam_with_imu(tmp_path, capsys):
+    """The application driver end-to-end: rendered loop -> mp4 ->
+    `slam --imu log.npz` -> metric trajectory printed and saved (no
+    scale fit anywhere)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_incremental_slam import _render_loop
+
+    n = 12
+    period = 6.0
+    frames, centers, focal = _render_loop(n_frames=n)
+    h, w = frames[0].shape
+    path = str(tmp_path / "loop.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 20.0, (w, h), False)
+    if not vw.isOpened():
+        pytest.skip("no mp4 encoder available")
+    for f in frames:
+        vw.write(f)
+    vw.release()
+
+    om = 2 * np.pi / period
+    rate = 200.0
+    t = np.arange(0.0, period, 1.0 / rate)
+    acc = np.stack(
+        [
+            -0.12 * om * om * np.sin(om * t),
+            0.08 * om * om * np.cos(om * t),
+            np.zeros_like(t),
+        ],
+        -1,
+    )
+    imu_path = str(tmp_path / "imu.npz")
+    np.savez(imu_path, t=t, gyro=np.zeros((len(t), 3)), accel=acc - G_W)
+
+    from optical_flow_tpu.__main__ import main
+
+    out = str(tmp_path / "traj.npz")
+    main([
+        "--cpu", "slam", "--input", path, "--frames", str(n),
+        "--focal", str(focal), "--kf-disparity", "0",
+        "--imu", imu_path, "--video-fps", str(n / period),
+        "--no-accel-bias", "--out", out,
+    ])
+    text = capsys.readouterr().out
+    assert "VI refinement: scale" in text and "METRIC center" in text
+    got = np.load(out)
+    est = np.stack([-R.T @ t_ for R, t_ in zip(got["poses"], got["trans"])])
+    true = np.asarray([centers[i] for i in got["keyframes"]])
+    # metric, through lossy encoding, no fit
+    assert np.linalg.norm(est - true, axis=1).mean() < 0.05
+
+
 def test_vi_ba_rejects_single_keyframe():
     sc = _make_scene(K=8)
     prob = _problem(sc)
     with pytest.raises(ValueError):
         vi_bundle_adjust(prob._replace(states=prob.states[:1]))
+
+
+def test_group_imu_by_keyframes():
+    """Continuous-log slicing: per-interval counts/durations, tail drop,
+    and preintegration equivalence with the hand-grouped layout."""
+    from optical_flow_tpu.slam.vi_ba import group_imu_by_keyframes
+
+    rate = 100.0
+    t = np.arange(0, 4.0, 1.0 / rate)
+    rng = np.random.RandomState(2)
+    gyro = rng.randn(len(t), 3) * 0.3
+    accel = rng.randn(len(t), 3)
+    kf_t = np.asarray([0.0, 1.0, 2.0, 3.0])
+    g, a, h, ok = group_imu_by_keyframes(t, gyro, accel, kf_t)
+    assert g.shape[0] == 3 and ok.sum(axis=1).tolist() == [100, 100, 100]
+    np.testing.assert_allclose((h * ok).sum(axis=1), 1.0, atol=1e-9)
+    # samples at/after kf_t[-1] are dropped
+    assert ok.sum() == 300
+    # grouped preintegration == direct preintegration of each slice
+    dR, dv, dp = preintegrate(g, a, h, ok)
+    dR0, dv0, dp0 = preintegrate(gyro[:100], accel[:100], np.full(100, 0.01))
+    np.testing.assert_allclose(np.asarray(dR[0]), np.asarray(dR0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dv[0]), np.asarray(dv0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp[0]), np.asarray(dp0), atol=1e-6)
+
+
+def test_refine_slam_result_with_imu():
+    """The production hook: incremental_slam's SlamResult now carries its
+    own observations, so the tightly-coupled refiner runs on a FINISHED
+    monocular solution + a continuous IMU log — metric trajectory with no
+    oracle scale fit anywhere."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_incremental_slam import _render_loop
+
+    from optical_flow_tpu.slam import incremental_slam
+    from optical_flow_tpu.slam.ba import BAProblem, reprojection_rmse
+    from optical_flow_tpu.slam.vi_ba import refine_slam_with_imu
+
+    n = 12
+    frames, centers, focal = _render_loop(n_frames=n)
+    res = incremental_slam(
+        frames, focal, loop_min_separation=20, min_tracks=40, window=8
+    )
+    assert res is not None and len(res.keyframes) >= 6
+    # the exported observations reproject consistently with the solution
+    assert res.cam_idx is not None and len(res.cam_idx) > 100
+    cams6 = np.concatenate(
+        [
+            np.stack([cv2.Rodrigues(R)[0].ravel() for R in res.poses]),
+            res.trans,
+        ],
+        -1,
+    )
+    rmse = float(
+        reprojection_rmse(
+            BAProblem(
+                jnp.asarray(cams6), jnp.asarray(res.points),
+                jnp.asarray(res.cam_idx), jnp.asarray(res.pt_idx),
+                jnp.asarray(res.obs), focal,
+                baseline=jnp.asarray(res.obs_baseline),
+            )
+        )
+    )
+    assert rmse < 2.0, rmse
+
+    # continuous IMU log of the TRUE trajectory (identity orientation)
+    period = 6.0
+    om = 2 * np.pi / period
+    rate = 200.0
+    t = np.arange(0.0, period, 1.0 / rate)
+    acc = np.stack(
+        [
+            -0.12 * om * om * np.sin(om * t),
+            0.08 * om * om * np.cos(om * t),
+            np.zeros_like(t),
+        ],
+        -1,
+    )
+    kf_t = np.asarray(res.keyframes) * (period / n)
+    out, info = refine_slam_with_imu(
+        res, focal, t, np.zeros((len(t), 3)), acc - G_W, kf_t,
+        estimate_accel_bias=False,
+    )
+    est = np.stack(
+        [
+            -cv2.Rodrigues(np.asarray(s[:3]))[0].T @ np.asarray(s[3:6])
+            for s in np.asarray(out.states)
+        ]
+    )
+    true = np.asarray([centers[i] for i in res.keyframes])
+    err = np.linalg.norm(est - true, axis=1)
+    assert err.mean() < 0.05, (info["scale"], err)
+    # the tight solve's trajectory is at metric scale (no fit): compare
+    # inter-keyframe span directly
+    span_est = np.linalg.norm(est[1:] - est[:-1], axis=1).sum()
+    span_true = np.linalg.norm(true[1:] - true[:-1], axis=1).sum()
+    assert abs(span_est / span_true - 1.0) < 0.15, (span_est, span_true)
