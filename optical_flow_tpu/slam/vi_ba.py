@@ -440,6 +440,8 @@ def group_imu_by_keyframes(t, gyro, accel, kf_t):
     accel = np.asarray(accel, np.float64)
     if len(t) < 2:
         raise ValueError("need >= 2 IMU samples")
+    if len(kf_t) < 2:
+        raise ValueError("need >= 2 keyframe timestamps")
     dt_all = np.diff(t)
     dt_all = np.append(dt_all, dt_all[-1])  # last sample: carry its period
     seg = np.searchsorted(kf_t, t, side="right") - 1  # interval of each sample
@@ -508,6 +510,7 @@ def refine_slam_with_imu(
         iters=iters,
         lam=lam,
         estimate_accel_bias=estimate_accel_bias,
+        baseline=result.obs_baseline,
     )
 
 
@@ -529,8 +532,12 @@ def refine_with_imu(
     iters: int = 12,
     lam: float = 1e-3,
     estimate_accel_bias: bool = True,
+    baseline=None,
 ):
     """End-to-end tightly-coupled refinement of a monocular solution.
+
+    baseline: optional (M,) rectified-rig eye offsets (`BAProblem.baseline`)
+    so stereo right-eye observations keep constraining the joint solve.
 
     estimate_accel_bias: pass False on rotation-poor trajectories — accel
     bias is separable from gravity only when the body rotates about
@@ -585,6 +592,9 @@ def refine_with_imu(
             cam_idx=jnp.asarray(cam_idx, jnp.int32),
             pt_idx=jnp.asarray(pt_idx, jnp.int32),
             obs=jnp.asarray(obs, jnp.float32),
+            baseline=(
+                None if baseline is None else jnp.asarray(baseline, jnp.float32)
+            ),
             focal=focal,
         ),
         vels, dR, dv, dp, T, g, imu_weight=imu_weight,
