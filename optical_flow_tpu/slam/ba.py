@@ -200,7 +200,7 @@ def _schur_reduce(Hpp, bp, Wp, camT, lam, C: int):
 
 
 def _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam, fixed=None,
-                   fixed_dofs=None):
+                   fixed_dofs=None, precondition=False):
     """Dense solve of the reduced camera system
     S = blockdiag(Hcc + lam I) - W Vinv W^T (the latter is S_partial).
 
@@ -208,7 +208,13 @@ def _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam, fixed=None,
     (windowed BA holds out-of-window cameras). Defaults to camera 0 only
     (gauge anchor). fixed_dofs: optional (C*D,) bool overriding the
     per-camera mask with per-DOF pins (vi_ba pins keyframe 0's pose but
-    leaves its velocity live)."""
+    leaves its velocity live).
+
+    precondition: symmetric Jacobi scaling D^-1/2 S D^-1/2 before the
+    solve — required for f32 visual-inertial systems, whose rows mix
+    pixel-, rad- and m/s-unit residuals with 1e6-spread information
+    weights (measured on TPU: the unpreconditioned f32 solve walks the
+    metric scale to 0.85; preconditioned matches the f64 result)."""
     C, D = Hcc.shape[0], Hcc.shape[-1]
     block = Hcc + lam * jnp.eye(D, dtype=Hcc.dtype)[None]
 
@@ -233,6 +239,10 @@ def _solve_cameras(Hcc, bc, S_partial, rhs_partial, lam, fixed=None,
     S = jnp.where(keep, S, 0.0)
     S = S + jnp.diag(jnp.where(free, 0.0, 1.0).astype(S.dtype))
     rhs = jnp.where(free, rhs, 0.0)
+    if precondition:
+        d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(S)), 1e-12))
+        S = S / (d[:, None] * d[None, :])
+        return (jnp.linalg.solve(S, rhs / d) / d).reshape(C, D)
     return jnp.linalg.solve(S, rhs).reshape(C, D)
 
 
@@ -293,7 +303,14 @@ def _bundle_adjust_jit(
         prob, msr = _gn_step(prob, l, C, P, table, fixed=fixed)
         return (prob._replace(weight=base_w), l), msr
 
-    (out, _), hist = lax.scan(body, (problem, lam), None, length=iters)
+    # full-f32 matmul passes: the TPU default runs f32 einsums/solves
+    # with bf16 multiplies — harmless for image ops, but the normal
+    # equations SQUARE the conditioning and the Schur complement
+    # cancels; measured on v5e, the default precision walks VI-BA's
+    # metric scale to 0.85 while this line recovers the f64 answer.
+    # No-op on CPU (always full precision).
+    with jax.default_matmul_precision("float32"):
+        (out, _), hist = lax.scan(body, (problem, lam), None, length=iters)
     return out, hist
 
 
@@ -424,7 +441,9 @@ def sharded_bundle_adjust(
             pr, msr = _gn_step(pr, l, C, P_local, table, psum_axes=axes)
             return (pr._replace(weight=weight), l), lax.psum(msr, axes) / n
 
-        (out, _), hist = lax.scan(body, (prob, lamv), None, length=iters)
+        # full-f32 matmul passes on TPU (see _bundle_adjust_jit)
+        with jax.default_matmul_precision("float32"):
+            (out, _), hist = lax.scan(body, (prob, lamv), None, length=iters)
         return out.cams, out.points, hist
 
     spec_pt = P_(axes)  # shard leading dim over the flattened mesh

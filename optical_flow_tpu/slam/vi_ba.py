@@ -226,7 +226,7 @@ def _gn_step_vi(problem: VIBAProblem, lam, C: int, P: int, table, fixed_dofs,
     H_imu, b_imu, msr_imu = _imu_system(problem, C)
     delta_c = _solve_cameras(
         Hcc, bc + b_imu, S_partial + H_imu, rhs_partial, lam,
-        fixed_dofs=fixed_dofs,
+        fixed_dofs=fixed_dofs, precondition=True,
     )
     delta_p = _back_substitute(Vinv, Wp, camT, bp, delta_c)
     out = problem._replace(
@@ -245,7 +245,10 @@ def _vi_bundle_adjust_jit(problem: VIBAProblem, table, fixed_dofs, iters, lam):
         prob, msr_vis, msr_imu = _gn_step_vi(prob, l, C, P, table, fixed_dofs)
         return (prob, l), jnp.stack([msr_vis, msr_imu])
 
-    (out, _), hist = lax.scan(body, (problem, lam), None, length=iters)
+    # full-f32 matmul passes: the TPU default's bf16 multiplies corrupt
+    # the Schur cancellation + mixed-unit solve (see ba._bundle_adjust_jit)
+    with jax.default_matmul_precision("float32"):
+        (out, _), hist = lax.scan(body, (problem, lam), None, length=iters)
     return out, hist
 
 
@@ -348,7 +351,9 @@ def sharded_vi_bundle_adjust(
             )
             return (pr, l), jnp.stack([lax.psum(msr_vis, axes) / n, msr_imu])
 
-        (out, _), hist = lax.scan(body, (prob, lamv), None, length=iters)
+        # full-f32 matmul passes on TPU (see ba._bundle_adjust_jit)
+        with jax.default_matmul_precision("float32"):
+            (out, _), hist = lax.scan(body, (prob, lamv), None, length=iters)
         return out.states, out.points, hist
 
     spec_pt = P_(axes)
