@@ -238,6 +238,68 @@ def main() -> None:
         checked_pts += 1
     assert checked_pts >= 4, checked_pts
 
+    # ---- distributed VISUAL-INERTIAL BA: same sharding (points over the
+    # full mesh, psum across the wire), IMU factors replicated and added
+    # after the reduction (slam/vi_ba.py). Deltas synthesized from the
+    # closed-form ground-truth constraints (dR = R_i R_{i+1}^T etc. — what
+    # preintegrate returns on a perfect log of this constant-velocity
+    # trajectory). Oracle: the unsharded VI solver.
+    from optical_flow_tpu.slam.vi_ba import (
+        VIBAProblem,
+        sharded_vi_bundle_adjust,
+        vi_bundle_adjust,
+    )
+
+    T_int = 0.5
+    g_w = np.asarray([0.0, -9.81, 0.0])
+    centers_true = np.stack([-cams_true[c, 3:] for c in range(C)])
+    v_true = np.tile((centers_true[1] - centers_true[0]) / T_int, (C, 1))
+    dR = np.tile(np.eye(3), (C - 1, 1, 1))
+    dv = np.tile(-g_w * T_int, (C - 1, 1))
+    dp = np.stack(
+        [
+            centers_true[i + 1] - centers_true[i] - v_true[i] * T_int
+            - 0.5 * g_w * T_int * T_int
+            for i in range(C - 1)
+        ]
+    )
+    states_n = np.concatenate(
+        [cams_n, v_true + rngb.randn(C, 3) * 0.02], axis=-1
+    )
+    common = dict(
+        dR=jnp.asarray(dR), dv=jnp.asarray(dv), dp=jnp.asarray(dp),
+        interval_T=jnp.full((C - 1,), T_int), gravity=jnp.asarray(g_w),
+        focal=focal,
+    )
+    vi_ref, _ = vi_bundle_adjust(
+        VIBAProblem(
+            states=jnp.asarray(states_n), points=jnp.asarray(pts_n),
+            cam_idx=jnp.asarray(ci), pt_idx=jnp.asarray(pi_),
+            obs=jnp.asarray(obs), **common,
+        ),
+        iters=5, lam=1e-3,
+    )
+    vi_s, _ = sharded_vi_bundle_adjust(
+        VIBAProblem(
+            states=jnp.asarray(states_n), points=jnp.asarray(pts_n),
+            cam_idx=jnp.asarray(ci[order]),
+            pt_idx=jnp.asarray(pi_[order] % P_loc),
+            obs=jnp.asarray(obs[order]), **common,
+        ),
+        mesh_ba, iters=5, lam=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vi_s.states), np.asarray(vi_ref.states), atol=1e-6
+    )
+    vi_pts = np.asarray(vi_ref.points)
+    checked_vi = 0
+    for sp in vi_s.points.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(sp.data), vi_pts[sp.index], atol=1e-6
+        )
+        checked_vi += 1
+    assert checked_vi >= 4, checked_vi
+
     print(f"WORKER_OK {pid}", flush=True)
 
 
