@@ -52,7 +52,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from .ba import (
+    BAProblem,
     _back_substitute,
+    _huber_sqrt_weights,
     _rodrigues,
     _schur_reduce,
     _solve_cameras,
@@ -235,15 +237,31 @@ def _gn_step_vi(problem: VIBAProblem, lam, C: int, P: int, table, fixed_dofs,
     return out, jnp.mean(r * r), msr_imu
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def _vi_bundle_adjust_jit(problem: VIBAProblem, table, fixed_dofs, iters, lam):
+def _huber_weights_vi(prob: VIBAProblem, base_w, delta):
+    """Visual-residual IRLS sqrt-weights for a VI problem (the IMU factors
+    are never downweighted — they are not pixel associations that can be
+    wrong, and robustifying them would re-open the scale gauge)."""
+    shim = BAProblem(
+        cams=prob.states[:, :6], points=prob.points, cam_idx=prob.cam_idx,
+        pt_idx=prob.pt_idx, obs=prob.obs, focal=prob.focal, weight=base_w,
+        baseline=prob.baseline,
+    )
+    return base_w * _huber_sqrt_weights(shim, delta)
+
+
+@partial(jax.jit, static_argnames=("iters", "robust"))
+def _vi_bundle_adjust_jit(problem: VIBAProblem, table, fixed_dofs, iters, lam,
+                          robust: bool = False, delta=None):
     C = problem.states.shape[0]
     P = problem.points.shape[0]
+    base_w = problem.weight
 
     def body(carry, _):
         prob, l = carry
+        if robust:
+            prob = prob._replace(weight=_huber_weights_vi(prob, base_w, delta))
         prob, msr_vis, msr_imu = _gn_step_vi(prob, l, C, P, table, fixed_dofs)
-        return (prob, l), jnp.stack([msr_vis, msr_imu])
+        return (prob._replace(weight=base_w), l), jnp.stack([msr_vis, msr_imu])
 
     # full-f32 matmul passes: the TPU default's bf16 multiplies corrupt
     # the Schur cancellation + mixed-unit solve (see ba._bundle_adjust_jit)
@@ -257,6 +275,7 @@ def vi_bundle_adjust(
     iters: int = 12,
     lam: float = 1e-3,
     fixed_states=None,
+    robust_delta=None,
 ) -> Tuple[VIBAProblem, jnp.ndarray]:
     """Joint Gauss-Newton over 9-DOF states + points with IMU factors.
 
@@ -266,7 +285,12 @@ def vi_bundle_adjust(
 
     fixed_states: optional (C,) bool of keyframes whose POSE is held
     (windowed use); keyframe 0's pose is always pinned as the gauge
-    anchor. Velocities are never pinned — the IMU observes them."""
+    anchor. Velocities are never pinned — the IMU observes them.
+
+    robust_delta: optional Huber scale in PIXELS — visual observations
+    whose reprojection error exceeds it are IRLS-downweighted each
+    iteration (`ba.bundle_adjust` semantics); the IMU factors are never
+    downweighted."""
     import numpy as np
 
     C = problem.states.shape[0]
@@ -282,8 +306,17 @@ def vi_bundle_adjust(
     dofs = np.zeros((C, 9), bool)
     dofs[pinned, :6] = True  # pose pinned, velocity live
     lam = jnp.asarray(lam, problem.points.dtype)
+    robust = robust_delta is not None
+    if robust and problem.weight is None:
+        problem = problem._replace(
+            weight=jnp.ones((problem.obs.shape[0],), problem.obs.dtype)
+        )
+    delta = (
+        jnp.asarray(robust_delta, problem.points.dtype) if robust else None
+    )
     return _vi_bundle_adjust_jit(
-        problem, table, jnp.asarray(dofs.reshape(-1)), iters, lam
+        problem, table, jnp.asarray(dofs.reshape(-1)), iters, lam,
+        robust=robust, delta=delta,
     )
 
 
@@ -482,6 +515,7 @@ def refine_slam_with_imu(
     iters: int = 12,
     lam: float = 1e-3,
     estimate_accel_bias: bool = True,
+    robust_delta=None,
 ):
     """Tightly-coupled VI refinement of a finished `incremental_slam`
     solution: the SlamResult carries its own observations (cam_idx/pt_idx/
@@ -516,6 +550,7 @@ def refine_slam_with_imu(
         lam=lam,
         estimate_accel_bias=estimate_accel_bias,
         baseline=result.obs_baseline,
+        robust_delta=robust_delta,
     )
 
 
@@ -538,6 +573,7 @@ def refine_with_imu(
     lam: float = 1e-3,
     estimate_accel_bias: bool = True,
     baseline=None,
+    robust_delta=None,
 ):
     """End-to-end tightly-coupled refinement of a monocular solution.
 
@@ -604,7 +640,9 @@ def refine_with_imu(
         ),
         vels, dR, dv, dp, T, g, imu_weight=imu_weight,
     )
-    out, hist = vi_bundle_adjust(prob, iters=iters, lam=lam)
+    out, hist = vi_bundle_adjust(
+        prob, iters=iters, lam=lam, robust_delta=robust_delta
+    )
     info = {
         "scale": float(s),
         "gravity": np.asarray(g),
