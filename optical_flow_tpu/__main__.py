@@ -218,12 +218,21 @@ def _cmd_slam(args):
 
         from optical_flow_tpu.slam import refine_slam_with_imu
 
-        log = np.load(args.imu)
-        kf_t = np.asarray(res.keyframes, np.float64) * args.stride / args.video_fps
-        out, info = refine_slam_with_imu(
-            res, focal, log["t"], log["gyro"], log["accel"], kf_t,
-            estimate_accel_bias=not args.no_accel_bias,
-        )
+        try:
+            log = np.load(args.imu)
+            kf_t = (
+                np.asarray(res.keyframes, np.float64)
+                * args.stride / args.video_fps
+            )
+            out, info = refine_slam_with_imu(
+                res, focal, log["t"], log["gyro"], log["accel"], kf_t,
+                estimate_accel_bias=not args.no_accel_bias,
+            )
+        except KeyError as e:
+            sys.exit(f"--imu log missing array {e} (need t, gyro, accel)")
+        except ValueError as e:
+            sys.exit(f"--imu refinement failed: {e} "
+                     "(check --video-fps covers the log's time span)")
         states = np.asarray(out.states)
         res.poses = np.stack([cv2.Rodrigues(s[:3])[0] for s in states])
         res.trans = states[:, 3:6].copy()

@@ -132,15 +132,21 @@ def _baselines(problem: BAProblem):
     return jnp.zeros(problem.obs.shape[:1], problem.obs.dtype)
 
 
-def _assemble(problem: BAProblem, C: int, P: int, table):
+def _assemble(problem: BAProblem, C: int, P: int, table, residual_jac=None):
     """Per-observation residuals/Jacobians and block accumulations.
 
     table: (P, K) int32 observation indices per point, -1-padded
     (build_track_table) — the W block's sparsity structure. Padded slots
     carry zero W blocks and camera index 0, so they contribute exact
-    zeros everywhere downstream."""
+    zeros everywhere downstream.
+
+    residual_jac: override for the per-observation (r, J_cam, J_pt)
+    function — vi_ba passes its 9-DOF variant (problem.cams then holds
+    (C, 9) states); everything downstream is width-generic."""
+    if residual_jac is None:
+        residual_jac = _residual_jac
     f = jnp.asarray(problem.focal, problem.points.dtype)
-    r, Jc, Jp = jax.vmap(_residual_jac, in_axes=(0, 0, 0, None, 0))(
+    r, Jc, Jp = jax.vmap(residual_jac, in_axes=(0, 0, 0, None, 0))(
         problem.cams[problem.cam_idx], problem.points[problem.pt_idx],
         problem.obs, f, _baselines(problem),
     )

@@ -94,6 +94,31 @@ class SlamResult:
         return np.stack([-R.T @ t for R, t in zip(self.poses, self.trans)])
 
 
+def _collect_observations(kf_obs, rig_obs, row_of, cx, cy, stereo_baseline):
+    """Every live map point's observations in `ba.BAProblem` layout:
+    (cam_idx, pt_idx, obs CENTERED at the principal point, baseline) —
+    the ONE assembly both the final global BA and the SlamResult export
+    consume (kf_obs pixels are absolute; rig_obs are already centered
+    with their rig baseline)."""
+    import numpy as np
+
+    ci, pi, uv, bl = [], [], [], []
+    for kf_i, obs_list in enumerate(kf_obs):
+        for p, px in obs_list:
+            if p in row_of:
+                ci.append(kf_i)
+                pi.append(row_of[p])
+                uv.append(np.asarray(px, np.float64) - [cx, cy])
+                bl.append(0.0)
+    for p, kf_i, uv_r in rig_obs:
+        if p in row_of:
+            ci.append(kf_i)
+            pi.append(row_of[p])
+            uv.append(np.asarray(uv_r, np.float64))
+            bl.append(float(stereo_baseline))
+    return ci, pi, uv, bl
+
+
 def incremental_slam(
     frames,
     focal: float,
@@ -785,23 +810,12 @@ def incremental_slam(
 
             pids = sorted(pts)
             pidx = {p: i for i, p in enumerate(pids)}
-            ci, pi, uv, bl = [], [], [], []
-            for kf_i, obs_list in enumerate(kf_obs):
-                for p, px in obs_list:
-                    if p in pidx:
-                        ci.append(kf_i)
-                        pi.append(pidx[p])
-                        uv.append(np.asarray(px, np.float64) - [cx, cy])
-                        bl.append(0.0)
             # every stereo right-eye measurement re-enters the global BA:
             # without them the mono reprojection problem is scale-gauge
             # free and the refinement could drift off metric
-            for p, kf_i, uv_r in rig_obs:
-                if p in pidx:
-                    ci.append(kf_i)
-                    pi.append(pidx[p])
-                    uv.append(np.asarray(uv_r, np.float64))
-                    bl.append(float(stereo_baseline))
+            ci, pi, uv, bl = _collect_observations(
+                kf_obs, rig_obs, pidx, cx, cy, stereo_baseline
+            )
             cams = np.stack(
                 [np.concatenate([_R_to_aa(R), t]) for R, t in zip(Rn, tn)]
             ).astype(np.float64)
@@ -834,20 +848,9 @@ def incremental_slam(
     # pixels) so downstream refiners — e.g. tightly-coupled VI-BA — can
     # re-optimize the finished solution without re-tracking
     row_of = {p: i for i, p in enumerate(pid_list)}
-    o_ci, o_pi, o_uv, o_bl = [], [], [], []
-    for kf_i, obs_list in enumerate(kf_obs):
-        for p, px in obs_list:
-            if p in row_of:
-                o_ci.append(kf_i)
-                o_pi.append(row_of[p])
-                o_uv.append(np.asarray(px, np.float64) - [cx, cy])
-                o_bl.append(0.0)
-    for p, kf_i, uv_r in rig_obs:
-        if p in row_of:
-            o_ci.append(kf_i)
-            o_pi.append(row_of[p])
-            o_uv.append(np.asarray(uv_r, np.float64))
-            o_bl.append(float(stereo_baseline))
+    o_ci, o_pi, o_uv, o_bl = _collect_observations(
+        kf_obs, rig_obs, row_of, cx, cy, stereo_baseline
+    )
     return SlamResult(
         poses=np.asarray(Rn),
         trans=np.asarray(tn),

@@ -53,6 +53,7 @@ from jax import lax
 
 from .ba import (
     BAProblem,
+    _assemble,
     _back_substitute,
     _huber_sqrt_weights,
     _rodrigues,
@@ -178,37 +179,15 @@ def _imu_system(problem: VIBAProblem, C: int):
 
 
 def _assemble_vis(problem: VIBAProblem, C: int, P: int, table):
-    """Visual blocks with 9-wide camera Jacobians (`ba._assemble` with the
-    state slice; see there for the table/W-sparsity contract)."""
-    f = jnp.asarray(problem.focal, problem.points.dtype)
-    bl = (
-        problem.baseline
-        if problem.baseline is not None
-        else jnp.zeros(problem.obs.shape[:1], problem.obs.dtype)
+    """Visual blocks with 9-wide camera Jacobians: `ba._assemble` with the
+    9-DOF residual function (states ride in the cams slot; all the
+    weighting/W-sparsity logic lives in ONE place)."""
+    shim = BAProblem(
+        cams=problem.states, points=problem.points, cam_idx=problem.cam_idx,
+        pt_idx=problem.pt_idx, obs=problem.obs, focal=problem.focal,
+        weight=problem.weight, baseline=problem.baseline,
     )
-    r, Jc, Jp = jax.vmap(_vis_residual_jac, in_axes=(0, 0, 0, None, 0))(
-        problem.states[problem.cam_idx], problem.points[problem.pt_idx],
-        problem.obs, f, bl,
-    )
-    if problem.weight is not None:
-        w = problem.weight[:, None]
-        r = r * w
-        Jc = Jc * w[..., None]
-        Jp = Jp * w[..., None]
-    Hcc = jax.ops.segment_sum(
-        jnp.einsum("mki,mkj->mij", Jc, Jc), problem.cam_idx, C
-    )
-    Hpp = jax.ops.segment_sum(
-        jnp.einsum("mki,mkj->mij", Jp, Jp), problem.pt_idx, P
-    )
-    bc = jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jc, r), problem.cam_idx, C)
-    bp = jax.ops.segment_sum(jnp.einsum("mki,mk->mi", Jp, r), problem.pt_idx, P)
-    Wm = jnp.einsum("mki,mkj->mij", Jc, Jp)  # (M,9,3)
-    mask = table >= 0
-    tt = jnp.where(mask, table, 0)
-    Wp = Wm[tt] * mask[..., None, None]
-    camT = jnp.where(mask, problem.cam_idx[tt], 0)
-    return Hcc, Hpp, bc, bp, Wp, camT, r
+    return _assemble(shim, C, P, table, residual_jac=_vis_residual_jac)
 
 
 def _gn_step_vi(problem: VIBAProblem, lam, C: int, P: int, table, fixed_dofs,
@@ -485,20 +464,25 @@ def group_imu_by_keyframes(t, gyro, accel, kf_t):
     seg = np.searchsorted(kf_t, t, side="right") - 1  # interval of each sample
     K = len(kf_t)
     live = (seg >= 0) & (seg < K - 1)
-    W = max(int(np.max(np.bincount(seg[live], minlength=K - 1))), 1)
+    # vectorized grouping: stable-sort live samples by interval, then each
+    # sample's slot is its rank within the interval (arange minus the
+    # interval's start offset) — no per-sample Python loop (hour-long
+    # 200 Hz logs are ~1e6 samples)
+    idx = np.nonzero(live)[0]
+    idx = idx[np.argsort(seg[idx], kind="stable")]
+    segs = seg[idx]
+    counts = np.bincount(segs, minlength=K - 1)
+    W = max(int(counts.max()), 1) if len(idx) else 1
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slots = np.arange(len(idx)) - np.repeat(starts, counts)
     g_out = np.zeros((K - 1, W, 3))
     a_out = np.zeros((K - 1, W, 3))
     h_out = np.zeros((K - 1, W))
     ok = np.zeros((K - 1, W), bool)
-    slot = np.zeros(K - 1, np.int64)
-    for k in np.nonzero(live)[0]:
-        i = seg[k]
-        s = slot[i]
-        g_out[i, s] = gyro[k]
-        a_out[i, s] = accel[k]
-        h_out[i, s] = dt_all[k]
-        ok[i, s] = True
-        slot[i] += 1
+    g_out[segs, slots] = gyro[idx]
+    a_out[segs, slots] = accel[idx]
+    h_out[segs, slots] = dt_all[idx]
+    ok[segs, slots] = True
     return g_out, a_out, h_out, ok
 
 
@@ -515,7 +499,7 @@ def refine_slam_with_imu(
     iters: int = 12,
     lam: float = 1e-3,
     estimate_accel_bias: bool = True,
-    robust_delta=None,
+    robust_delta=3.0,
 ):
     """Tightly-coupled VI refinement of a finished `incremental_slam`
     solution: the SlamResult carries its own observations (cam_idx/pt_idx/
@@ -527,7 +511,12 @@ def refine_slam_with_imu(
     `result.keyframes` (e.g. np.asarray(result.keyframes) / fps).
 
     Returns (refined VIBAProblem, info dict) — metric poses in
-    `out.states[:, :6]`, metric map in `out.points`."""
+    `out.states[:, :6]`, metric map in `out.points`.
+
+    robust_delta defaults to 3 px (Huber IRLS on the visual residuals),
+    matching the final global BA's discipline: the exported observations
+    span every association ever made, and one wrong track must not drag
+    the metric trajectory (incremental.py). Pass None for squared loss."""
     import numpy as np
 
     if result.cam_idx is None or len(result.cam_idx) == 0:
@@ -614,22 +603,29 @@ def refine_with_imu(
         np.asarray(accel, np.float32) - np.asarray(ba_bias, np.float32),
         dt, live,
     )
+    s_apply = s
+    if baseline is not None and np.any(np.asarray(baseline) != 0):
+        # stereo input: the solution is ALREADY metric (rig-anchored) and
+        # the baseline residuals assume fixed metric units — applying the
+        # alignment's noisy s (≈1) would push the init off metric and
+        # fight the rig observations. Keep the geometry; the alignment
+        # still supplies gravity/velocities/biases.
+        s_apply = 1.0
     cams = jnp.asarray(
         np.concatenate(
             [
                 np.stack([cv2.Rodrigues(np.asarray(R))[0].ravel() for R in poses]),
-                s * np.asarray(trans, np.float64),  # metric translations
+                s_apply * np.asarray(trans, np.float64),  # metric translations
             ],
             axis=-1,
         ),
         jnp.float32,
     )
-    from .ba import BAProblem
 
     prob = vi_problem_from_ba(
         BAProblem(
             cams=cams,
-            points=jnp.asarray(s * np.asarray(points, np.float64), jnp.float32),
+            points=jnp.asarray(s_apply * np.asarray(points, np.float64), jnp.float32),
             cam_idx=jnp.asarray(cam_idx, jnp.int32),
             pt_idx=jnp.asarray(pt_idx, jnp.int32),
             obs=jnp.asarray(obs, jnp.float32),
@@ -645,6 +641,7 @@ def refine_with_imu(
     )
     info = {
         "scale": float(s),
+        "scale_applied": float(s_apply),
         "gravity": np.asarray(g),
         "gyro_bias": np.asarray(bg),
         "accel_bias": np.asarray(ba_bias),
