@@ -386,6 +386,62 @@ def test_cli_slam_with_imu(tmp_path, capsys):
     assert np.linalg.norm(est - true, axis=1).mean() < 0.05
 
 
+def test_refine_stereo_slam_result_keeps_metric():
+    """A STEREO SlamResult is already metric (rig-anchored): the refiner
+    must skip the alignment rescale (scale_applied == 1) — the rig
+    baselines stay in fixed units, and applying the alignment's noisy
+    scale estimate would push the init off metric — and the refined
+    trajectory must stay at stereo accuracy."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_stereo_slam import _render_stereo_loop
+
+    from optical_flow_tpu.slam import incremental_slam
+    from optical_flow_tpu.slam.vi_ba import refine_slam_with_imu
+
+    n = 10
+    period = 6.0
+    pairs, centers, focal, _, _ = _render_stereo_loop(n_frames=n, baseline=0.3)
+    res = incremental_slam(
+        pairs, focal, stereo_baseline=0.3, loop_min_separation=20,
+        min_tracks=40, window=8,
+    )
+    assert res is not None and np.any(res.obs_baseline != 0)
+    err_in = np.linalg.norm(
+        res.centers() - np.asarray([centers[i] for i in res.keyframes]), axis=1
+    ).mean()
+
+    om = 2 * np.pi / period
+    rate = 200.0
+    t = np.arange(0.0, period, 1.0 / rate)
+    acc = np.stack(
+        [
+            -0.12 * om * om * np.sin(om * t),
+            0.08 * om * om * np.cos(om * t),
+            np.zeros_like(t),
+        ],
+        -1,
+    )
+    kf_t = np.asarray(res.keyframes) * (period / n)
+    out, info = refine_slam_with_imu(
+        res, focal, t, np.zeros((len(t), 3)), acc - G_W, kf_t,
+        estimate_accel_bias=False,
+    )
+    assert info["scale_applied"] == 1.0, info
+    est = np.stack(
+        [
+            -cv2.Rodrigues(np.asarray(s[:3]))[0].T @ np.asarray(s[3:6])
+            for s in np.asarray(out.states)
+        ]
+    )
+    true = np.asarray([centers[i] for i in res.keyframes])
+    err_out = np.linalg.norm(est - true, axis=1).mean()
+    # still metric, not degraded by the refinement
+    assert err_out < max(2.0 * err_in, 0.05), (err_in, err_out)
+
+
 def test_vi_ba_rejects_single_keyframe():
     sc = _make_scene(K=8)
     prob = _problem(sc)
