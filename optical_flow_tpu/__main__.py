@@ -152,6 +152,17 @@ def _cmd_track(args):
         prev, pts = gray, new
 
 
+def _cmd_serve(args):
+    from optical_flow_tpu.pipeline.serve import FlowServer
+
+    srv = FlowServer(host=args.host, port=args.port, unix_path=args.unix)
+    print(f"serving flow/gesture streams on {srv.address}", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
 def _cmd_slam(args):
     import numpy as np
     import jax.numpy as jnp
@@ -341,6 +352,18 @@ def main(argv=None):
         "is separable from gravity only under rotation-axis variety)",
     )
     p.set_defaults(fn=_cmd_slam)
+
+    p = sub.add_parser(
+        "serve",
+        help="long-running flow/gesture server: keeps compiled pipelines "
+        "hot and answers frame streams over TCP or a Unix socket "
+        "(pipeline/serve.py wire protocol)",
+    )
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7070)
+    p.add_argument("--unix", default=None, metavar="PATH",
+                   help="serve on a Unix-domain socket instead of TCP")
+    p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser(
         "bench",

@@ -43,6 +43,7 @@ run pyrdown      900 python scripts/tpu_pyrdown_experiments.py
 run interleave   600 python scripts/tpu_interleave_poc.py --time
 run sparselk     900 python scripts/tpu_sparse_lk_check.py
 run viba         600 python scripts/tpu_vi_ba_check.py
+run serve        600 python scripts/tpu_serve_check.py
 run vpurate      600 python scripts/tpu_vpu_rate_probe.py
 run resize       900 python scripts/tpu_resize_experiments.py
 echo "=== session done; logs in /tmp/tpu_session_*.log ==="
