@@ -125,6 +125,54 @@ def preintegrate(gyro, accel, dt, valid=None):
     return R.reshape(lead + (3, 3)), v.reshape(lead + (3,)), p.reshape(lead + (3,))
 
 
+def preintegrate_with_bias_jacobians(gyro, accel, dt, valid=None):
+    """Preintegrated deltas plus FIRST-ORDER bias Jacobians (the Forster
+    correction terms a bias-state VI-BA consumes, VERDICT r4 #4).
+
+    gyro/accel are the (already bias-corrected) per-interval sample
+    windows of `preintegrate`; the Jacobians are d(deltas)/d(delta-bias)
+    at delta-bias = 0, produced by jax.jacfwd THROUGH the preintegration
+    scan itself (6 JVP passes — no hand-derived right-Jacobian chains).
+    The rotation Jacobian uses the standard Exp-correction
+    parametrization dR(dbg) ~= dR Exp(J_dR_bg dbg); dv/dp are linear in
+    the accelerometer, so their ba columns are exact, and their bg
+    columns are the usual first-order rotation coupling.
+
+    Returns (dR, dv, dp, J) with J a (..., 5, 3, 3) stack ordered
+    [J_dR_bg, J_dv_bg, J_dv_ba, J_dp_bg, J_dp_ba] — the layout
+    `slam.vi_ba.VIBAProblem.bias_jac` carries.
+    """
+    gyro = jnp.asarray(gyro, jnp.float32)
+    accel = jnp.asarray(accel, jnp.float32)
+    dt = jnp.asarray(dt, jnp.float32)
+    if valid is None:
+        valid = jnp.ones(dt.shape, bool)
+    else:
+        valid = jnp.asarray(valid, bool)
+    lead = dt.shape[:-1]
+
+    def deltas(b):
+        return preintegrate(gyro - b[:3], accel - b[3:], dt, valid)
+
+    zero = jnp.zeros(6, jnp.float32)
+    dR0, dv0, dp0 = deltas(zero)
+    dR0_flat = dR0.reshape((-1, 3, 3))
+
+    def corrections(b):
+        dR, dv, dp = deltas(b)
+        rlog = jax.vmap(lambda A, B: _log_so3(A.T @ B))(
+            dR0_flat, dR.reshape((-1, 3, 3))
+        )
+        return rlog.reshape(lead + (3,)), dv, dp
+
+    Jr, Jv, Jp = jax.jacfwd(corrections)(zero)  # each (..., 3, 6)
+    J = jnp.stack(
+        [Jr[..., :3], Jv[..., :3], Jv[..., 3:], Jp[..., :3], Jp[..., 3:]],
+        axis=-3,
+    )  # (..., 5, 3, 3)
+    return dR0, dv0, dp0, J
+
+
 def _log_so3(R):
     """SO(3) -> axis-angle (3,) for angles < pi/2, smooth AND
     differentiable at 0 (jax.jacrev flows through this in the gyro-bias
