@@ -63,14 +63,13 @@ def _make_config(preset: str, proc_size: Tuple[int, int], impl: str) -> VideoCon
     if preset == "fast":
         cfg = VideoConfig.fast(size=proc_size)
         if impl != "auto":
-            cfg = VideoConfig(
-                preprocess=cfg.preprocess,
-                flow=FlowConfig(
-                    impl=impl, mode="corrected", warp_clamp=8.0,
-                    warp_impl="auto", pyr_impl="auto",
-                ),
-                gesture=cfg.gesture,
-                faithful_prev_diff=False,
+            # replace() keeps every other fast-preset knob: an explicit
+            # impl must not silently drift from the preset's tuning if
+            # that tuning ever changes (ADVICE r4)
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, flow=dataclasses.replace(cfg.flow, impl=impl)
             )
         return cfg
     if preset == "faithful":
@@ -84,7 +83,16 @@ def _make_config(preset: str, proc_size: Tuple[int, int], impl: str) -> VideoCon
 class _PipelinePool:
     """Keyed free-list of VideoPipelines. acquire() reuses a compiled
     pipeline when one is idle (reset first — stream state is per client),
-    else builds a fresh one; release() returns it for the next stream."""
+    else builds a fresh one; release() returns it for the next stream.
+
+    The free list is CAPPED per key (ADVICE r4): a burst of N concurrent
+    same-key streams builds N pipelines, and an unbounded list would pin
+    all N compiled executables + device buffers for the server's life
+    even though device_lock serializes pushes anyway. Releases beyond the
+    cap are dropped (the executable cache inside jit still makes the next
+    acquire's trace cheap)."""
+
+    MAX_FREE_PER_KEY = 4
 
     def __init__(self):
         self._lock = threading.Lock()
@@ -102,7 +110,9 @@ class _PipelinePool:
 
     def release(self, key, pipe) -> None:
         with self._lock:
-            self._free.setdefault(key, []).append(pipe)
+            free = self._free.setdefault(key, [])
+            if len(free) < self.MAX_FREE_PER_KEY:
+                free.append(pipe)
 
 
 class _StreamHandler(socketserver.StreamRequestHandler):
@@ -130,8 +140,16 @@ class _StreamHandler(socketserver.StreamRequestHandler):
                 impl = str(hs.get("impl", "auto"))
                 if channels not in (1, 3, 4):
                     raise ValueError(f"unsupported channel count {channels}")
+                # each dimension validated alone: negative height x
+                # negative width multiplies to a positive product that
+                # would pass a size-only check, then blow up in reshape
+                # inside the handler thread (ADVICE r4)
+                if height <= 0 or width <= 0:
+                    raise ValueError(f"bad frame dims {height}x{width}")
+                if proc[0] <= 0 or proc[1] <= 0:
+                    raise ValueError(f"bad proc dims {proc[0]}x{proc[1]}")
                 frame_bytes = height * width * channels
-                if not 0 < frame_bytes <= MAX_FRAME_BYTES:
+                if frame_bytes > MAX_FRAME_BYTES:
                     raise ValueError(f"frame size {frame_bytes} out of range")
                 cfg = _make_config(preset, proc, impl)
             except Exception as exc:  # malformed handshake: report and drop
@@ -143,22 +161,33 @@ class _StreamHandler(socketserver.StreamRequestHandler):
             )
             try:
                 self._send_json({"ok": True, "pooled": pooled})
-                self._serve_stream(server, pipe, height, width, channels, return_flow)
+                fatal = self._serve_stream(
+                    server, pipe, height, width, channels, return_flow
+                )
             finally:
                 server.pool.release(key, pipe)
+            if fatal:
+                # the stream closed the socket (bad frame) — re-entering
+                # the handshake loop would readline() a closed file and
+                # traceback in the handler thread (ADVICE r4)
+                return
 
-    def _serve_stream(self, server, pipe, height, width, channels, return_flow):
+    def _serve_stream(
+        self, server, pipe, height, width, channels, return_flow
+    ) -> bool:
+        """Serve one stream; True means the connection is dead (the
+        caller must return instead of awaiting another handshake)."""
         frame_bytes = height * width * channels
         shape = (height, width) if channels == 1 else (height, width, channels)
         n = 0
         while True:
             head = self.rfile.read(_U32.size)
             if len(head) < _U32.size:
-                return  # peer vanished mid-stream; pool still reclaims
+                return True  # peer vanished mid-stream; pool still reclaims
             (length,) = _U32.unpack(head)
             if length == 0:
                 self._send_json({"end": True, "frames": n})
-                return
+                return False
             if length != frame_bytes:
                 self._send_json(
                     {
@@ -167,10 +196,10 @@ class _StreamHandler(socketserver.StreamRequestHandler):
                     }
                 )
                 self.connection.close()
-                return
+                return True
             payload = self.rfile.read(length)
             if len(payload) < length:
-                return
+                return True
             frame = np.frombuffer(payload, dtype=np.uint8).reshape(shape)
             with server.device_lock:
                 result = pipe.push(frame)

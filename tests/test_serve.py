@@ -10,6 +10,7 @@ VideoPipeline on the same frames.
 
 import os
 import socket
+import struct
 import threading
 
 import numpy as np
@@ -143,6 +144,39 @@ def test_wrong_frame_length_is_reported(server):
         assert hello["ok"]
         resp = c.push(np.zeros((H, W + 2, 3), np.uint8))  # wrong width
     assert resp["ok"] is False and "expected" in resp["error"]
+
+
+def test_wrong_frame_length_closes_connection_cleanly(server):
+    """After the error reply the server must CLOSE the connection, not
+    re-enter the handshake loop on the closed socket (ADVICE r4: every
+    bad-frame client used to print a handler-thread traceback)."""
+    with socket.create_connection(server.address, timeout=30) as s:
+        import json as _json
+
+        hs = {"v": 1, "height": H, "width": W, "channels": 3,
+              "proc_height": PROC[0], "proc_width": PROC[1]}
+        s.sendall(_json.dumps(hs).encode() + b"\n")
+        f = s.makefile("rb")
+        assert _json.loads(f.readline())["ok"]
+        s.sendall(struct.pack(">I", 12) + b"x" * 12)  # wrong length
+        assert _json.loads(f.readline())["ok"] is False
+        # connection is done: reads drain to EOF, no further handshake
+        assert f.read() == b""
+
+
+def test_negative_dims_rejected_in_handshake(server):
+    """-2 x -2 x 1 multiplies to a positive frame size; each dimension is
+    validated alone so the reply is the normal error JSON (ADVICE r4)."""
+    for hs in (
+        {"v": 1, "height": -2, "width": -2, "channels": 1},
+        {"v": 1, "height": H, "width": W, "proc_height": -4, "proc_width": 4},
+    ):
+        with socket.create_connection(server.address, timeout=30) as s:
+            import json as _json
+
+            s.sendall(_json.dumps(hs).encode() + b"\n")
+            resp = _json.loads(s.makefile("rb").readline())
+        assert resp["ok"] is False and "error" in resp
 
 
 def test_unix_socket_roundtrip(tmp_path):
