@@ -238,6 +238,7 @@ def _cmd_slam(args):
             out, info = refine_slam_with_imu(
                 res, focal, log["t"], log["gyro"], log["accel"], kf_t,
                 estimate_accel_bias=not args.no_accel_bias,
+                bias_states=args.imu_bias_states,
             )
         except KeyError as e:
             sys.exit(f"--imu log missing array {e} (need t, gyro, accel)")
@@ -255,6 +256,12 @@ def _cmd_slam(args):
             f"accel bias {np.round(info['accel_bias'], 3)} "
             f"gravity {np.round(info['gravity'], 3)}"
         )
+        if "gyro_bias_per_kf" in info:
+            drift = info["gyro_bias_per_kf"][-1] - info["gyro_bias_per_kf"][0]
+            print(
+                f"  bias states: gyro walked {np.round(drift, 4)} rad/s "
+                f"over {len(info['gyro_bias_per_kf'])} keyframes"
+            )
         for i, (kf, c) in enumerate(zip(res.keyframes, centers)):
             print(f"  kf {i} (frame {kf}): METRIC center {np.round(c, 4)}")
     if args.out:
@@ -350,6 +357,12 @@ def main(argv=None):
         "--no-accel-bias", action="store_true",
         help="skip accel-bias estimation (rotation-poor logs: accel bias "
         "is separable from gravity only under rotation-axis variety)",
+    )
+    p.add_argument(
+        "--imu-bias-states", action="store_true",
+        help="carry per-keyframe bias states (15-DOF) through the joint "
+        "VI-BA with random-walk coupling — for logs long enough that "
+        "the biases drift past a single constant estimate (vi_ba.py)",
     )
     p.set_defaults(fn=_cmd_slam)
 
