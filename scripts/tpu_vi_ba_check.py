@@ -71,6 +71,48 @@ def main():
     assert err.mean() < 0.01, err.mean()
     print("OK: metric scale recovered in f32 on", jax.devices()[0])
 
+    bias_state_check(sc, rng)
+
+
+def bias_state_check(sc, rng):
+    """The 15-DOF bias-state solve in f32 on chip (round 5): its reduced
+    camera system mixes MORE units than the 9-DOF one (pixel, rad, m/s,
+    rad/s, m/s^2 with random-walk weights), so the Jacobi-preconditioned
+    f32 path must be re-pinned at this width — the end-to-end
+    refine_with_imu under an injected DRIFTING gyro bias, as in
+    tests/test_vi_ba_bias_states.py but on the real device."""
+    from test_vi_ba_bias_states import _add_drifting_bias  # noqa: E402
+
+    from optical_flow_tpu.slam.vi_ba import refine_with_imu  # noqa: E402
+
+    s_true = 3.0
+    bg0 = np.asarray([0.01, -0.008, 0.012])
+    bg_slope = np.asarray([0.016, -0.012, 0.014])
+    ba0 = np.asarray([0.08, -0.05, 0.10])
+    gyro, accel = _add_drifting_bias(sc, bg0, bg_slope, ba0, 0.0)
+    t0 = time.time()
+    out_b, info_b = refine_with_imu(
+        sc["poses"], sc["trans"] / s_true, sc["X"] / s_true,
+        sc["cam_idx"], sc["pt_idx"], sc["obs"], 500.0,
+        gyro, accel, sc["dt"], iters=12, bias_states=True,
+        bias_rw_weight=(1e2, 1e2),
+    )
+    jax.block_until_ready(out_b.states)
+    t1 = time.time()
+    _, est_b = _scale_of(np.asarray(out_b.states), sc)
+    err_b = np.linalg.norm(est_b - sc["centers"], axis=1).mean()
+    span = np.linalg.norm(sc["centers"], axis=1).max()
+    bg_kf = info_b["gyro_bias_per_kf"]
+    true_bg = bg0[None] + bg_slope[None] * sc["kf_t"][:, None]
+    track = np.abs(bg_kf - true_bg).mean()
+    print(
+        f"TPU f32 bias-state VI-BA: {t1 - t0:.1f}s center err {err_b:.4f} "
+        f"({err_b / span:.3f} span) bias track MAE {track:.5f} rad/s"
+    )
+    assert err_b < 0.03 * span, (err_b, span)
+    assert track < 0.006, track
+    print("OK: drifting bias tracked in f32 on", jax.devices()[0])
+
 
 if __name__ == "__main__":
     main()
