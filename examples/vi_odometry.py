@@ -18,7 +18,13 @@ Prints the recovered scale/biases and the absolute (metric!) trajectory
 error before and after the joint refinement — no oracle scale fit
 anywhere.
 
-  python examples/vi_odometry.py [--scale 3.0] [--cpu]
+With --bias-drift, the injected gyro bias WALKS over the log (real MEMS
+behavior): the frozen-bias 9-DOF solve visibly degrades while
+`bias_states=True` (15-DOF states with per-keyframe bias deltas +
+random-walk factors) tracks the walk and recovers — both are printed
+for comparison.
+
+  python examples/vi_odometry.py [--scale 3.0] [--bias-drift] [--cpu]
 """
 
 import argparse
@@ -37,6 +43,9 @@ def main():
                     help="true metric scale of the visual solution")
     ap.add_argument("--vis-noise", type=float, default=1.0,
                     help="visual-solution noise level (x the default)")
+    ap.add_argument("--bias-drift", action="store_true",
+                    help="let the gyro bias WALK over the log and compare "
+                    "frozen-bias vs bias-state (15-DOF) refinement")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -71,11 +80,28 @@ def main():
     trans_n = sc["trans"] / s_true + rng.randn(*sc["trans"].shape) * 2e-3 * nz
     X_n = sc["X"] / s_true + rng.randn(*sc["X"].shape) * 3e-3 * nz
 
+    gyro_log = sc["gyro"] + bg
+    if args.bias_drift:
+        # bias walk: b(t) = bg + slope*t (a linear stand-in; see
+        # tests/test_vi_ba_bias_states.py)
+        slope = np.asarray([0.016, -0.012, 0.014])
+        h = sc["dt"][0, 0]
+        t = (sc["kf_t"][:-1][:, None]
+             + np.arange(sc["dt"].shape[1])[None, :] * h)[..., None]
+        gyro_log = gyro_log + slope * t
+
     out, info = refine_with_imu(
         poses_n, trans_n, X_n,
         sc["cam_idx"], sc["pt_idx"], sc["obs"], 500.0,
-        sc["gyro"] + bg, sc["accel"] + ba, sc["dt"], iters=12,
+        gyro_log, sc["accel"] + ba, sc["dt"], iters=12,
     )
+    if args.bias_drift:
+        out_b, info_b = refine_with_imu(
+            poses_n, trans_n, X_n,
+            sc["cam_idx"], sc["pt_idx"], sc["obs"], 500.0,
+            gyro_log, sc["accel"] + ba, sc["dt"], iters=12,
+            bias_states=True, bias_rw_weight=(1e2, 1e2),
+        )
     scale, est = _scale_of(np.asarray(out.states), sc)
     err = np.linalg.norm(est - sc["centers"], axis=1)
     # alignment-only metric trajectory: the NOISY visual centers x scale
@@ -89,6 +115,17 @@ def main():
     print(f"mean |center err| metric : align-only {init_err.mean():.4f} m"
           f" -> joint VI-BA {err.mean():.4f} m")
     print(f"final trajectory scale   : {scale:.4f} (1.0 = metric)")
+    if args.bias_drift:
+        _, est_b = _scale_of(np.asarray(out_b.states), sc)
+        err_b = np.linalg.norm(est_b - sc["centers"], axis=1)
+        walk = (info_b["gyro_bias_per_kf"][-1]
+                - info_b["gyro_bias_per_kf"][0])
+        print()
+        print("-- gyro bias walks over the log --")
+        print(f"frozen-bias (9-DOF)  err : {err.mean():.4f} m")
+        print(f"bias-state (15-DOF)  err : {err_b.mean():.4f} m")
+        print(f"solved bias walk         : {walk.round(4)} rad/s "
+              f"(true {(0.016, -0.012, 0.014)} x {sc['kf_t'][-1]:.1f}s)")
 
 
 if __name__ == "__main__":
