@@ -41,8 +41,10 @@ def _emit_stale_and_exit() -> None:
     """Report the last REAL measurement, clearly flagged stale, and exit 3.
 
     If the headline was already measured this run, report THAT instead
-    (fresh, rc=0 path does not apply — exit 3 still flags the aborted
-    companions, but the number is this run's real measurement)."""
+    with `companions_aborted: true` and exit 0 — the headline itself is a
+    real fresh measurement (rc=3 means "stale replay" to consumers, which
+    would be wrong here); the flag in the JSON is the degraded-run marker
+    consumers must check."""
     if _FRESH_HEADLINE is not None:
         out = dict(_FRESH_HEADLINE)
         out["companions_aborted"] = True  # headline fresh; companions cut
@@ -822,6 +824,23 @@ def main():
     # pair solve per frame — what the flagship loop and pipeline/video.py
     # actually execute in steady state). `--pairwise` measures isolated
     # pairs (both pyramids rebuilt per call); parity mode always does.
+    def _register_fresh(fps_val):
+        # the moment the headline is measured, shield it from the wedge
+        # watchdog — a wedge during pair_fps / the dispatch sweep / any
+        # companion must emit THIS number, never the stale cache
+        global _FRESH_HEADLINE
+        _FRESH_HEADLINE = {
+            "metric": f"dense_pyramidal_lk_{args.size}p_fps",
+            "value": round(fps_val, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps_val / BASELINE_FPS, 3),
+            "formulation": (
+                "pairwise" if (args.parity or args.pairwise) else "streaming"
+            ),
+        }
+        if os.environ.get("BENCH_FORCE_CPU"):
+            _FRESH_HEADLINE["backend"] = "cpu-smoke"
+
     fps_stats = None
     dispatch_sweep = None
     if args.parity or args.pairwise:
@@ -829,6 +848,7 @@ def main():
             args.size, args.batch, args.impl, args.iters, args.warmup, levels, cfg
         )
         pair_fps = fps
+        _register_fresh(fps)
     else:
         # n_runs >= 5 repeats -> median / IQR (VERDICT r3 #2: error bars,
         # regressions gated on the median, "tunnel variance" becomes a
@@ -846,6 +866,7 @@ def main():
             wall_samples.append(s_wall)
         fps = float(np.median(samples))
         wall_fps = float(np.median(wall_samples))
+        _register_fresh(fps)
         q1, q3 = np.percentile(samples, [25, 75])
         fps_stats = {
             "fps_median": round(fps, 2),
@@ -874,16 +895,6 @@ def main():
                     "device_fps": round(d_fps, 1),
                 }
     mpix_s = fps * H * W / 1e6
-    global _FRESH_HEADLINE
-    _FRESH_HEADLINE = {
-        "metric": f"dense_pyramidal_lk_{args.size}p_fps",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "formulation": (
-            "pairwise" if (args.parity or args.pairwise) else "streaming"
-        ),
-    }
     # end-to-end companion: the whole flagship chain (preprocess + flow +
     # gesture), the quantity the reference's own frame timer measures
     # (ParallelVideoPyr.cpp:836). Guarded: a companion failure must not
@@ -1012,6 +1023,10 @@ def main():
             "pairwise" if (args.parity or args.pairwise) else "streaming"
         ),
     }
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # the headline JSON must be self-describing: a CPU smoke number
+        # on stdout is otherwise indistinguishable from a device run
+        result["backend"] = "cpu-smoke"
     is_default_config = (
         args.size == 1080 and args.batch == 1 and args.impl == "auto"
         and args.clamp == 8.0 and not (args.parity or args.pairwise)

@@ -149,23 +149,24 @@ def preintegrate_with_bias_jacobians(gyro, accel, dt, valid=None):
         valid = jnp.ones(dt.shape, bool)
     else:
         valid = jnp.asarray(valid, bool)
-    lead = dt.shape[:-1]
 
     def deltas(b):
         return preintegrate(gyro - b[:3], accel - b[3:], dt, valid)
 
+    # ONE primal pass + 6 JVPs (jax.linearize): jacfwd(corrections) would
+    # re-run the primal preintegration a second time just to re-derive
+    # deltas it already has. The rotation Jacobian in the Exp-correction
+    # chart falls out of the raw tangent: for dR(e) = dR0 Exp(J e),
+    # dRdot = dR0 [J e]x, so J's columns are vee(dR0^T dRdot).
     zero = jnp.zeros(6, jnp.float32)
-    dR0, dv0, dp0 = deltas(zero)
-    dR0_flat = dR0.reshape((-1, 3, 3))
-
-    def corrections(b):
-        dR, dv, dp = deltas(b)
-        rlog = jax.vmap(lambda A, B: _log_so3(A.T @ B))(
-            dR0_flat, dR.reshape((-1, 3, 3))
-        )
-        return rlog.reshape(lead + (3,)), dv, dp
-
-    Jr, Jv, Jp = jax.jacfwd(corrections)(zero)  # each (..., 3, 6)
+    (dR0, dv0, dp0), jvp = jax.linearize(deltas, zero)
+    dRd, dvd, dpd = jax.vmap(jvp)(jnp.eye(6, dtype=jnp.float32))
+    S = jnp.einsum("...ji,k...jl->k...il", dR0, dRd)  # (6, ..., 3, 3)
+    S = 0.5 * (S - jnp.swapaxes(S, -1, -2))  # exact skew (f32 hygiene)
+    w = jnp.stack([S[..., 2, 1], S[..., 0, 2], S[..., 1, 0]], axis=-1)
+    Jr = jnp.moveaxis(w, 0, -1)  # (..., 3, 6); accel columns are zero
+    Jv = jnp.moveaxis(dvd, 0, -1)
+    Jp = jnp.moveaxis(dpd, 0, -1)
     J = jnp.stack(
         [Jr[..., :3], Jv[..., :3], Jv[..., 3:], Jp[..., :3], Jp[..., 3:]],
         axis=-3,

@@ -403,6 +403,12 @@ def sharded_vi_bundle_adjust(
     M = problem.obs.shape[0]
     if P_pts % n or M % n:
         raise ValueError(f"points {P_pts} and obs {M} must divide mesh size {n}")
+    if problem.states.shape[1] == 15 and problem.bias_jac is None:
+        # same contract as the unsharded path: zero-filled Jacobians
+        # would silently decouple the bias states from the IMU residuals
+        raise ValueError(
+            "15-DOF states need bias_jac (preintegrate_with_bias_jacobians)"
+        )
     C = problem.states.shape[0]
     lamv = jnp.asarray(lam, problem.points.dtype)
     P_local = P_pts // n

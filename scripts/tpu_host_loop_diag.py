@@ -81,6 +81,10 @@ def _bench_clip(size=(720, 1280), frames=240):
     wtr = cv2.VideoWriter(
         clip + ".tmp.mp4", cv2.VideoWriter_fourcc(*"mp4v"), 30, (W, H)
     )
+    if not wtr.isOpened():
+        # never rename a headerless stub into the shared cache path —
+        # bench.py keys its clip cache on existence alone
+        raise RuntimeError("no mp4 encoder available")
     for t in range(frames):
         f = np.roll(basef, 2 * t, axis=1)
         cxb, cyb = (100 + 3 * t) % W, (200 + 2 * t) % H
