@@ -81,9 +81,15 @@ def _run_video(args):
     # drawn onto ITS original frame — the reference's live overlay
     # (ParallelVideoPyr.cpp:884-891: centroid rescaled to frame coords,
     # radius-35 circle, shown per frame).
+    gray_decode = args.gray_decode
+    if gray_decode and args.annotate:
+        _sys.exit("--gray-decode and --annotate are mutually exclusive "
+                  "(the overlay draws on the original BGR frame)")
     pipe.reset()
     i = -1
-    for frame in read_frames(args.input, max_frames=args.frames):
+    for frame in read_frames(
+        args.input, max_frames=args.frames, gray=gray_decode
+    ):
         res = pipe.push(frame)
         if res is None:
             continue
@@ -310,6 +316,15 @@ def main(argv=None):
         "to a PNG directory if OUT has no extension",
     )
     p.add_argument("--fps", type=float, default=30.0, help="annotated output fps")
+    p.add_argument(
+        "--gray-decode",
+        action="store_true",
+        help="decode to GRAY8 (libswscale BT.601 luma) instead of BGR — a "
+        "third of the bytes cross host->device, the measured host-loop "
+        "bottleneck (bench.py h2d legs). Gray-first consumers (--fast) "
+        "lose only decode-time uint8 luma rounding vs the float path; "
+        "incompatible with --annotate (the overlay needs BGR frames)",
+    )
     p.set_defaults(fn=_run_video)
 
     p = sub.add_parser("track", help="sparse feature tracking")
