@@ -409,3 +409,49 @@ def test_fast_mode_bgra_drops_alpha():
     got4 = np.asarray(preprocess_frame(jnp.asarray(bgra), cfg))
     assert got4.shape == (64, 64)
     np.testing.assert_array_equal(got3, got4)
+
+
+def test_cli_video_gray_decode(capsys):
+    """`video --gray-decode` (round 5): decode-time GRAY8 luma rides the
+    whole fast pipeline — a third of the H2D bytes, the measured
+    host-loop bottleneck — and produces per-frame results equivalent to
+    the BGR path up to uint8 luma rounding."""
+    import sys
+
+    from optical_flow_tpu.utils.goldens import reference_dir
+
+    ref = reference_dir()
+    if ref is None or not (ref / "pacman.mp4").exists():
+        pytest.skip("pacman.mp4 not available")
+    import optical_flow_tpu.__main__ as cli
+
+    argv = sys.argv
+    try:
+        sys.argv = [
+            "x", "video", "--input", str(ref / "pacman.mp4"),
+            "--frames", "5", "--size", "96", "--fast", "--gray-decode",
+        ]
+        cli.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("frame ")]
+    assert len(lines) == 3  # 5 frames - 2 warmup
+    assert all("votes=" in l for l in lines)
+
+
+def test_cli_video_gray_decode_rejects_annotate(tmp_path):
+    import sys
+
+    import optical_flow_tpu.__main__ as cli
+
+    argv = sys.argv
+    try:
+        sys.argv = [
+            "x", "video", "--input", "whatever.mp4", "--frames", "2",
+            "--gray-decode", "--annotate", str(tmp_path / "out"),
+        ]
+        with pytest.raises(SystemExit):
+            cli.main()
+    finally:
+        sys.argv = argv
