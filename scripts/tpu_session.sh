@@ -36,13 +36,16 @@ run() {
 # modes) must prove it lowers before bench commits to a fresh compile of
 # the same programs (a lowering failure would burn bench's watchdog)
 run shapes       900 python scripts/tpu_kernel_shapes_check.py
-run bench        900 python bench.py
+# bench grew host-loop + roofline + sweep companions in round 5: a full
+# healthy run is ~25-40 min on the tunnel
+run bench       3000 python bench.py
 run shardedfused 900 python scripts/tpu_sharded_fused_check.py
 run multitile    900 python scripts/tpu_sharded_fused_check.py --multi-tile --artifact MULTITILE_SWEEP.json
+run hostloop    1200 python scripts/tpu_host_loop_diag.py
 run pyrdown      900 python scripts/tpu_pyrdown_experiments.py
 run interleave   600 python scripts/tpu_interleave_poc.py --time
 run sparselk     900 python scripts/tpu_sparse_lk_check.py
-run viba         600 python scripts/tpu_vi_ba_check.py
+run viba         900 python scripts/tpu_vi_ba_check.py
 run serve        600 python scripts/tpu_serve_check.py
 run vpurate      600 python scripts/tpu_vpu_rate_probe.py
 run resize       900 python scripts/tpu_resize_experiments.py

@@ -74,13 +74,16 @@ def _make_scene(K=8, dt_kf=0.5, rate=200.0, seed=0):
     cams = np.concatenate(
         [np.stack([cv2.Rodrigues(R)[0].ravel() for R in poses]), trans], -1
     )
-    cam_idx, pt_idx, obs = [], [], []
-    for k in range(K):
-        for p in range(len(X)):
-            uv = np.asarray(project(jnp.asarray(cams[k]), jnp.asarray(X[p]), FOCAL))
-            cam_idx.append(k)
-            pt_idx.append(p)
-            obs.append(uv)
+    # vectorized ground-truth projections (numpy, cam-major order): the
+    # per-observation jnp.project loop was 960 tiny dispatches — minutes
+    # of round trips when the scene builds against the tunneled device
+    # (scripts/tpu_vi_ba_check.py)
+    P = len(X)
+    Xc = np.einsum("kij,pj->kpi", poses, X) + trans[:, None, :]
+    uv_all = FOCAL * Xc[..., :2] / Xc[..., 2:3]
+    cam_idx = np.repeat(np.arange(K), P)
+    pt_idx = np.tile(np.arange(P), K)
+    obs = list(uv_all.reshape(K * P, 2))
     # IMU: numeric gyro from the relative-rotation log, analytic accel
     n = int(round(dt_kf * rate))
     h = 1.0 / rate
