@@ -77,6 +77,14 @@ def _run_video(args):
         from optical_flow_tpu.io.video_writer import VideoWriter
 
         writer = VideoWriter(args.annotate, fps=args.fps)
+    preview = None
+    if args.preview is not None:
+        # live view (the reference's imshow surface, headless-native):
+        # browser-watchable MJPEG stream of the annotated frames
+        from optical_flow_tpu.io.preview import MjpegPreview
+
+        preview = MjpegPreview(port=args.preview)
+        print(f"live preview at {preview.url}", file=_sys.stderr)
     # push() frame by frame (instead of pipe.run) so each result can be
     # drawn onto ITS original frame — the reference's live overlay
     # (ParallelVideoPyr.cpp:884-891: centroid rescaled to frame coords,
@@ -109,15 +117,19 @@ def _run_video(args):
                 f"frame {i}: votes={int(g.votes)} detected={bool(g.detected)} "
                 f"centroid=({float(g.cx):.1f},{float(g.cy):.1f})"
             )
-            if writer is not None:
+            if writer is not None or preview is not None:
                 import numpy as np
 
                 from optical_flow_tpu.utils.viz import draw_circle
 
-                rgb = np.asarray(frame)[..., ::-1]  # decoder yields BGR
+                fr = np.asarray(frame)
+                # decoder yields BGR (or gray under --gray-decode)
+                rgb = fr[..., ::-1] if fr.ndim == 3 else fr
                 if bool(g.detected):
                     ph, pw = cfg.preprocess.size
                     fh, fw = rgb.shape[:2]
+                    if rgb.ndim == 2:  # draw needs channels
+                        rgb = np.repeat(rgb[..., None], 3, axis=-1)
                     rgb = draw_circle(
                         rgb,
                         float(g.cx) * fw / pw,
@@ -127,10 +139,15 @@ def _run_video(args):
                         ),
                         color=(255, 0, 0),
                     )
-                writer.write(rgb)
+                if writer is not None:
+                    writer.write(rgb)
+                if preview is not None:
+                    preview.push(rgb)
     if writer is not None:
         writer.close()
         print(f"wrote {writer.frames_written} annotated frames to {args.annotate}")
+    if preview is not None:
+        preview.close()
     stop_watchdog()
     metrics.emit()
 
@@ -316,6 +333,17 @@ def main(argv=None):
         "to a PNG directory if OUT has no extension",
     )
     p.add_argument("--fps", type=float, default=30.0, help="annotated output fps")
+    p.add_argument(
+        "--preview",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="serve a live MJPEG preview of the annotated frames at "
+        "http://host:PORT/ (the reference's imshow window, headless-"
+        "native: watch from any browser or ffplay; 0 = ephemeral port). "
+        "Non-blocking — a slow or absent viewer never stalls the "
+        "pipeline (io/preview.py)",
+    )
     p.add_argument(
         "--gray-decode",
         action="store_true",
