@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--frames", type=int, default=100, help="stop after N frames")
     ap.add_argument("--size", type=int, default=None,
                     help="square preprocess size (default: the fast preset's)")
+    ap.add_argument("--preview", type=int, default=None, metavar="PORT",
+                    help="serve a live MJPEG view of the annotated frames "
+                    "(the reference's imshow window) at http://host:PORT/")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
     if args.cpu:
@@ -45,9 +48,19 @@ def main():
         size=(args.size, args.size)
     )
     pipe = VideoPipeline(vc)
+    preview = None
+    if args.preview is not None:
+        from optical_flow_tpu.io.preview import MjpegPreview
+
+        preview = MjpegPreview(port=args.preview)
+        print(f"live preview at {preview.url}", file=sys.stderr)
     t0 = time.perf_counter()
     n = 0
-    for res in pipe.run(read_frames(args.input, max_frames=args.frames)):
+    pipe.reset()
+    for frame in read_frames(args.input, max_frames=args.frames):
+        res = pipe.push(frame)
+        if res is None:
+            continue
         n += 1
         g = res.gesture
         mark = "GESTURE" if bool(g.detected) else "       "
@@ -56,9 +69,29 @@ def main():
             f"centroid=({float(g.cx):6.1f},{float(g.cy):6.1f})",
             flush=True,
         )
+        if preview is not None:
+            import numpy as np
+
+            from optical_flow_tpu.utils.viz import draw_circle
+
+            fr = np.asarray(frame)
+            rgb = fr[..., ::-1] if fr.ndim == 3 else fr
+            if bool(g.detected):
+                ph, pw = vc.preprocess.size
+                fh, fw = rgb.shape[:2]
+                if rgb.ndim == 2:
+                    rgb = np.repeat(rgb[..., None], 3, axis=-1)
+                rgb = draw_circle(
+                    rgb, float(g.cx) * fw / pw, float(g.cy) * fh / ph,
+                    radius=max(1, round(vc.gesture.circle_radius * fw / pw)),
+                    color=(255, 0, 0),
+                )
+            preview.push(rgb)
     dt = time.perf_counter() - t0
     if n:
         print(f"{n} frames in {dt:.2f}s ({n / dt:.1f} fps wall incl. capture)")
+    if preview is not None:
+        preview.close()
 
 
 if __name__ == "__main__":
