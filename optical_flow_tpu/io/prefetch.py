@@ -48,24 +48,52 @@ def prefetch_chunks_to_device(
     chunk_size: int,
     depth: int = 2,
     device: Optional[jax.Device] = None,
+    timings: Optional[list] = None,
 ) -> Iterator[jax.Array]:
     """Stack frames into (chunk_size, ...) batches and stage them on device
     from a background thread. The final batch may be shorter. One H2D
     transfer per chunk (instead of per frame) is what lets the chunked
-    pipeline amortize dispatch + transfer latency over many frames."""
+    pipeline amortize dispatch + transfer latency over many frames.
+
+    timings: optional list the worker appends per-chunk producer spans
+    to — {"decode_s": time pulling the chunk's frames from upstream,
+    "put_s": device_put + ready} — so a benchmark can decompose the REAL
+    loop with the loop's own clock instead of side probes (an unstable
+    link's bandwidth cannot be point-probed fairly; bench.py host_loop)."""
+    import time
+
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
+
+    def put(buf):
+        t0 = time.perf_counter()
+        arr = jax.device_put(np.stack(buf), device)
+        if timings is not None:
+            # sync only when instrumented: the production path keeps
+            # transfers in flight (the runtime pipelines queued puts)
+            arr.block_until_ready()
+        return arr, time.perf_counter() - t0
 
     def worker():
         try:
             buf: list = []
+            t_dec0 = time.perf_counter()
             for f in frames:
                 buf.append(np.ascontiguousarray(f))
                 if len(buf) == chunk_size:
-                    q.put(jax.device_put(np.stack(buf), device))
+                    dec_s = time.perf_counter() - t_dec0
+                    arr, put_s = put(buf)
+                    if timings is not None:
+                        timings.append({"decode_s": dec_s, "put_s": put_s})
+                    q.put(arr)
                     buf = []
+                    t_dec0 = time.perf_counter()
             if buf:
-                q.put(jax.device_put(np.stack(buf), device))
+                dec_s = time.perf_counter() - t_dec0
+                arr, put_s = put(buf)
+                if timings is not None:
+                    timings.append({"decode_s": dec_s, "put_s": put_s})
+                q.put(arr)
         finally:
             q.put(stop)
 
