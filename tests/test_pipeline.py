@@ -455,3 +455,26 @@ def test_cli_video_gray_decode_rejects_annotate(tmp_path):
             cli.main()
     finally:
         sys.argv = argv
+
+
+def test_prefetch_chunk_timings_tap():
+    """The instrumented prefetcher (round 5): per-chunk producer spans
+    (decode pull, device_put-to-ready) land in the caller's list — the
+    co-measured legs bench.py's host-loop reconciliation is built on —
+    and the staged chunks are unchanged."""
+    from optical_flow_tpu.io.prefetch import prefetch_chunks_to_device
+
+    frames = [np.full((8, 10), i, np.uint8) for i in range(10)]
+    timings = []
+    chunks = list(
+        prefetch_chunks_to_device(iter(frames), chunk_size=4, timings=timings)
+    )
+    assert [c.shape for c in chunks] == [(4, 8, 10), (4, 8, 10), (2, 8, 10)]
+    np.testing.assert_array_equal(np.asarray(chunks[1])[0], frames[4])
+    assert len(timings) == 3
+    for t in timings:
+        assert set(t) == {"decode_s", "put_s"}
+        assert t["decode_s"] >= 0 and t["put_s"] >= 0
+    # untimed path unchanged
+    chunks2 = list(prefetch_chunks_to_device(iter(frames), chunk_size=4))
+    np.testing.assert_array_equal(np.asarray(chunks2[0]), np.asarray(chunks[0]))
