@@ -177,28 +177,12 @@ def _arm_wedge_watchdog(seconds: int = 480) -> None:
 
 def _device_seconds(trace_dir, fn_name, expected_calls):
     """Sum device-span durations of the jitted program from a profiler
-    trace; None if the trace is unusable (caller falls back to wall)."""
-    import glob
-    import gzip
+    trace; None if the trace is unusable (caller falls back to wall).
+    Thin wrapper over the shared utils/profiling implementation (one
+    copy of the trace-event summer for bench + scripts)."""
+    from optical_flow_tpu.utils.profiling import device_seconds_from_trace
 
-    try:
-        files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
-        if not files:
-            return None
-        with gzip.open(files[0]) as f:
-            tr = json.load(f)
-        total_us = 0.0
-        calls = 0
-        for e in tr.get("traceEvents", []):
-            n = e.get("name", "")
-            if e.get("ph") == "X" and n.startswith("jit_") and fn_name in n:
-                total_us += e.get("dur", 0)
-                calls += 1
-        if calls < expected_calls:  # trace missed executions
-            return None
-        return total_us / 1e6
-    except Exception:
-        return None
+    return device_seconds_from_trace(trace_dir, fn_name, expected_calls)
 
 
 def main():
@@ -648,7 +632,16 @@ def main():
         dispatch+sync) from this thread — so the reconciliation is
         against the exact run it explains, not a side probe of a link
         whose bandwidth flaps 3-8x across minutes (observed 8-67 MB/s
-        effective in one session)."""
+        effective in one session).
+
+        Known instrumentation bias, bounded and accepted: timing the put
+        requires block_until_ready in the worker, which serializes the
+        NEXT chunk's decode behind the transfer; the uninstrumented
+        production loop overlaps them. The bias is at most
+        decode/(decode+put) of the producer period — decode is 30-60 ms
+        against 0.7-2.2 s transfers here, i.e. <= ~5% — and the
+        reconciliation's producer model (decode + put, serial) matches
+        the loop it measures."""
         from optical_flow_tpu.config import VideoConfig
         from optical_flow_tpu.io.prefetch import prefetch_chunks_to_device
         from optical_flow_tpu.io.video_reader import read_frames
@@ -700,11 +693,10 @@ def main():
     def sustained_h2d_pair(n_bufs=4):
         """(bgr_mbps, gray_mbps) pipelined H2D at the real chunk shapes:
         queue every put back to back, drain ONCE — what the prefetch
-        thread does (transfers overlap in flight). Called repeatedly
-        around the host-loop legs because the tunnel's bandwidth FLAPS
-        by 3x across minutes (measured 14-45 MB/s in one round-5
-        session); a single point probe cannot reconcile a loop measured
-        minutes later."""
+        thread does (transfers overlap in flight). CONTEXT ONLY: one
+        point sample of a link whose effective bandwidth flaps 8-67 MB/s
+        within a session — the reconciliation never uses it (the
+        host-loop legs are co-measured with the loop instead)."""
 
         def one(shape):
             xs = [

@@ -70,23 +70,13 @@ def main():
             flush=True,
         )
         if preview is not None:
-            import numpy as np
+            from optical_flow_tpu.utils.viz import annotate_gesture_frame
 
-            from optical_flow_tpu.utils.viz import draw_circle
-
-            fr = np.asarray(frame)
-            rgb = fr[..., ::-1] if fr.ndim == 3 else fr
-            if bool(g.detected):
-                ph, pw = vc.preprocess.size
-                fh, fw = rgb.shape[:2]
-                if rgb.ndim == 2:
-                    rgb = np.repeat(rgb[..., None], 3, axis=-1)
-                rgb = draw_circle(
-                    rgb, float(g.cx) * fw / pw, float(g.cy) * fh / ph,
-                    radius=max(1, round(vc.gesture.circle_radius * fw / pw)),
-                    color=(255, 0, 0),
+            preview.push(
+                annotate_gesture_frame(
+                    frame, g, vc.preprocess.size, vc.gesture.circle_radius
                 )
-            preview.push(rgb)
+            )
     dt = time.perf_counter() - t0
     if n:
         print(f"{n} frames in {dt:.2f}s ({n / dt:.1f} fps wall incl. capture)")

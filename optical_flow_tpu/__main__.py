@@ -52,6 +52,10 @@ def _run_video(args):
     from optical_flow_tpu.utils.guard import FlowGuard, NumericalFailure
     from optical_flow_tpu.utils.metrics import Metrics
 
+    if args.gray_decode and args.annotate:
+        # validate BEFORE any side effects (VideoWriter mkdirs its output)
+        _sys.exit("--gray-decode and --annotate are mutually exclusive "
+                  "(the overlay draws on the original BGR frame)")
     if args.fast:
         cfg = VideoConfig.fast(size=(args.size, args.size))
         cfg = VideoConfig(
@@ -90,9 +94,6 @@ def _run_video(args):
     # (ParallelVideoPyr.cpp:884-891: centroid rescaled to frame coords,
     # radius-35 circle, shown per frame).
     gray_decode = args.gray_decode
-    if gray_decode and args.annotate:
-        _sys.exit("--gray-decode and --annotate are mutually exclusive "
-                  "(the overlay draws on the original BGR frame)")
     pipe.reset()
     i = -1
     for frame in read_frames(
@@ -118,27 +119,11 @@ def _run_video(args):
                 f"centroid=({float(g.cx):.1f},{float(g.cy):.1f})"
             )
             if writer is not None or preview is not None:
-                import numpy as np
+                from optical_flow_tpu.utils.viz import annotate_gesture_frame
 
-                from optical_flow_tpu.utils.viz import draw_circle
-
-                fr = np.asarray(frame)
-                # decoder yields BGR (or gray under --gray-decode)
-                rgb = fr[..., ::-1] if fr.ndim == 3 else fr
-                if bool(g.detected):
-                    ph, pw = cfg.preprocess.size
-                    fh, fw = rgb.shape[:2]
-                    if rgb.ndim == 2:  # draw needs channels
-                        rgb = np.repeat(rgb[..., None], 3, axis=-1)
-                    rgb = draw_circle(
-                        rgb,
-                        float(g.cx) * fw / pw,
-                        float(g.cy) * fh / ph,
-                        radius=max(
-                            1, round(cfg.gesture.circle_radius * fw / pw)
-                        ),
-                        color=(255, 0, 0),
-                    )
+                rgb = annotate_gesture_frame(
+                    frame, g, cfg.preprocess.size, cfg.gesture.circle_radius
+                )
                 if writer is not None:
                     writer.write(rgb)
                 if preview is not None:

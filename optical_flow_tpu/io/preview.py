@@ -160,9 +160,13 @@ class MjpegPreview:
 
     def wait_next(self, after_seq: int, timeout: float = 1.0):
         """Block until a frame newer than after_seq exists; (jpeg, seq)
-        or (None, after_seq) on timeout."""
+        or (None, after_seq) on timeout. Waits BOTH when no newer seq
+        exists and when no frame has ever been pushed — a viewer
+        connecting before the first push (first-frame jit compiles take
+        minutes at 1080^2) must park on the condition, not busy-spin
+        the handler thread."""
         with self._cond:
-            if self._seq <= after_seq:
+            if self._seq <= after_seq or self._jpeg is None:
                 self._cond.wait(timeout)
             if self._seq <= after_seq or self._jpeg is None:
                 return None, after_seq

@@ -81,6 +81,37 @@ def trace(log_dir: str = "/tmp/optical_flow_tpu_trace"):
         yield log_dir
 
 
+def device_seconds_from_trace(trace_dir: str, fn_name: str,
+                              expected_calls: int) -> Optional[float]:
+    """Sum device-span durations of a jitted program from a jax.profiler
+    trace directory; None if the trace is unusable (caller falls back to
+    wall clock). The ONE copy of the trace-event summer bench.py and the
+    scripts/tpu_*.py probes share."""
+    import glob
+    import gzip
+    import json
+
+    try:
+        files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
+        if not files:
+            return None
+        total_us = 0.0
+        calls = 0
+        for path in files:
+            with gzip.open(path) as f:
+                tr = json.load(f)
+            for e in tr.get("traceEvents", []):
+                n = e.get("name", "")
+                if e.get("ph") == "X" and n.startswith("jit_") and fn_name in n:
+                    total_us += e.get("dur", 0)
+                    calls += 1
+        if calls < expected_calls:  # trace missed executions
+            return None
+        return total_us / 1e6
+    except Exception:
+        return None
+
+
 def stage_roofline(
     bytes_moved: float,
     flops: float,

@@ -44,6 +44,30 @@ def draw_circle(img: np.ndarray, cx: float, cy: float, radius: int, color=(255, 
     return out
 
 
+def annotate_gesture_frame(frame, gesture, proc_size, circle_radius: int):
+    """The reference's live overlay on ONE original frame: BGR -> RGB
+    (gray frames promoted to 3 channels when drawing), the gesture
+    centroid rescaled from processing coords to frame coords, and the
+    detection circle drawn (ParallelVideoPyr.cpp:884-890). Shared by the
+    CLI's --annotate/--preview paths and examples/live_gesture.py —
+    one copy of the rescale semantics."""
+    fr = np.asarray(frame)
+    rgb = fr[..., ::-1] if fr.ndim == 3 else fr
+    if bool(gesture.detected):
+        ph, pw = proc_size
+        fh, fw = rgb.shape[:2]
+        if rgb.ndim == 2:
+            rgb = np.repeat(rgb[..., None], 3, axis=-1)
+        rgb = draw_circle(
+            rgb,
+            float(gesture.cx) * fw / pw,
+            float(gesture.cy) * fh / ph,
+            radius=max(1, round(circle_radius * fw / pw)),
+            color=(255, 0, 0),
+        )
+    return rgb
+
+
 def draw_arrows(
     img: np.ndarray,
     pts: np.ndarray,

@@ -31,25 +31,9 @@ from optical_flow_tpu import FlowConfig, coarse_to_fine_pyramids
 from optical_flow_tpu.ops.pyramid import gaussian_pyramid, max_pyramid_levels
 
 
-def _device_seconds(trace_dir, fn_name, expected_calls):
-    import glob
-    import gzip
-
-    files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
-    if not files:
-        return None
-    with gzip.open(files[0]) as f:
-        tr = json.load(f)
-    total_us = 0.0
-    calls = 0
-    for e in tr.get("traceEvents", []):
-        n = e.get("name", "")
-        if e.get("ph") == "X" and n.startswith("jit_") and fn_name in n:
-            total_us += e.get("dur", 0)
-            calls += 1
-    if calls < expected_calls:
-        return None
-    return total_us / 1e6
+from optical_flow_tpu.utils.profiling import (  # noqa: E402
+    device_seconds_from_trace as _device_seconds,
+)
 
 
 def drain(out):
