@@ -41,6 +41,11 @@ def _cmd_flow(args):
         save_mat(v, args.out_prefix + "_v.txt")
         save_png(flow_to_color(u, v), args.out_prefix + "_flow.png")
         print(f"wrote {args.out_prefix}_{{u,v}}.txt and _flow.png")
+    if args.flo:
+        from optical_flow_tpu.utils.interop import save_flo
+
+        save_flo(args.flo, u, v)
+        print(f"wrote {args.flo} (Middlebury .flo)")
 
 
 def _run_video(args):
@@ -278,6 +283,16 @@ def _cmd_slam(args):
             keyframes=np.asarray(res.keyframes),
         )
         print(f"wrote trajectory + map to {args.out}")
+    if args.out_tum:
+        from optical_flow_tpu.utils.interop import save_tum_trajectory
+
+        kf_ts = (
+            np.asarray(res.keyframes, np.float64)
+            * args.stride / args.video_fps
+        )
+        save_tum_trajectory(args.out_tum, kf_ts, res.poses, res.trans)
+        print(f"wrote TUM trajectory to {args.out_tum} "
+              f"(evaluate with e.g. `evo_traj tum {args.out_tum}`)")
 
 
 def main(argv=None):
@@ -295,6 +310,11 @@ def main(argv=None):
     p.add_argument("--levels", type=int, default=None)
     p.add_argument("--single-level", action="store_true")
     p.add_argument("--out-prefix", default=None)
+    p.add_argument(
+        "--flo", default=None, metavar="OUT.flo",
+        help="also write the flow as Middlebury .flo (the interchange "
+        "format of the dense-flow benchmarks; utils/interop.py)",
+    )
     p.set_defaults(fn=_cmd_flow)
 
     p = sub.add_parser("video", help="video gesture tracking")
@@ -363,6 +383,12 @@ def main(argv=None):
                    "disparity (px) a frame must add since the last "
                    "keyframe (0 = keyframe every frame)")
     p.add_argument("--out", default=None, help="write poses+map to OUT.npz")
+    p.add_argument(
+        "--out-tum", default=None, metavar="TRAJ.txt",
+        help="write the keyframe trajectory in TUM format (timestamp + "
+        "camera-to-world pose per line; keyframes timestamped from "
+        "--video-fps/--stride) for evo/TUM evaluation tooling",
+    )
     p.add_argument(
         "--stereo-sbs", type=float, default=None, metavar="BASELINE",
         help="treat the video as side-by-side rectified stereo (left|"
