@@ -127,6 +127,73 @@ def load_tum_trajectory(path):
     return ts, poses, trans
 
 
+def ate_rmse(est_centers, ref_centers, *, align: str = "sim3"):
+    """Absolute trajectory error (the TUM/evo headline metric).
+
+    est_centers/ref_centers: (K, 3) camera centers, index-associated.
+    align: 'sim3' (Umeyama with scale — monocular convention), 'se3'
+    (rigid only — stereo/VI metric convention), or 'none'.
+    Returns (rmse, per_pose_errors (K,), (s, R, t) applied to est)."""
+    est = np.asarray(est_centers, np.float64)
+    ref = np.asarray(ref_centers, np.float64)
+    if est.shape != ref.shape or est.ndim != 2 or est.shape[1] != 3:
+        raise ValueError(f"need matching (K, 3); got {est.shape} {ref.shape}")
+    if align == "none":
+        s, R, t = 1.0, np.eye(3), np.zeros(3)
+    else:
+        mu_e, mu_r = est.mean(0), ref.mean(0)
+        E, F = est - mu_e, ref - mu_r
+        U, D, Vt = np.linalg.svd(F.T @ E / len(est))
+        S = np.eye(3)
+        if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+            S[2, 2] = -1.0
+        R = U @ S @ Vt
+        var_e = (E * E).sum() / len(est)
+        s = float(np.trace(np.diag(D) @ S) / max(var_e, 1e-18)) if align == "sim3" else 1.0
+        t = mu_r - s * R @ mu_e
+    aligned = (s * (R @ est.T)).T + t
+    err = np.linalg.norm(aligned - ref, axis=1)
+    return float(np.sqrt(np.mean(err**2))), err, (s, R, t)
+
+
+def rpe_stats(est_poses, est_trans, ref_poses, ref_trans, delta: int = 1):
+    """Relative pose error over pose pairs (i, i+delta): drift per step,
+    immune to global alignment. est/ref poses are world->cam (K,3,3) with
+    translations (K,3). Returns dict with translational RMSE (units of
+    the trajectories) and rotational RMSE (radians)."""
+    eP = np.asarray(est_poses, np.float64)
+    eT = np.asarray(est_trans, np.float64)
+    rP = np.asarray(ref_poses, np.float64)
+    rT = np.asarray(ref_trans, np.float64)
+    K = len(eP)
+    if not (len(eT) == len(rP) == len(rT) == K) or K <= delta:
+        raise ValueError("need matching trajectories longer than delta")
+    terrs, rerrs = [], []
+    for i in range(K - delta):
+        # relative motion cam_i -> cam_{i+d}: T_rel = T_{i+d} T_i^{-1}
+        def rel(P, T):
+            Ri, ti = P[i], T[i]
+            Rj, tj = P[i + delta], T[i + delta]
+            R = Rj @ Ri.T
+            t = tj - R @ ti
+            return R, t
+
+        Re, te = rel(eP, eT)
+        Rr, tr = rel(rP, rT)
+        dR = Re.T @ Rr
+        dt = te - tr
+        terrs.append(np.linalg.norm(dt))
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1.0, 1.0))
+        rerrs.append(ang)
+    terrs = np.asarray(terrs)
+    rerrs = np.asarray(rerrs)
+    return {
+        "trans_rmse": float(np.sqrt(np.mean(terrs**2))),
+        "rot_rmse_rad": float(np.sqrt(np.mean(rerrs**2))),
+        "n_pairs": len(terrs),
+    }
+
+
 def _quaternion_to_rotation(q) -> np.ndarray:
     x, y, z, w = np.asarray(q, np.float64) / np.linalg.norm(q)
     return np.asarray(

@@ -143,3 +143,39 @@ def test_cli_flow_flo_and_slam_tum(tmp_path, capsys):
     ts, poses, trans = load_tum_trajectory(tum)
     assert len(ts) >= 2
     assert np.isfinite(trans).all()
+
+
+def test_ate_sim3_recovers_scaled_rotated_trajectory():
+    """ATE with Sim(3) alignment: a rescaled+rotated+shifted copy of a
+    trajectory aligns to ~zero error; with noise the RMSE reports it."""
+    cv2 = pytest.importorskip("cv2")
+    from optical_flow_tpu.utils.interop import ate_rmse
+
+    rng = np.random.RandomState(7)
+    ref = np.cumsum(rng.randn(20, 3) * 0.1, axis=0)
+    R = cv2.Rodrigues(np.asarray([0.2, -0.3, 0.5]))[0]
+    est = (2.5 * (R.T @ (ref - [1.0, 2.0, -0.5]).T)).T  # inverse map
+    rmse, err, (s, Ra, t) = ate_rmse(est, ref, align="sim3")
+    assert rmse < 1e-9, rmse
+    noisy = est + rng.randn(*est.shape) * 0.01
+    rmse_n, _, _ = ate_rmse(noisy, ref, align="sim3")
+    assert 0.005 < rmse_n < 0.1, rmse_n
+    # se3 alignment cannot absorb the 2.5x scale
+    rmse_se3, _, _ = ate_rmse(est, ref, align="se3")
+    assert rmse_se3 > 0.1, rmse_se3
+
+
+def test_rpe_zero_on_identical_and_positive_on_drift():
+    cv2 = pytest.importorskip("cv2")
+    from optical_flow_tpu.utils.interop import rpe_stats
+
+    rng = np.random.RandomState(9)
+    K = 12
+    poses = np.stack([cv2.Rodrigues(rng.randn(3) * 0.2)[0] for _ in range(K)])
+    trans = rng.randn(K, 3)
+    r = rpe_stats(poses, trans, poses, trans)
+    assert r["trans_rmse"] < 1e-12 and r["rot_rmse_rad"] < 1e-7
+    assert r["n_pairs"] == K - 1
+    drift = trans + np.arange(K)[:, None] * [0.01, 0, 0]
+    r2 = rpe_stats(poses, drift, poses, trans)
+    assert 0.005 < r2["trans_rmse"] < 0.05, r2
