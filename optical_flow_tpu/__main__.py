@@ -293,6 +293,34 @@ def _cmd_slam(args):
         save_tum_trajectory(args.out_tum, kf_ts, res.poses, res.trans)
         print(f"wrote TUM trajectory to {args.out_tum} "
               f"(evaluate with e.g. `evo_traj tum {args.out_tum}`)")
+    if args.eval_tum:
+        from optical_flow_tpu.utils.interop import (
+            associate_by_timestamp,
+            ate_rmse,
+            load_tum_trajectory,
+            rpe_stats,
+        )
+
+        kf_ts = (
+            np.asarray(res.keyframes, np.float64)
+            * args.stride / args.video_fps
+        )
+        rts, rposes, rtrans = load_tum_trajectory(args.eval_tum)
+        ia, ib = associate_by_timestamp(kf_ts, rts, max_diff=0.5 / args.video_fps)
+        if len(ia) < 3:
+            sys.exit(f"--eval-tum: only {len(ia)} timestamp matches "
+                     "(check --video-fps/--stride against the reference)")
+        est_c = centers[ia]
+        ref_c = np.stack([-R.T @ t for R, t in zip(rposes[ib], rtrans[ib])])
+        align = "se3" if (args.stereo_sbs or args.imu) else "sim3"
+        rmse, err, _ = ate_rmse(est_c, ref_c, align=align)
+        rpe = rpe_stats(res.poses[ia], res.trans[ia], rposes[ib], rtrans[ib])
+        print(
+            f"eval vs {args.eval_tum}: {len(ia)} poses matched | "
+            f"ATE({align}) rmse {rmse:.4f} (max {err.max():.4f}) | "
+            f"RPE trans {rpe['trans_rmse']:.4f} "
+            f"rot {np.degrees(rpe['rot_rmse_rad']):.3f} deg/step"
+        )
 
 
 def main(argv=None):
@@ -388,6 +416,13 @@ def main(argv=None):
         help="write the keyframe trajectory in TUM format (timestamp + "
         "camera-to-world pose per line; keyframes timestamped from "
         "--video-fps/--stride) for evo/TUM evaluation tooling",
+    )
+    p.add_argument(
+        "--eval-tum", default=None, metavar="REF.txt",
+        help="evaluate against a TUM-format reference trajectory: "
+        "nearest-timestamp association, then ATE (Sim3-aligned for "
+        "monocular, SE3 for stereo/--imu metric runs) and per-step RPE "
+        "(utils/interop.py)",
     )
     p.add_argument(
         "--stereo-sbs", type=float, default=None, metavar="BASELINE",

@@ -127,6 +127,32 @@ def load_tum_trajectory(path):
     return ts, poses, trans
 
 
+def associate_by_timestamp(ts_a, ts_b, max_diff: float = 0.02):
+    """Greedy nearest-timestamp association (the TUM tooling's rule):
+    returns (idx_a, idx_b) index arrays of matched pairs with
+    |ts_a - ts_b| <= max_diff, each pose used at most once."""
+    ts_a = np.asarray(ts_a, np.float64)
+    ts_b = np.asarray(ts_b, np.float64)
+    cands = [
+        (abs(ta - tb), i, j)
+        for i, ta in enumerate(ts_a)
+        for j, tb in enumerate(ts_b)
+        if abs(ta - tb) <= max_diff
+    ]
+    cands.sort()
+    used_a, used_b = set(), set()
+    ia, ib = [], []
+    for _, i, j in cands:
+        if i in used_a or j in used_b:
+            continue
+        used_a.add(i)
+        used_b.add(j)
+        ia.append(i)
+        ib.append(j)
+    order = np.argsort(ia)
+    return np.asarray(ia)[order], np.asarray(ib)[order]
+
+
 def ate_rmse(est_centers, ref_centers, *, align: str = "sim3"):
     """Absolute trajectory error (the TUM/evo headline metric).
 

@@ -144,6 +144,25 @@ def test_cli_flow_flo_and_slam_tum(tmp_path, capsys):
     assert len(ts) >= 2
     assert np.isfinite(trans).all()
 
+    # self-evaluation closes the loop: --eval-tum against the trajectory
+    # just exported must associate every pose and report ~zero ATE/RPE
+    argv = sys.argv
+    try:
+        sys.argv = [
+            "x", "slam", "--input", clip, "--focal", str(focal),
+            "--window", "8", "--eval-tum", tum,
+        ]
+        cli.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    import re
+
+    m = re.search(r"ATE\(sim3\) rmse ([0-9.]+)", out)
+    assert m, out
+    assert float(m.group(1)) < 1e-4, out
+    assert "RPE trans" in out
+
 
 def test_ate_sim3_recovers_scaled_rotated_trajectory():
     """ATE with Sim(3) alignment: a rescaled+rotated+shifted copy of a
