@@ -47,6 +47,41 @@ def load_flo(path):
     return uv[..., 0].copy(), uv[..., 1].copy()
 
 
+def save_kitti_flow(path, u, v, valid=None) -> None:
+    """Write flow as a KITTI 16-bit PNG: channels (u, v, valid) with
+    u16 = flow * 64 + 2^15 (the KITTI devkit encoding, +-512 px range);
+    `path` should end in .png. Requires cv2 (16-bit PNG encoder)."""
+    import cv2
+
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    if u.ndim != 2 or u.shape != v.shape:
+        raise ValueError(f"u/v must be matching (H, W); got {u.shape} {v.shape}")
+    if valid is None:
+        valid = np.ones(u.shape, bool)
+    enc = lambda f: np.clip(f * 64.0 + 2.0 ** 15, 0, 65535).astype(np.uint16)
+    img = np.stack(
+        [np.asarray(valid, np.uint16), enc(v), enc(u)], axis=-1
+    )  # cv2 writes BGR: file channels come out (u, v, valid)
+    if not cv2.imwrite(str(path), img):
+        raise IOError(f"cv2.imwrite failed for {path}")
+
+
+def load_kitti_flow(path):
+    """Read a KITTI flow PNG -> (u, v, valid) — inverse of
+    `save_kitti_flow`; invalid pixels carry flow 0."""
+    import cv2
+
+    img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+    if img is None or img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint16:
+        raise ValueError(f"{path}: not a KITTI 16-bit flow PNG")
+    valid = img[..., 0] > 0
+    dec = lambda c: (img[..., c].astype(np.float64) - 2.0 ** 15) / 64.0
+    u = np.where(valid, dec(2), 0.0)
+    v = np.where(valid, dec(1), 0.0)
+    return u, v, valid
+
+
 def rotation_to_quaternion(R) -> np.ndarray:
     """(3,3) rotation -> unit quaternion (qx, qy, qz, qw), TUM order.
 

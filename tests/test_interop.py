@@ -198,3 +198,24 @@ def test_rpe_zero_on_identical_and_positive_on_drift():
     drift = trans + np.arange(K)[:, None] * [0.01, 0, 0]
     r2 = rpe_stats(poses, drift, poses, trans)
     assert 0.005 < r2["trans_rmse"] < 0.05, r2
+
+
+def test_kitti_flow_round_trip(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from optical_flow_tpu.utils.interop import load_kitti_flow, save_kitti_flow
+
+    rng = np.random.RandomState(11)
+    u = rng.uniform(-80, 80, (24, 31))
+    v = rng.uniform(-80, 80, (24, 31))
+    valid = rng.rand(24, 31) > 0.2
+    p = str(tmp_path / "f.png")
+    save_kitti_flow(p, u, v, valid)
+    u2, v2, valid2 = load_kitti_flow(p)
+    np.testing.assert_array_equal(valid2, valid)
+    # 1/64 px quantization of the devkit encoding
+    np.testing.assert_allclose(u2[valid], u[valid], atol=1.0 / 64)
+    np.testing.assert_allclose(v2[valid], v[valid], atol=1.0 / 64)
+    assert (u2[~valid] == 0).all() and (v2[~valid] == 0).all()
+    # the file really is a 16-bit 3-channel PNG
+    img = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    assert img.dtype == np.uint16 and img.shape == (24, 31, 3)
