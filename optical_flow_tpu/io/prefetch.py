@@ -5,6 +5,14 @@ The reference frame loop is strictly sequential — decode blocks compute
 decodes and stages the next frame(s) on device while the current step runs,
 so H2D transfer and decode hide under device compute (JAX dispatch is async;
 the device queue keeps the chip busy).
+
+Failure semantics (round-5 hardening): an exception in the upstream
+iterable (a missing file, a mid-stream decode error) is FORWARDED to the
+consumer and re-raised there — it must never read as a clean, truncated
+end-of-stream. And a consumer that exits early (break, exception) closes
+the generator, which signals the worker: its pending q.put unblocks
+within a bounded timeout instead of pinning the thread, the staged
+device buffers and the open decoder forever.
 """
 
 from __future__ import annotations
@@ -16,6 +24,51 @@ from typing import Iterable, Iterator, Optional
 import jax
 import numpy as np
 
+_STOP = object()
+
+
+class _UpstreamError:
+    """Queue envelope carrying an exception from the worker thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def _run_prefetch(q, closed, produce) -> None:
+    """Worker body: enqueue items from produce() with closed-aware puts;
+    forward any upstream exception; always terminate the stream."""
+
+    def emit(item) -> bool:
+        while not closed.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    try:
+        for item in produce():
+            if not emit(item):
+                return  # consumer gone: drop everything, exit promptly
+        emit(_STOP)
+    except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
+        emit(_UpstreamError(e))
+
+
+def _consume(q, t, closed):
+    try:
+        while True:
+            item = q.get()
+            if item is _STOP:
+                break
+            if isinstance(item, _UpstreamError):
+                raise item.exc
+            yield item
+    finally:
+        closed.set()
+        t.join(timeout=10)
+
 
 def prefetch_to_device(
     frames: Iterable[np.ndarray],
@@ -24,23 +77,17 @@ def prefetch_to_device(
 ) -> Iterator[jax.Array]:
     """Yield frames as device arrays, decoding/transferring `depth` ahead."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
-    stop = object()
+    closed = threading.Event()
 
-    def worker():
-        try:
-            for f in frames:
-                q.put(jax.device_put(np.ascontiguousarray(f), device))
-        finally:
-            q.put(stop)
+    def produce():
+        for f in frames:
+            yield jax.device_put(np.ascontiguousarray(f), device)
 
-    t = threading.Thread(target=worker, daemon=True)
+    t = threading.Thread(
+        target=_run_prefetch, args=(q, closed, produce), daemon=True
+    )
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            break
-        yield item
-    t.join()
+    return _consume(q, t, closed)
 
 
 def prefetch_chunks_to_device(
@@ -63,7 +110,7 @@ def prefetch_chunks_to_device(
     import time
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
-    stop = object()
+    closed = threading.Event()
 
     def put(buf):
         t0 = time.perf_counter()
@@ -74,34 +121,28 @@ def prefetch_chunks_to_device(
             arr.block_until_ready()
         return arr, time.perf_counter() - t0
 
-    def worker():
-        try:
-            buf: list = []
-            t_dec0 = time.perf_counter()
-            for f in frames:
-                buf.append(np.ascontiguousarray(f))
-                if len(buf) == chunk_size:
-                    dec_s = time.perf_counter() - t_dec0
-                    arr, put_s = put(buf)
-                    if timings is not None:
-                        timings.append({"decode_s": dec_s, "put_s": put_s})
-                    q.put(arr)
-                    buf = []
-                    t_dec0 = time.perf_counter()
-            if buf:
+    def produce():
+        buf: list = []
+        t_dec0 = time.perf_counter()
+        for f in frames:
+            buf.append(np.ascontiguousarray(f))
+            if len(buf) == chunk_size:
                 dec_s = time.perf_counter() - t_dec0
                 arr, put_s = put(buf)
                 if timings is not None:
                     timings.append({"decode_s": dec_s, "put_s": put_s})
-                q.put(arr)
-        finally:
-            q.put(stop)
+                yield arr
+                buf = []
+                t_dec0 = time.perf_counter()
+        if buf:
+            dec_s = time.perf_counter() - t_dec0
+            arr, put_s = put(buf)
+            if timings is not None:
+                timings.append({"decode_s": dec_s, "put_s": put_s})
+            yield arr
 
-    t = threading.Thread(target=worker, daemon=True)
+    t = threading.Thread(
+        target=_run_prefetch, args=(q, closed, produce), daemon=True
+    )
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            break
-        yield item
-    t.join()
+    return _consume(q, t, closed)

@@ -112,25 +112,44 @@ class VideoReader:
         self.path = str(path)
         if not Path(self.path).exists():
             raise FileNotFoundError(self.path)
+        ffprobe_result = None
+        native_probe = None
         if backend == "auto":
-            from optical_flow_tpu.native import load_library
+            from optical_flow_tpu.native import load_library, probe_native
 
-            if load_library() is not None:
+            # selection commits only to a backend whose PROBE succeeds:
+            # a loaded native library whose linked libavformat can't open
+            # this particular file must fall through to ffmpeg/cv2, as
+            # the module docstring promises (round-5 review)
+            native_probe = (
+                probe_native(self.path) if load_library() is not None else None
+            )
+            if native_probe is not None:
                 backend = "native"
-            elif shutil.which("ffmpeg") and _probe_ffmpeg(self.path):
-                backend = "ffmpeg"
             else:
-                backend = "cv2"
+                ffprobe_result = (
+                    _probe_ffmpeg(self.path) if shutil.which("ffmpeg") else None
+                )
+                backend = "ffmpeg" if ffprobe_result else "cv2"
         self.backend = backend
         if backend == "native":
             from optical_flow_tpu.native import probe_native
 
-            probe = probe_native(self.path)
+            probe = native_probe or probe_native(self.path)
             if probe is None:
                 raise RuntimeError(f"native probe failed for {self.path}")
             self.width, self.height, self.fps = probe
         elif backend == "ffmpeg":
-            self.width, self.height, self.fps = _probe_ffmpeg(self.path)
+            # reuse the auto-selection probe (one ffprobe per open); an
+            # EXPLICIT ffmpeg backend gets a clear error instead of a
+            # NoneType unpack when ffprobe is missing or can't parse
+            probe = ffprobe_result or _probe_ffmpeg(self.path)
+            if probe is None:
+                raise RuntimeError(
+                    f"ffprobe unavailable or failed for {self.path} "
+                    "(backend='ffmpeg' requires a working ffprobe)"
+                )
+            self.width, self.height, self.fps = probe
         elif backend == "cv2":
             import cv2
 

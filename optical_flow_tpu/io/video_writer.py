@@ -72,6 +72,10 @@ class VideoWriter:
                     "ffmpeg", "-y", "-loglevel", "error",
                     "-f", "rawvideo", "-pix_fmt", "rgb24",
                     "-s", f"{w}x{h}", "-r", str(self.fps), "-i", "-",
+                    # yuv420p needs even dims; odd source sizes (a 427px
+                    # clip via --annotate) would kill the encoder and
+                    # surface as BrokenPipeError on the next write
+                    "-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2",
                     "-pix_fmt", "yuv420p", str(self.path),
                 ],
                 stdin=subprocess.PIPE,

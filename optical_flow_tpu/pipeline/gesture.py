@@ -35,9 +35,14 @@ class GestureResult(NamedTuple):
 
 
 def flow_magnitude(u, v, mag_thresh: float = 20.0):
-    """|flow| with sub-threshold pixels zeroed (ParallelVideoPyr.cpp:856-859)."""
+    """|flow| with sub-threshold pixels zeroed (ParallelVideoPyr.cpp:856-859).
+
+    The same map `detect_gesture` thresholds internally (one source of
+    the C12 boundary semantics: a pixel votes iff its magnitude survives
+    here). Phrased on the KEEP side (mag >= thresh) so non-finite
+    magnitudes zero out rather than leaking through the complement."""
     mag = jnp.sqrt(u * u + v * v)
-    return jnp.where(mag < mag_thresh, jnp.zeros((), mag.dtype), mag)
+    return jnp.where(mag >= mag_thresh, mag, jnp.zeros((), mag.dtype))
 
 
 def detect_gesture(u, v, config: GestureConfig = GestureConfig()) -> GestureResult:
@@ -47,6 +52,7 @@ def detect_gesture(u, v, config: GestureConfig = GestureConfig()) -> GestureResu
     """
     H, W = u.shape[-2], u.shape[-1]
     mag = jnp.sqrt(u * u + v * v)
+    thresholded = flow_magnitude(u, v, config.mag_thresh)
     votes_mask = mag >= config.mag_thresh
     cols = jnp.arange(W, dtype=u.dtype)[None, :]
     rows = jnp.arange(H, dtype=u.dtype)[:, None]
@@ -54,7 +60,6 @@ def detect_gesture(u, v, config: GestureConfig = GestureConfig()) -> GestureResu
     denom = jnp.maximum(votes, 1).astype(u.dtype)
     cx = jnp.sum(jnp.where(votes_mask, cols, 0), axis=(-2, -1)) / denom
     cy = jnp.sum(jnp.where(votes_mask, rows, 0), axis=(-2, -1)) / denom
-    thresholded = jnp.where(votes_mask, mag, jnp.zeros((), mag.dtype))
     # cv::normalize default NORM_L2 to alpha: mag * alpha / ||mag||_2
     l2 = jnp.sqrt(jnp.sum(thresholded * thresholded, axis=(-2, -1), keepdims=True))
     normalized = jnp.where(

@@ -56,6 +56,9 @@ from optical_flow_tpu.config import FlowConfig, PreprocessConfig, VideoConfig
 PROTOCOL_VERSION = 1
 # backstop against a corrupt length prefix allocating unbounded memory
 MAX_FRAME_BYTES = 256 * 1024 * 1024
+# backstop against handshake proc dims OOMing the server (dense resize
+# matrices are O(dim^2) host memory)
+MAX_PROC_DIM = 4096
 _U32 = struct.Struct(">I")
 
 
@@ -146,8 +149,15 @@ class _StreamHandler(socketserver.StreamRequestHandler):
                 # inside the handler thread (ADVICE r4)
                 if height <= 0 or width <= 0:
                     raise ValueError(f"bad frame dims {height}x{width}")
-                if proc[0] <= 0 or proc[1] <= 0:
-                    raise ValueError(f"bad proc dims {proc[0]}x{proc[1]}")
+                # proc dims bounded too: the resize operator materializes
+                # dense per-axis matrices, so an unbounded client value
+                # would OOM the long-running server host-side (a 65536^2
+                # request costs ~34 GB before any frame arrives)
+                if not (0 < proc[0] <= MAX_PROC_DIM and 0 < proc[1] <= MAX_PROC_DIM):
+                    raise ValueError(
+                        f"bad proc dims {proc[0]}x{proc[1]} "
+                        f"(each must be 1..{MAX_PROC_DIM})"
+                    )
                 frame_bytes = height * width * channels
                 if frame_bytes > MAX_FRAME_BYTES:
                     raise ValueError(f"frame size {frame_bytes} out of range")

@@ -478,3 +478,124 @@ def test_prefetch_chunk_timings_tap():
     # untimed path unchanged
     chunks2 = list(prefetch_chunks_to_device(iter(frames), chunk_size=4))
     np.testing.assert_array_equal(np.asarray(chunks2[0]), np.asarray(chunks[0]))
+
+
+def test_prefetch_forwards_upstream_errors():
+    """A decode failure inside the prefetch worker must re-raise in the
+    consumer, never read as a clean truncated end-of-stream (round 5:
+    replay of a corrupt/missing video previously returned [] with
+    success)."""
+    from optical_flow_tpu.io.prefetch import (
+        prefetch_chunks_to_device,
+        prefetch_to_device,
+    )
+
+    def bad_frames():
+        yield np.zeros((8, 10), np.uint8)
+        raise IOError("decoder exploded mid-stream")
+
+    got = []
+    with pytest.raises(IOError, match="decoder exploded"):
+        for f in prefetch_to_device(bad_frames()):
+            got.append(f)
+    assert len(got) == 1  # the good frame still arrived first
+
+    with pytest.raises(IOError, match="decoder exploded"):
+        list(prefetch_chunks_to_device(bad_frames(), chunk_size=4))
+
+    def instant_fail():
+        raise FileNotFoundError("no such video")
+        yield  # pragma: no cover
+
+    with pytest.raises(FileNotFoundError):
+        list(prefetch_to_device(instant_fail()))
+
+
+def test_prefetch_early_consumer_exit_unblocks_worker():
+    """Breaking out of the consumer loop must let the worker thread exit
+    (previously it blocked forever on q.put, pinning staged device
+    buffers and the open decoder)."""
+    import threading
+    import time
+
+    from optical_flow_tpu.io.prefetch import prefetch_to_device
+
+    released = threading.Event()
+
+    def frames():
+        try:
+            for i in range(100):
+                yield np.full((8, 10), i, np.uint8)
+        finally:
+            released.set()  # generator closed => worker exited its loop
+
+    it = prefetch_to_device(frames(), depth=2)
+    next(it)
+    it.close()  # early exit (what a consumer `break` does)
+    assert released.wait(5.0), "prefetch worker did not unblock"
+    # thread count settles (no leaked worker)
+    time.sleep(0.3)
+    names = [t.name for t in threading.enumerate()]
+    assert sum("Thread-" in n for n in names) < 20
+
+
+def test_run_chunked_leaves_resumable_state():
+    """After run_chunked over an exact chunk multiple, the pipeline's
+    streaming state must reflect the consumed frames (round-5 review:
+    state() previously reported frame_idx=0 / prev=None, so a checkpoint
+    there silently reprocessed the stream and a follow-up push()
+    re-entered warm-up, dropping two results at the seam)."""
+    cfg = VideoConfig(
+        preprocess=PreprocessConfig(size=(96, 96)),
+        flow=FlowConfig(impl="jnp"),
+        faithful_prev_diff=False,
+    )
+    frames = _synthetic_frames(10, h=80, w=100)
+
+    pipe = VideoPipeline(cfg)
+    chunked = list(pipe.run_chunked(frames[:8], chunk_size=4))  # no tail
+    st = pipe.state()
+    assert st["frame_idx"] == 8
+    assert st["prev_gray"] is not None and st["prev_diff"] is not None
+    # continuing with push() produces the SAME results as an unbroken run
+    cont = [r for f in frames[8:] for r in [pipe.push(f)] if r is not None]
+    assert len(cont) == 2  # no warm-up re-entry at the seam
+    full = [
+        r for r in VideoPipeline(cfg).run(frames, prefetch=0)
+    ]
+    np.testing.assert_allclose(
+        np.asarray(cont[-1].u), np.asarray(full[-1].u), atol=1e-5
+    )
+
+
+def test_uint8_nonsaturating_paths_return_float():
+    """as_uint8=False / faithful_uint8=False on uint8 inputs must return
+    the float samples, not wrap-cast bicubic overshoot back into uint8
+    (-3 -> 253; round-5 review)."""
+    from optical_flow_tpu.pipeline.preprocess import gaussian_blur, resize_cubic
+
+    rng = np.random.RandomState(2)
+    img = np.zeros((32, 40), np.uint8)
+    img[8:24, 10:30] = 255  # sharp edges: guaranteed cubic overshoot
+    out = np.asarray(resize_cubic(jnp.asarray(img), (48, 60), as_uint8=False))
+    assert out.dtype == np.float32
+    assert out.min() < 0 or out.max() > 255  # the overshoot is real...
+    ref = np.asarray(
+        resize_cubic(jnp.asarray(img, jnp.float32), (48, 60))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-3)  # ...and preserved
+    outb = np.asarray(
+        gaussian_blur(jnp.asarray(img), 9, 1.5, faithful_uint8=False)
+    )
+    assert outb.dtype == np.float32
+
+
+def test_explicit_ffmpeg_backend_fails_clearly(tmp_path):
+    """backend='ffmpeg' on an unprobeable file raises a clear error, not
+    a NoneType unpack (round-5 review)."""
+    from optical_flow_tpu.io.video_reader import VideoReader
+
+    p = tmp_path / "not_a_video.txt"
+    p.write_text("plain text")
+    with pytest.raises(RuntimeError, match="ffprobe"):
+        VideoReader(str(p), backend="ffmpeg")

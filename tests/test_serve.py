@@ -193,3 +193,17 @@ def test_unix_socket_roundtrip(tmp_path):
         assert not replies[-1].get("warmup", False)
     finally:
         srv.shutdown()
+
+
+def test_huge_proc_dims_rejected(server):
+    """Handshake proc dims are bounded: an unbounded client value would
+    OOM the server host-side via the dense resize matrices (round-5
+    review: 65536^2 costs ~34 GB before any frame arrives)."""
+    import json as _json
+
+    hs = {"v": 1, "height": 16, "width": 16, "channels": 1,
+          "proc_height": 65536, "proc_width": 65536}
+    with socket.create_connection(server.address, timeout=30) as s:
+        s.sendall(_json.dumps(hs).encode() + b"\n")
+        resp = _json.loads(s.makefile("rb").readline())
+    assert resp["ok"] is False and "proc dims" in resp["error"]
