@@ -166,7 +166,15 @@ class VideoReader:
         if backend in ("auto", "v4l2"):
             from optical_flow_tpu.native import NativeCamera, load_library
 
-            if load_library() is not None:
+            if load_library() is None:
+                # an EXPLICIT v4l2 request must not silently degrade to
+                # cv2 (same contract as the explicit ffmpeg backend)
+                if backend == "v4l2":
+                    raise RuntimeError(
+                        "backend='v4l2' requires the native library "
+                        "(make -C optical_flow_tpu/native)"
+                    )
+            else:
                 try:
                     cam = NativeCamera(self.path, gray=self.gray)
                     self.backend = "v4l2"

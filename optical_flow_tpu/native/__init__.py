@@ -222,6 +222,15 @@ class NativeCamera:
         self._buf = np.empty(shape, np.uint8)
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        if not self._h:
+            # the camera is single-shot: a previous iteration's cleanup
+            # closed the device — fail loudly instead of silently
+            # yielding zero frames (file backends re-open per iteration;
+            # a kernel capture stream cannot)
+            raise RuntimeError(
+                "NativeCamera already closed (cameras are single-"
+                "iteration; open a new NativeCamera to capture again)"
+            )
         while True:
             ok = self._lib.cam_next(
                 self._h, self._buf.ctypes.data_as(ctypes.c_char_p)

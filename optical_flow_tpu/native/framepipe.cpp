@@ -52,6 +52,10 @@ struct Decoder {
   bool draining = false;
   bool have_pending = false;  // pkt holds data the codec hasn't accepted yet
   bool skipping = false;      // discarding pre-seek-target frames
+  bool seek_pts_seen = true;  // false: a pts-less frame ended the skip, so
+                              // the post-seek position is the KEYFRAME,
+                              // not the requested index — callers must
+                              // fall back to decode-and-skip
   int64_t target_pts = 0;     // first wanted pts after a seek (stream tb)
   int64_t half_dur = 0;       // half a frame duration for the pts gate
 
@@ -127,24 +131,31 @@ struct Decoder {
       if (rc == 0) {
         if (skipping) {
           int64_t pts = frame->best_effort_timestamp;
-          // pts-less stream: best effort — stop discarding (a pure
-          // decode-skip fallback lives on the Python side)
-          if (pts != AV_NOPTS_VALUE && pts + half_dur < target_pts) {
+          if (pts == AV_NOPTS_VALUE) {
+            // pts-less stream: the post-seek position is unknowable —
+            // record it so fp_open_fmt fails the seek and the Python
+            // caller decode-skips from frame 0 (exact for any codec)
+            seek_pts_seen = false;
+            skipping = false;
+          } else if (pts + half_dur < target_pts) {
             av_frame_unref(frame);
             continue;
+          } else {
+            skipping = false;
           }
-          skipping = false;
         }
-        if (!sws) {
-          sws = sws_getContext(width, height, (AVPixelFormat)frame->format,
-                               width, height,
-                               gray ? AV_PIX_FMT_GRAY8 : AV_PIX_FMT_BGR24,
-                               SWS_BILINEAR, nullptr, nullptr, nullptr);
-          if (!sws) return 0;
-        }
+        // per-frame cached context: a mid-stream format/geometry change
+        // (new SPS, yuv420p->yuvj420p) must re-create the scaler, not
+        // convert with a stale descriptor (same pattern as v4l2cap.cpp)
+        sws = sws_getCachedContext(
+            sws, frame->width, frame->height, (AVPixelFormat)frame->format,
+            width, height, gray ? AV_PIX_FMT_GRAY8 : AV_PIX_FMT_BGR24,
+            SWS_BILINEAR, nullptr, nullptr, nullptr);
+        if (!sws) return 0;
         uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
         int dst_stride[4] = {(gray ? 1 : 3) * width, 0, 0, 0};
-        sws_scale(sws, frame->data, frame->linesize, 0, height, dst, dst_stride);
+        sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst,
+                  dst_stride);
         av_frame_unref(frame);
         return 1;
       }
@@ -201,29 +212,50 @@ struct FramePipe {
   Decoder dec;
   pthread_t reader{};
   bool reader_started = false;
-  bool stop = false;
+  bool stop = false;  // written/read ONLY under ring.mu (data-race-free)
   Ring ring;
+  // first frame decoded synchronously in fp_open_fmt (seek validation);
+  // the reader thread pushes it into the ring before the decode loop
+  std::vector<unsigned char> first_frame;
+  bool have_first = false;
 };
+
+bool stop_requested(FramePipe* fp) {
+  pthread_mutex_lock(&fp->ring.mu);
+  bool s = fp->stop;
+  pthread_mutex_unlock(&fp->ring.mu);
+  return s;
+}
+
+// blocking ring insert; false when the pipe is stopping
+bool ring_push(FramePipe* fp, const unsigned char* src) {
+  Ring& rb = fp->ring;
+  pthread_mutex_lock(&rb.mu);
+  while (rb.count == rb.capacity && !fp->stop) {
+    pthread_cond_wait(&rb.can_put, &rb.mu);
+  }
+  if (fp->stop) {
+    pthread_mutex_unlock(&rb.mu);
+    return false;
+  }
+  memcpy(rb.data.data() + static_cast<size_t>(rb.head) * rb.frame_bytes, src,
+         rb.frame_bytes);
+  rb.head = (rb.head + 1) % rb.capacity;
+  rb.count++;
+  pthread_cond_signal(&rb.can_get);
+  pthread_mutex_unlock(&rb.mu);
+  return true;
+}
 
 void* reader_main(void* arg) {
   auto* fp = static_cast<FramePipe*>(arg);
   Ring& rb = fp->ring;
   std::vector<unsigned char> tmp(rb.frame_bytes);
-  while (!fp->stop && fp->dec.next(tmp.data())) {
-    pthread_mutex_lock(&rb.mu);
-    while (rb.count == rb.capacity && !fp->stop) {
-      pthread_cond_wait(&rb.can_put, &rb.mu);
-    }
-    if (fp->stop) {
-      pthread_mutex_unlock(&rb.mu);
-      break;
-    }
-    memcpy(rb.data.data() + static_cast<size_t>(rb.head) * rb.frame_bytes,
-           tmp.data(), rb.frame_bytes);
-    rb.head = (rb.head + 1) % rb.capacity;
-    rb.count++;
-    pthread_cond_signal(&rb.can_get);
-    pthread_mutex_unlock(&rb.mu);
+  if (fp->have_first) {
+    if (ring_push(fp, fp->first_frame.data())) fp->first_frame.clear();
+  }
+  while (!stop_requested(fp) && fp->dec.next(tmp.data())) {
+    if (!ring_push(fp, tmp.data())) break;
   }
   pthread_mutex_lock(&rb.mu);
   rb.eof = true;
@@ -259,6 +291,18 @@ FramePipe* fp_open_fmt(const char* path, int ring_capacity, long start_frame,
                          fp->dec.height * (gray ? 1 : 3);
   fp->ring.capacity = ring_capacity;
   fp->ring.data.resize(fp->ring.frame_bytes * ring_capacity);
+  if (start_frame > 0) {
+    // validate the seek BEFORE starting the thread: decode the first
+    // post-skip frame synchronously; a pts-less stream stops skipping at
+    // the KEYFRAME (position unknowable) — fail so the Python caller
+    // decode-skips from zero instead of yielding mislabeled frames
+    fp->first_frame.resize(fp->ring.frame_bytes);
+    if (!fp->dec.next(fp->first_frame.data()) || !fp->dec.seek_pts_seen) {
+      delete fp;
+      return nullptr;
+    }
+    fp->have_first = true;
+  }
   if (pthread_create(&fp->reader, nullptr, reader_main, fp) != 0) {
     delete fp;
     return nullptr;
@@ -322,8 +366,8 @@ int fp_buffered(FramePipe* fp) {
 
 void fp_close(FramePipe* fp) {
   if (!fp) return;
-  fp->stop = true;
   pthread_mutex_lock(&fp->ring.mu);
+  fp->stop = true;  // under the ring mutex: the reader reads it there too
   pthread_cond_broadcast(&fp->ring.can_put);
   pthread_cond_broadcast(&fp->ring.can_get);
   pthread_mutex_unlock(&fp->ring.mu);
@@ -332,13 +376,22 @@ void fp_close(FramePipe* fp) {
 }
 
 // Parse a saveMat-format text matrix (space-separated %lf rows,
-// LKof.cpp:139-150). Returns number of doubles parsed (<= n).
+// LKof.cpp:139-150). Writes at most n doubles into out but returns the
+// TOTAL number of values present in the file — so a caller comparing the
+// return against rows*cols catches oversized/wrong-shape files instead of
+// accepting a silent truncation.
 long gf_load(const char* path, double* out, long n) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
-  fseek(f, 0, SEEK_END);
+  if (fseek(f, 0, SEEK_END) != 0) {  // non-seekable special file
+    fclose(f);
+    return -1;
+  }
   long size = ftell(f);
-  fseek(f, 0, SEEK_SET);
+  if (size < 0 || fseek(f, 0, SEEK_SET) != 0) {
+    fclose(f);
+    return -1;
+  }
   std::string buf(static_cast<size_t>(size), '\0');
   if (fread(buf.data(), 1, static_cast<size_t>(size), f) !=
       static_cast<size_t>(size)) {
@@ -349,10 +402,11 @@ long gf_load(const char* path, double* out, long n) {
   const char* p = buf.c_str();
   char* end = nullptr;
   long i = 0;
-  while (i < n) {
+  for (;;) {
     double v = strtod(p, &end);
     if (end == p) break;
-    out[i++] = v;
+    if (i < n) out[i] = v;
+    ++i;
     p = end;
   }
   return i;

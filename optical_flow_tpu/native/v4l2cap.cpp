@@ -15,6 +15,17 @@
 //
 // Build: make -C optical_flow_tpu/native (compiled into libframepipe.so).
 
+#ifndef __linux__
+// V4L2 is Linux-only; on other platforms stub the C API so the shared
+// library (file decoder + golden IO, both platform-agnostic) still
+// builds — losing only the camera feature, not the whole native module.
+extern "C" {
+void* cam_open(const char*, int, int*, int*, double*) { return nullptr; }
+int cam_next(void*, char*) { return 0; }
+void cam_close(void*) {}
+}
+#else
+
 #include <cerrno>
 #include <cstring>
 #include <string>
@@ -45,6 +56,7 @@ struct Camera {
   int fd = -1;
   int width = 0;
   int height = 0;
+  int stride = 0;  // driver row stride (fmt.fmt.pix.bytesperline)
   double fps = 0.0;
   bool gray = false;
   uint32_t fourcc = 0;
@@ -124,6 +136,16 @@ bool convert(Camera* c, const uint8_t* data, size_t len, uint8_t* out) {
   if (av_image_fill_arrays(src, src_stride, data, src_fmt, c->width,
                            c->height, 1) < 0)
     return false;
+  // honor the driver's row stride: many drivers pad rows for alignment
+  // (bytesperline > width*bpp), and fill_arrays' tight layout would read
+  // every row sheared. Packed single-plane formats just take the real
+  // stride; a PADDED planar layout would need per-plane offsets we can't
+  // derive portably — fail cleanly instead of returning garbage.
+  if (c->stride > src_stride[0]) {
+    const bool packed = src_stride[1] == 0;
+    if (!packed) return false;
+    src_stride[0] = c->stride;
+  }
   c->sws = sws_getCachedContext(c->sws, c->width, c->height, src_fmt,
                                 c->width, c->height, dst_fmt, SWS_BILINEAR,
                                 nullptr, nullptr, nullptr);
@@ -174,6 +196,7 @@ void* cam_open(const char* dev, int gray, int* w, int* h, double* fps) {
   c->fourcc = fmt.fmt.pix.pixelformat;
   c->width = static_cast<int>(fmt.fmt.pix.width);
   c->height = static_cast<int>(fmt.fmt.pix.height);
+  c->stride = static_cast<int>(fmt.fmt.pix.bytesperline);
 
   v4l2_streamparm parm{};
   parm.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
@@ -245,16 +268,30 @@ void* cam_open(const char* dev, int gray, int* w, int* h, double* fps) {
 int cam_next(void* handle, char* out) {
   Camera* c = static_cast<Camera*>(handle);
   if (c == nullptr || !c->streaming) return 0;
-  v4l2_buffer b{};
-  b.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
-  b.memory = V4L2_MEMORY_MMAP;
-  if (xioctl(c->fd, VIDIOC_DQBUF, &b) < 0) return 0;
-  const bool ok = convert(c, static_cast<const uint8_t*>(c->bufs[b.index].ptr),
-                          b.bytesused, reinterpret_cast<uint8_t*>(out));
-  xioctl(c->fd, VIDIOC_QBUF, &b);  // requeue regardless
-  return ok ? 1 : 0;
+  // a buffer dequeued with V4L2_BUF_FLAG_ERROR holds a corrupted capture
+  // (USB transfer error): requeue it and try the next one instead of
+  // converting junk bytes into a "good" frame (cv2's backend does the
+  // same); bounded retries so a wedged driver can't spin forever
+  for (int attempt = 0; attempt < 2 * kRingBuffers; ++attempt) {
+    v4l2_buffer b{};
+    b.type = V4L2_BUF_TYPE_VIDEO_CAPTURE;
+    b.memory = V4L2_MEMORY_MMAP;
+    if (xioctl(c->fd, VIDIOC_DQBUF, &b) < 0) return 0;
+    if (b.flags & V4L2_BUF_FLAG_ERROR) {
+      xioctl(c->fd, VIDIOC_QBUF, &b);
+      continue;
+    }
+    const bool ok =
+        convert(c, static_cast<const uint8_t*>(c->bufs[b.index].ptr),
+                b.bytesused, reinterpret_cast<uint8_t*>(out));
+    xioctl(c->fd, VIDIOC_QBUF, &b);  // requeue regardless
+    return ok ? 1 : 0;
+  }
+  return 0;
 }
 
 void cam_close(void* handle) { cam_free(static_cast<Camera*>(handle)); }
 
 }  // extern "C"
+
+#endif  // __linux__

@@ -227,3 +227,38 @@ def test_frame_pipe_gray_seek_matches_unseeked(lib):
     seeked = list(read_frames(ref / "pacman.mp4", max_frames=2, start=4, gray=True))
     np.testing.assert_array_equal(plain[4], seeked[0])
     np.testing.assert_array_equal(plain[5], seeked[1])
+
+
+def test_gf_load_detects_oversized_golden(tmp_path):
+    """A golden file with MORE values than rows*cols must be rejected,
+    not silently truncated (round-5 native review): gf_load reports the
+    TOTAL count present, so load_mat_native's shape check catches it."""
+    from optical_flow_tpu.native import load_library, load_mat_native
+
+    if load_library() is None:
+        pytest.skip("native library unavailable")
+    p = tmp_path / "bad.txt"
+    p.write_text("1.0 2.0 3.0\n4.0 5.0 6.0\n7.0 8.0\n")  # 8 values
+    assert load_mat_native(p, 2, 3) is None  # 8 != 6 -> rejected
+    p2 = tmp_path / "good.txt"
+    p2.write_text("1.0 2.0 3.0\n4.0 5.0 6.0\n")
+    m = load_mat_native(p2, 2, 3)
+    assert m is not None
+    np.testing.assert_array_equal(m, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_camera_reiteration_raises(monkeypatch):
+    """A consumed/closed NativeCamera must raise on re-iteration, not
+    silently yield zero frames (round-5 native review)."""
+    import ctypes
+
+    from optical_flow_tpu import native as nat
+
+    if nat.load_library() is None:
+        pytest.skip("native library unavailable")
+
+    cam = nat.NativeCamera.__new__(nat.NativeCamera)
+    cam._lib = nat.load_library()
+    cam._h = None  # closed
+    with pytest.raises(RuntimeError, match="single-iteration"):
+        next(iter(cam))
