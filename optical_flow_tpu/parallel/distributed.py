@@ -45,8 +45,9 @@ def initialize_distributed(
     try:
         from jax._src import distributed as _dist
 
-        probe_ok = True
-        if _dist.global_state.client is not None:
+        client = _dist.global_state.client  # may AttributeError first
+        probe_ok = True  # only AFTER the probe actually resolved
+        if client is not None:
             return  # already initialized
     except (ImportError, AttributeError):
         pass
@@ -66,8 +67,16 @@ def initialize_distributed(
         # genuine failures (XlaRuntimeError on a bad coordinator).
         # Distinguish by outcome: after a true double-init the runtime IS
         # multi-process; anything else must fail loudly, not silently
-        # proceed single-process.
-        if num_processes is not None and jax.process_count() != num_processes:
+        # proceed single-process (including the env-var-driven launch
+        # where num_processes arrives as None — round-5 review: that
+        # path used to swallow every init failure).
+        if num_processes is not None:
+            if jax.process_count() != num_processes:
+                raise
+        elif jax.process_count() <= 1:
+            # env-var-driven launch (num_processes None): a claimed
+            # distributed runtime that is actually single-process means
+            # the init FAILED — wrong-scale results otherwise
             raise
 
 
@@ -76,12 +85,40 @@ def global_flow_mesh(
     rows: Optional[int] = None,
     cols: Optional[int] = None,
 ) -> jax.sharding.Mesh:
-    """A mesh over every device of every process; defaults to the
-    mesh_factorization of the global device count."""
+    """A mesh over every device of every process.
+
+    Unspecified axes are factorized from the REMAINING device count —
+    an explicitly passed axis is always honored (round-5 review:
+    global_flow_mesh(frames=4) used to silently replace the 4 with the
+    default factorization). Raises if the specified axes don't divide
+    the device count."""
     n = len(jax.devices())
-    if frames is None or rows is None or cols is None:
-        frames, rows, cols = mesh_factorization(n)
-    return flow_mesh(frames=frames, rows=rows, cols=cols)
+    spec = {"frames": frames, "rows": rows, "cols": cols}
+    fixed = {k: v for k, v in spec.items() if v is not None}
+    free = [k for k, v in spec.items() if v is None]
+    prod = 1
+    for v in fixed.values():
+        prod *= v
+    if n % max(prod, 1):
+        raise ValueError(
+            f"specified mesh axes {fixed} do not divide {n} devices"
+        )
+    rem = n // max(prod, 1)
+    if len(free) == 0:
+        if prod != n:
+            raise ValueError(f"mesh {fixed} covers {prod} of {n} devices")
+    elif len(free) == 1:
+        spec[free[0]] = rem
+    else:
+        # factor the remainder over the free axes: reuse the 3-way
+        # factorization and fold its extra factor into the first slot
+        f3 = mesh_factorization(rem)
+        if len(free) == 2:
+            spec[free[0]] = f3[0] * f3[1]
+            spec[free[1]] = f3[2]
+        else:
+            spec["frames"], spec["rows"], spec["cols"] = f3
+    return flow_mesh(frames=spec["frames"], rows=spec["rows"], cols=spec["cols"])
 
 
 def host_local_frames(

@@ -119,7 +119,8 @@ class VideoPipeline:
             )
 
             u, v, _, warped_diff = sharded_coarse_to_fine_with_images(
-                prev_diff, diff, self.mesh, levels, config=self.config.flow
+                prev_diff, diff, self.mesh, levels, config=self.config.flow,
+                _need_images=self.config.faithful_prev_diff,
             )
         else:
             u, v, _, warped_diff = coarse_to_fine_with_images(

@@ -190,7 +190,10 @@ def incremental_slam(
     real video. Returns None when the bootstrap pair can't produce a
     map."""
     from optical_flow_tpu.track.features import good_features_to_track
-    from optical_flow_tpu.track.sparse_lk import track_features
+    from optical_flow_tpu.track.sparse_lk import (
+        build_tracking_pyramid,
+        track_features,
+    )
 
     it = iter(frames)
 
@@ -366,9 +369,18 @@ def incremental_slam(
             yield (k, prev[0]) + cur + (nxt is None,)
             prev, cur = cur, nxt
 
+    prev_pyr = None
     for k, prev, cur, cur_right, is_last in _stream():
-        # -- track everything one frame forward
-        new_px, status, _ = track_features(prev, cur, cur_px)
+        # -- track everything one frame forward (each frame's tracking
+        # pyramid is built ONCE and reused as prev on the next step —
+        # the hot-loop reuse the dense path has in pipeline/video.py)
+        if prev_pyr is None:
+            prev_pyr = build_tracking_pyramid(prev)
+        cur_pyr = build_tracking_pyramid(cur)
+        new_px, status, _ = track_features(
+            prev, cur, cur_px, pyr1=prev_pyr, pyr2=cur_pyr
+        )
+        prev_pyr = cur_pyr
         new_px = np.asarray(new_px, np.float32)
         alive &= np.asarray(status)
         cur_px = np.where(alive[:, None], new_px, cur_px)

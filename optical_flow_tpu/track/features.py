@@ -26,14 +26,14 @@ from typing import Tuple
 import jax.numpy as jnp
 from jax import lax
 
-from optical_flow_tpu.ops.pad import pad_last2
+from optical_flow_tpu.ops.window import _box3_cols, _box3_rows
 from optical_flow_tpu.pipeline.preprocess import sobel3
 
 
 def _box3(x):
-    p = pad_last2(x, 1, 1, 1, 1, mode="constant")
-    r = p[..., :-2, :] + p[..., 1:-1, :] + p[..., 2:, :]
-    return r[..., :, :-2] + r[..., :, 1:-1] + r[..., :, 2:]
+    """Full 3x3 box sum (border included — unlike `sum3x3_interior`'s
+    zero ring), composed from ops/window's shared separable passes."""
+    return _box3_cols(_box3_rows(x))
 
 
 def min_eig_map(img) -> jnp.ndarray:
@@ -58,6 +58,11 @@ def good_features_to_track(
     """Corner points as ((max_corners, 2) float32 xy, (max_corners,) bool).
 
     img: (H, W) grayscale, any float/uint dtype.
+
+    Known deviation from cv2's serial greedy pass: two corners within
+    min_distance whose scores tie BIT-EXACTLY both survive the max-pool
+    test (cv2 keeps one). Real imagery never produces exact ties; only
+    synthetic periodic patterns can.
     """
     H, W = img.shape[-2], img.shape[-1]
     score = min_eig_map(img.astype(jnp.float32))
@@ -66,7 +71,11 @@ def good_features_to_track(
     edge = jnp.zeros_like(score)
     score = edge.at[..., 1:-1, 1:-1].set(score[..., 1:-1, 1:-1])
 
-    thresh = quality_level * jnp.max(score)
+    # per-IMAGE quality threshold: a global max over leading batch dims
+    # would couple images (one bright image's threshold killing another's
+    # corners; round-5 review) — every other step here is already
+    # per-image
+    thresh = quality_level * jnp.max(score, axis=(-2, -1), keepdims=True)
     r = max(int(min_distance), 1)
     nb = score.ndim - 2
     pooled = lax.reduce_window(

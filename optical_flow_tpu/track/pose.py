@@ -57,9 +57,17 @@ def _dlt_homography(p1, p2, w):
     r1 = jnp.stack([x, y, o, z, z, z, -u * x, -u * y, -u], axis=-1)
     r2 = jnp.stack([z, z, z, x, y, o, -v * x, -v * y, -v], axis=-1)
     A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)  # (2K, 9)
-    # h = right-singular vector of least singular value
-    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
-    Hn = vt[-1].reshape(3, 3)
+    # h = the null direction of A, via the 9x9 normal matrix: eigh's
+    # smallest-eigenvalue eigenvector. The previous
+    # svd(full_matrices=False) was WRONG for the documented K=4 minimal
+    # case — an (8, 9) reduced vt spans only the row space, so vt[-1]
+    # was not the vector with Ah=0 and exact correspondences produced a
+    # garbage homography (round-5 review). full_matrices=True would fix
+    # it but materializes a (2K, 2K) U inside the vmapped RANSAC; the
+    # fixed-size normal matrix is exact for the minimal case and
+    # conditioning-safe here (points are Hartley-normalized).
+    ew, ev = jnp.linalg.eigh(A.T @ A)
+    Hn = ev[:, 0].reshape(3, 3)  # ascending eigenvalues: column 0
     H = jnp.linalg.solve(T2, Hn @ T1)
     return H / jnp.where(jnp.abs(H[2, 2]) > 1e-12, H[2, 2], 1.0)
 

@@ -192,11 +192,28 @@ def _track_level(img1, img2, pts, guess, cfg: SparseLKConfig, impl: str):
     return d, live0 & inb
 
 
+def build_tracking_pyramid(img, config: Optional[SparseLKConfig] = None):
+    """Gaussian pyramid in the layout `track_features(..., pyr1/pyr2=)`
+    consumes — sequential video tracking should build each frame's
+    pyramid ONCE and pass it as img2's pyramid this step and img1's the
+    next (the dense path's streaming reuse, pipeline/video.py; without
+    it every frame's pyramid is built twice on the SLAM hot loop)."""
+    cfg = config or SparseLKConfig()
+    return tuple(
+        p.astype(jnp.float32)
+        for p in gaussian_pyramid(jnp.asarray(img, jnp.float32),
+                                  cfg.max_level + 1)
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "impl"))
-def _track(img1, img2, pts, cfg: SparseLKConfig, impl: str):
+def _track(img1, img2, pts, cfg: SparseLKConfig, impl: str,
+           pyr1=None, pyr2=None):
     levels = cfg.max_level + 1
-    pyr1 = gaussian_pyramid(img1, levels)
-    pyr2 = gaussian_pyramid(img2, levels)
+    if pyr1 is None:
+        pyr1 = gaussian_pyramid(img1, levels)
+    if pyr2 is None:
+        pyr2 = gaussian_pyramid(img2, levels)
 
     K = pts.shape[0]
     d = jnp.zeros((K, 2), jnp.float32)
@@ -225,10 +242,16 @@ def track_features(
     img2,
     points,
     config: Optional[SparseLKConfig] = None,
+    *,
+    pyr1=None,
+    pyr2=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """cv2.calcOpticalFlowPyrLK(img1, img2, points) analogue.
 
     img1/img2: (H, W) grayscale; points: (K, 2) float32 (x, y).
+    pyr1/pyr2: optional prebuilt pyramids (`build_tracking_pyramid`) —
+    sequential callers reuse each frame's pyramid across its two tracking
+    steps instead of rebuilding it.
     Returns (new_points (K,2), status (K,) bool, err (K,) float32).
     """
     cfg = config or SparseLKConfig()
@@ -240,5 +263,5 @@ def track_features(
     pts = jnp.asarray(points, jnp.float32)
     return _track(
         jnp.asarray(img1, jnp.float32), jnp.asarray(img2, jnp.float32), pts,
-        cfg, impl,
+        cfg, impl, pyr1=pyr1, pyr2=pyr2,
     )

@@ -138,3 +138,75 @@ def test_sparse_lk_shift_impl_matches_gather():
     d = np.linalg.norm(pg - ps, axis=1)[sg & ss]
     assert np.median(d) < 1e-5
     assert d.max() < 1e-3, d.max()
+
+
+def test_homography_from_minimal_four_points():
+    """K=4 exact correspondences must recover the homography (round-5
+    review: the reduced SVD's vt[-1] was not the null vector for an
+    (8, 9) design matrix, so the documented minimal case silently
+    returned garbage)."""
+    import numpy as np
+
+    from optical_flow_tpu.track.pose import estimate_homography
+
+    H_true = np.asarray(
+        [[1.1, 0.05, 3.0], [-0.04, 0.95, -2.0], [1e-4, -2e-4, 1.0]]
+    )
+    p1 = np.asarray(
+        [[10.0, 12.0], [80.0, 15.0], [20.0, 70.0], [90.0, 85.0]], np.float32
+    )
+    ph = np.concatenate([p1, np.ones((4, 1))], axis=1) @ H_true.T
+    p2 = (ph[:, :2] / ph[:, 2:3]).astype(np.float32)
+    from optical_flow_tpu.track.pose import RansacConfig
+
+    H, inliers, n = estimate_homography(
+        p1, p2, config=RansacConfig(inlier_px=0.5)
+    )
+    assert int(n) == 4, (np.asarray(H), int(n))
+    Hn = np.asarray(H) / np.asarray(H)[2, 2]
+    np.testing.assert_allclose(Hn, H_true / H_true[2, 2], atol=1e-3)
+
+
+def test_good_features_per_image_threshold():
+    """Batched corner detection thresholds PER IMAGE: a bright image in
+    the batch must not blank a low-contrast image's corners (round-5
+    review: the threshold was a global max over the whole batch)."""
+    import numpy as np
+
+    from optical_flow_tpu.track.features import good_features_to_track
+
+    rng = np.random.RandomState(3)
+    lowc = (rng.rand(64, 64) * 10).astype(np.float32)  # weak texture
+    bright = (rng.rand(64, 64) * 255).astype(np.float32)
+    _, v_single = good_features_to_track(jnp.asarray(lowc), 50, 0.01, 8)
+    _, v_batch = good_features_to_track(
+        jnp.stack([jnp.asarray(bright), jnp.asarray(lowc)]), 50, 0.01, 8
+    )
+    # the low-contrast image keeps (about) the corners it has alone
+    assert int(v_batch[1].sum()) >= int(v_single.sum()) * 0.9
+
+
+def test_track_features_prebuilt_pyramids_match():
+    """pyr1/pyr2 reuse path is bit-identical to the internal build."""
+    import numpy as np
+
+    from optical_flow_tpu.track.sparse_lk import (
+        SparseLKConfig,
+        build_tracking_pyramid,
+        track_features,
+    )
+
+    rng = np.random.RandomState(5)
+    img1 = (rng.rand(96, 128) * 255).astype(np.float32)
+    img2 = np.roll(img1, (1, 2), axis=(0, 1))
+    pts = np.stack([rng.uniform(20, 100, 12), rng.uniform(20, 70, 12)], -1)
+    cfg = SparseLKConfig(win=15, max_level=1)
+    a = track_features(img1, img2, pts, cfg)
+    b = track_features(
+        img1, img2, pts, cfg,
+        pyr1=build_tracking_pyramid(img1, cfg),
+        pyr2=build_tracking_pyramid(img2, cfg),
+    )
+    # in-jit vs eager pyramid builds may fuse/round differently on CPU
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
