@@ -22,6 +22,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -171,6 +172,19 @@ def estimate_essential(
     p1 = jnp.asarray(pts1, jnp.float32)
     p2 = jnp.asarray(pts2, jnp.float32)
     v = jnp.ones((p1.shape[0],), bool) if valid is None else jnp.asarray(valid, bool)
+    # with < 8 valid points top_k would select -inf-scored invalid rows
+    # and the zero-weighted 8-point solve is under-determined — its SVD
+    # null vector is arbitrary, returned as a garbage E with a nonsense
+    # inlier mask (round-5 review). Checkable only on concrete input
+    # (the host-orchestrated call sites all are).
+    try:
+        n_valid = int(np.asarray(v).sum())
+    except Exception:
+        n_valid = None  # traced: caller must guarantee >= 8
+    if n_valid is not None and n_valid < 8:
+        raise ValueError(
+            f"estimate_essential needs >= 8 valid correspondences, got {n_valid}"
+        )
     return _ransac_essential(
         p1, p2, v, jnp.float32(config.inlier_thresh), config.seed, config.n_hypotheses
     )
@@ -566,7 +580,16 @@ def triangulate(P1, P2, p1, p2):
         )  # (4,4)
         _, _, vt = jnp.linalg.svd(rows)
         X = vt[-1]
-        return X[:3] / jnp.where(jnp.abs(X[3]) > 1e-12, X[3], 1e-12)
+        # sign-PRESERVING scale guard: substituting +1e-12 for a tiny
+        # negative X[3] flipped the point across the camera, which could
+        # tip recover_pose's cheirality vote on low-parallax pairs
+        # (round-5 review)
+        w = jnp.where(
+            jnp.abs(X[3]) > 1e-12,
+            X[3],
+            jnp.where(X[3] < 0, -1e-12, 1e-12),
+        )
+        return X[:3] / w
 
     return jax.vmap(one)(jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32))
 

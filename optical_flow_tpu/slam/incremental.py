@@ -418,7 +418,12 @@ def incremental_slam(
             if sel.sum() < 16:
                 return None
             disp = np.linalg.norm(cur_px - anchor_px, axis=1)[sel]
-            if np.median(disp) < bootstrap_min_disparity and not is_last:
+            if np.median(disp) < bootstrap_min_disparity:
+                # below-minimum baseline NEVER bootstraps — the old
+                # last-frame bypass built exactly the ill-conditioned map
+                # this gate exists to prevent (round-5 review); a clip
+                # that never accumulates baseline returns None, the
+                # documented contract
                 continue  # keep accumulating baseline
             p1n, p2n = norm(anchor_px), norm(cur_px)
             # minimal (5-point) hypotheses: a clean sample yields an EXACT
@@ -448,7 +453,19 @@ def incremental_slam(
             P1 = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
             P2 = np.concatenate([R1, t1[:, None]], axis=1)
             X = np.asarray(triangulate(P1, P2, p1n[inl_np], p2n[inl_np]))
-            good = X[:, 2] > 0.1
+            # BOTH-view cheirality + reprojection gate, mirroring the
+            # in-loop triangulation (round-5 review: camera-1 depth alone
+            # let an epipole-adjacent outlier seed the initial map, and
+            # the windowed BA's squared loss dragged the bootstrap poses)
+            Z2 = (X @ R1.T + t1)[:, 2]
+            Xb, xb, n_b = _pad64(np.asarray(X, np.float32), p2n[inl_np])
+            e_b = np.asarray(
+                reprojection_errors(
+                    jnp.asarray(R1, jnp.float32), jnp.asarray(t1, jnp.float32),
+                    jnp.asarray(Xb), jnp.asarray(xb),
+                )
+            )[:n_b]
+            good = (X[:, 2] > 0.1) & (Z2 > 0.1) & (e_b < 5.0 / focal)
             ids = np.flatnonzero(inl_np)[good]
             kf_R.append(R1)
             kf_t.append(t1.astype(np.float32))
@@ -467,6 +484,11 @@ def incremental_slam(
             kf_obs[0] = [(int(point_id[r]), anchor_px[r].copy()) for r in ids]
             kf_obs.append([(int(point_id[r]), cur_px[r].copy()) for r in ids])
             rmse = mapper.optimize()
+            # pull BA-refined poses back into the odometry chain (see
+            # the keyframe path; a 2-frame video ends right here)
+            for i_s, p6_s in enumerate(mapper.poses):
+                kf_R[i_s] = _aa_to_R(p6_s[:3]).astype(np.float32)
+                kf_t[i_s] = np.asarray(p6_s[3:], np.float32)
             bootstrapped = True
             keyframes = [0, k]
             kept[k] = cur
@@ -545,6 +567,12 @@ def incremental_slam(
                      for (p, _), px_new, ok in zip(obs_list, new, inl) if ok]
                 )
                 rmse = mapper.optimize()
+                # pull BA-refined poses back into the odometry chain
+                # (round-5 review: a run ending here exported stale
+                # pre-BA poses against the BA-refined map)
+                for i_s, p6_s in enumerate(mapper.poses):
+                    kf_R[i_s] = _aa_to_R(p6_s[:3]).astype(np.float32)
+                    kf_t[i_s] = np.asarray(p6_s[3:], np.float32)
                 # rebuild the track table: re-tracked landmarks first (live
                 # map tracks), fresh corners for future structure
                 kf_now = len(kf_R) - 1
@@ -580,7 +608,17 @@ def incremental_slam(
         vmask = np.arange(len(Xp)) < n_rows
         R, t, inliers = pnp_ransac(Xp, xp, valid=vmask, seed=k)
         inliers = np.asarray(inliers)[:n_rows]
-        if int(np.asarray(inliers).sum()) < max(12, len(rows) // 4):
+        # acceptance floor: 12 inliers when >= 12 landmarks are live; on
+        # a sparse stretch (8-11 live) require 3/4 support instead — the
+        # old unconditional max(12, ...) was UNREACHABLE there, so every
+        # sparse frame was misclassified as tracking loss (round-5
+        # review; with relocalization also failing the pipeline stalled:
+        # re-seeding only runs on the keyframe path)
+        if len(rows) >= 12:
+            need = max(12, len(rows) // 4)
+        else:
+            need = max(6, (3 * len(rows)) // 4)
+        if int(np.asarray(inliers).sum()) < need:
             # the pose didn't explain the tracked landmarks (corrupted
             # frame, degenerate geometry): treat as tracking loss rather
             # than poisoning the map with a junk keyframe
@@ -601,6 +639,7 @@ def incremental_slam(
         # -- new map points
         kf_now = len(kf_R) - 1
         new_points = {}
+        new_rows = {}  # pid -> table row (no per-pid table scans later)
         if stereo_baseline is not None:
             # stereo depth is available the moment a track is seen from a
             # keyframe — no parallax maturity wait, and the landmark is
@@ -614,6 +653,7 @@ def incremental_slam(
                 pid = next_pid
                 next_pid += 1
                 point_id[row] = pid
+                new_rows[pid] = int(row)
                 new_points[pid] = Xw.astype(np.float64)
                 obs.append((pid, cur_px[row] - [cx, cy]))
                 obs.append((pid, uv_r - [cx, cy], stereo_baseline))
@@ -649,13 +689,23 @@ def incremental_slam(
                     pid = next_pid
                     next_pid += 1
                     point_id[row] = pid
+                    new_rows[pid] = int(row)
                     new_points[pid] = Xw
                     obs.append((pid, cur_px[row] - [cx, cy]))
 
         mapper.add_keyframe(pose6(R, t), obs, new_points)
-        for pid in new_points:
-            row = int(np.flatnonzero(point_id == pid)[0])
-            mapper.add_observation(pid, int(anchor_kf[row]), anchor_px[row] - [cx, cy])
+        for pid, row in new_rows.items():
+            ak = int(anchor_kf[row])
+            mapper.add_observation(pid, ak, anchor_px[row] - [cx, cy])
+            # record the anchor view in the per-keyframe observation
+            # index too (round-5 review): kf_obs feeds relocalization,
+            # the FINAL global BA and the SlamResult export — without it
+            # a landmark whose track dies before the next keyframe
+            # reaches the final BA with a single observation (depth
+            # unconstrained along its ray), and every landmark loses its
+            # widest-baseline constraint there
+            if ak != kf_now:
+                kf_obs[ak].append((pid, anchor_px[row].copy()))
         # the relocalization index keeps LEFT-eye pixels only (entries
         # with a third element are right-eye rig observations)
         kf_obs.append(

@@ -98,6 +98,8 @@ class PoseGraph:
 
     def residual_norms(self) -> np.ndarray:
         """Per-edge residual magnitudes (se3 norm) at the current poses."""
+        if not self.Rm:  # edgeless graph (e.g. a 1-pose chain)
+            return np.zeros((0,), np.float32)
         r = _edge_residuals(
             jnp.asarray(self.Rs), jnp.asarray(self.ts),
             jnp.asarray(self.ei, jnp.int32), jnp.asarray(self.ej, jnp.int32),
