@@ -21,7 +21,6 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from optical_flow_tpu.track.sparse_lk import SparseLKConfig, track_features
 
@@ -144,5 +143,12 @@ def split_sbs(frame) -> Tuple[np.ndarray, np.ndarray]:
     even-width by construction).
     """
     f = np.asarray(frame)
-    w = f.shape[-1] // 2
-    return f[..., :w], f[..., f.shape[-1] - w :]
+    # the WIDTH axis: -1 for (..., H, W) gray, -2 when a trailing channel
+    # axis is present — splitting a color frame's channels into "left"
+    # and "right" was shape-valid garbage (round-5 review)
+    ax = -2 if (f.ndim >= 3 and f.shape[-1] in (1, 3, 4)) else -1
+    W = f.shape[ax]
+    w = W // 2
+    left = np.take(f, np.arange(w), axis=ax)
+    right = np.take(f, np.arange(W - w, W), axis=ax)
+    return left, right

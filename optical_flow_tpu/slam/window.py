@@ -89,6 +89,11 @@ class WindowedBA:
                     raise ValueError(f"point {pid} was retired; ids are single-use")
                 self.points[pid] = np.asarray(X, self.dtype).copy()
                 self._tracks.setdefault(pid, [])
+                # registration counts for retirement even if no
+                # observation ever arrives: an obs-less point must age
+                # out of the window like any other, not live forever
+                # (round-5 review)
+                self._last_seen.setdefault(pid, k)
         for entry in observations:
             pid, uv = entry[0], entry[1]
             b = float(entry[2]) if len(entry) > 2 else 0.0
@@ -128,7 +133,10 @@ class WindowedBA:
         """Compact the live window into a BAProblem (+ index maps)."""
         newest = len(self.poses) - 1
         horizon = max(newest - self.window + 1, 0)
-        pids = sorted(self.points)
+        # only points with at least one observation enter the solve: an
+        # obs-less registered point has nothing to say and previously
+        # crashed the empty np.stack below (round-5 review)
+        pids = sorted(p for p in self.points if self._tracks[p])
         if not pids:
             return None
         cam_set = sorted({t[0] for pid in pids for t in self._tracks[pid]})

@@ -20,13 +20,21 @@ import numpy as np
 _META_KEY = "__optical_flow_tpu_meta__"
 
 
+def _esc(key) -> str:
+    """Escape path separators inside a dict key so the flattened keypath
+    is INJECTIVE: without it {'a': {'b': 1}, 'a.b': 2} flattened to the
+    same 'root.a.b' and silently corrupted the checkpoint (round-5
+    review)."""
+    return str(key).replace("\\", "\\\\").replace(".", "\\.").replace("[", "\\[")
+
+
 def _flatten(prefix: str, obj: Any, out: Dict[str, np.ndarray], meta: Dict[str, Any]):
     if obj is None:
         meta[prefix] = "none"
     elif isinstance(obj, dict):
         meta[prefix] = {"kind": "dict", "keys": sorted(obj.keys())}
         for k in sorted(obj.keys()):
-            _flatten(f"{prefix}.{k}", obj[k], out, meta)
+            _flatten(f"{prefix}.{_esc(k)}", obj[k], out, meta)
     elif isinstance(obj, (list, tuple)):
         meta[prefix] = {"kind": type(obj).__name__, "len": len(obj)}
         for i, v in enumerate(obj):
@@ -46,7 +54,10 @@ def _unflatten(prefix: str, arrays, meta):
         return arrays[prefix]
     kind = m["kind"]
     if kind == "dict":
-        return {k: _unflatten(f"{prefix}.{k}", arrays, meta) for k in m["keys"]}
+        return {
+            k: _unflatten(f"{prefix}.{_esc(k)}", arrays, meta)
+            for k in m["keys"]
+        }
     if kind in ("list", "tuple"):
         items = [_unflatten(f"{prefix}[{i}]", arrays, meta) for i in range(m["len"])]
         return items if kind == "list" else tuple(items)

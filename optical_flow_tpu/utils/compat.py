@@ -69,7 +69,11 @@ def warm_compile_client() -> None:
     global _warmed
     if _warmed:
         return
-    _warmed = True
+    # _warmed is set at the SUCCESS exits below, not here: a failed TPU
+    # probe must not permanently disable the deadlock protection for the
+    # rest of the process (round-5 review — the operator frees the
+    # device, retries, and the no-op warmup would let the first real
+    # compile hit exactly the futex deadlock this function prevents)
     jax = sys.modules.get("jax")
     if jax is None:
         # jax not imported yet: importing codecs first is fine as long as
@@ -78,6 +82,7 @@ def warm_compile_client() -> None:
         try:
             import jax  # noqa: F811
         except Exception:
+            _warmed = True  # no jax at all: nothing to ever warm
             return
     # On a WEDGED TPU runtime, even jax.default_backend() (device
     # acquisition) hangs forever, futex-parked in C where signals can't
@@ -93,6 +98,7 @@ def warm_compile_client() -> None:
         p in chosen for p in ("tpu", "axon")
     ) and "cpu" in chosen
     if cpu_only:
+        _warmed = True
         return  # CPU-forced (tests, --cpu): nothing to warm, nothing to hang
     try:
         if os.environ.get("OPTICAL_FLOW_SKIP_TPU_PROBE") != "1":
@@ -130,6 +136,7 @@ def warm_compile_client() -> None:
                     "until the runtime recovers." + probe_err
                 ) from e
         if jax.default_backend() != "tpu":
+            _warmed = True
             return
         import jax.numpy as jnp
 
@@ -137,7 +144,8 @@ def warm_compile_client() -> None:
         jax.jit(lambda x: (x * 1.0000001 + 0.0000002).sum())(
             jnp.full((3, 3), 0.123456)
         ).block_until_ready()
+        _warmed = True
     except RuntimeError:
         raise  # the unresponsive-runtime error must reach the user
     except Exception:
-        pass  # warming is best-effort; never block IO on it
+        _warmed = True  # warming is best-effort; never block IO on it

@@ -184,8 +184,10 @@ def associate_by_timestamp(ts_a, ts_b, max_diff: float = 0.02):
         used_b.add(j)
         ia.append(i)
         ib.append(j)
+    ia = np.asarray(ia, np.int64)
+    ib = np.asarray(ib, np.int64)
     order = np.argsort(ia)
-    return np.asarray(ia)[order], np.asarray(ib)[order]
+    return ia[order], ib[order]
 
 
 def ate_rmse(est_centers, ref_centers, *, align: str = "sim3"):

@@ -3,8 +3,10 @@
 The reference instruments with gettimeofday printf timers around each
 algorithm segment (ParallelVideoPyr.cpp:37-42, serial.cpp:204-261). Here:
 
-- `Timer`: wall-clock segment timer with device sync (block_until_ready)
-  so segments measure completed device work, not async dispatch;
+- `Timer`: wall-clock segment timer; pass the segment's outputs via
+  `sync=` to block_until_ready them at segment end so the measurement
+  covers COMPLETED device work — without it (the default) a segment
+  around jitted code measures async dispatch only;
 - `device_loop_time`: robust per-call device timing — runs the function in
   an on-device fori_loop with perturbed inputs (the tunnel runtime caches
   repeated identical dispatches, so naive repeat-timing lies);

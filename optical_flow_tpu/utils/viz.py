@@ -94,7 +94,11 @@ def draw_arrows(
         for t in range(-(thickness // 2), thickness // 2 + 1):
             out[np.clip(ys + t, 0, H - 1), xs] = color
         hx, hy = int(round(x1)), int(round(y1))
-        out[max(0, hy - 1) : hy + 2, max(0, hx - 1) : hx + 2] = color
+        # clamp BOTH ends: a negative stop index wraps around and floods
+        # a large region with the arrow color (round-5 review)
+        y0d, y1d = max(0, hy - 1), max(0, min(H, hy + 2))
+        x0d, x1d = max(0, hx - 1), max(0, min(W, hx + 2))
+        out[y0d:y1d, x0d:x1d] = color
     return out
 
 
