@@ -205,8 +205,15 @@ def coarse_to_fine_with_images(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pyramidal LK; returns (u, v, warped_img1, warped_img2).
 
-    warped_img1/2 are the finest-level images after the last warp — what the
-    reference leaves in the caller's Mats via in-place pyramid mutation.
+    warped_img1/2 are the finest-level images after the last LEVEL warp —
+    what the reference leaves in the caller's Mats via in-place pyramid
+    mutation. Caveat (round-5 review): with `level_iters > 1` the extra
+    refinement passes re-warp the ORIGINAL frames and discard the
+    results, so the returned images reflect the first finest-level warp
+    only (and with levels == 1 no warp at all). The reference has no
+    level_iters, so the in-place contract is defined by the single-pass
+    semantics; consumers of the warped frames (faithful_prev_diff) use
+    reference mode, which rejects level_iters > 1.
     """
     levels = _validate_levels(levels, img1.shape, config)
     pyr1 = gaussian_pyramid(img1, levels, impl=config.pyr_impl)

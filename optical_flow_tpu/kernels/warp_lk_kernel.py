@@ -43,10 +43,21 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+from optical_flow_tpu.kernels.lk_kernel import lk_solve_tail
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INTER_TAB = 32.0  # cv2 remap 5-bit fixed-point fractions (ops/warp.py)
+
+
+def _quant_half_flow(flow, cl, half, Cf):
+    """Flow-space quantized half-displacement (ops/warp.quantize_disp
+    semantics): clip to the clamp, halve (sign carried by `half`), clip
+    to the tap range, round to the INTER_TAB grid. The one copy both
+    fused kernels share."""
+    h = jnp.clip(jnp.clip(flow, -cl, cl) * half, -Cf, Cf)
+    return jnp.round(h * _INTER_TAB) / _INTER_TAB
 
 
 def _round_up(x: int, m: int) -> int:
@@ -225,12 +236,8 @@ def _warp_lk_kernel(
     # r0+band+R, cols -R .. Wp-R), flow-space like ops/warp.quantize_disp:
     # position-independent, so image2's displacement is exactly -d and
     # both images share each tap's hat weight.
-    def quant(flow):
-        h = jnp.clip(jnp.clip(flow, -cl, cl) * half, -Cf, Cf)
-        return jnp.round(h * _INTER_TAB) / _INTER_TAB
-
-    qx = quant(uu)
-    qy = quant(vv)
+    qx = _quant_half_flow(uu, cl, half, Cf)
+    qy = _quant_half_flow(vv, cl, half, Cf)
     Wt = Wc + 4
     qx_t = qx[:, R - 2 : R - 2 + Wt]
     qy_w = qy[R - 2 : R - 2 + band + 4, R - 2 : R - 2 + Wt]
@@ -309,40 +316,9 @@ def _warp_lk_core(x1, x2, qx_t, qy_w, row0, col0, *, W, Hg, Wg, Wc, band, C, R):
     w1 = reflect(w1)
     w2 = reflect(w2)
 
-    # LK on the warped planes (identical to kernels/lk_kernel.py).
-    def stencil4(x):
-        a = x[0 : band + 3, 0 : Wc + 2]
-        b_ = x[0 : band + 3, 1 : Wc + 3]
-        c = x[1 : band + 4, 0 : Wc + 2]
-        d = x[1 : band + 4, 1 : Wc + 3]
-        return a, b_, c, d
-
-    a1, b1, c1, d1 = stencil4(w1)
-    a2, b2, c2, d2 = stencil4(w2)
-    fx = (b1 - a1 + d1 - c1) + (b2 - a2 + d2 - c2)
-    fy = (c1 + d1 - a1 - b1) + (c2 + d2 - a2 - b2)
-    ft = (a2 + b2 + c2 + d2) - (a1 + b1 + c1 + d1)
-
-    def sum9(p):
-        pr = p[0:band, :] + p[1 : band + 1, :] + p[2 : band + 2, :]
-        return pr[:, 0:Wc] + pr[:, 1 : Wc + 1] + pr[:, 2 : Wc + 2]
-
-    sfx2 = sum9(fx * fx)
-    sfy2 = sum9(fy * fy)
-    sfxfy = sum9(fx * fy)
-    sfxft = sum9(fx * ft)
-    sfyft = sum9(fy * ft)
-
-    det = sfx2 * sfy2 - sfxfy * sfxfy
-    ok = det != 0
-    inv = jnp.where(ok, det, 1.0)
-    du = jnp.where(ok, sfxfy * sfyft - sfy2 * sfxft, 0.0) / inv
-    dv = jnp.where(ok, sfxft * sfxfy - sfx2 * sfyft, 0.0) / inv
-
-    gr = row0 + lax.broadcasted_iota(jnp.int32, (band, Wc), 0)
-    gc = col0 + lax.broadcasted_iota(jnp.int32, (band, Wc), 1)
-    keep = (gr > 0) & (gr < Hg - 1) & (gc > 0) & (gc < Wg - 1)
-    return jnp.where(keep, du, 0.0), jnp.where(keep, dv, 0.0)
+    # LK on the warped planes: the ONE shared tail (lk_kernel.py)
+    return lk_solve_tail(w1, w2, band=band, Wc=Wc, row0=row0, col0=col0,
+                         Hg=Hg, Wg=Wg)
 
 
 @partial(
@@ -606,12 +582,8 @@ def _pyrup_warp_lk_kernel(
     cl = jnp.asarray(clamp, f32)
     Cf = jnp.asarray(float(C), f32)
 
-    def quant(up):
-        h = jnp.clip(jnp.clip(up, -cl, cl) * half, -Cf, Cf)
-        return jnp.round(h * _INTER_TAB) / _INTER_TAB
-
-    qx_t = quant(upx)
-    qy_w = quant(upy)[R - 2 : R - 2 + band + 4, :]
+    qx_t = _quant_half_flow(upx, cl, half, Cf)
+    qy_w = _quant_half_flow(upy, cl, half, Cf)[R - 2 : R - 2 + band + 4, :]
     du, dv = _warp_lk_core(
         x1, x2, qx_t, qy_w, row0, col0,
         W=W, Hg=Hg, Wg=Wg, Wc=Wc, band=band, C=C, R=R,

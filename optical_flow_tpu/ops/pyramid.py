@@ -30,18 +30,6 @@ from optical_flow_tpu.ops.pad import pad_last2
 _K5 = (0.0625, 0.25, 0.375, 0.25, 0.0625)
 
 
-def _filt5_rows(x, scale: float = 1.0):
-    p = pad_last2(x, 2, 2, 0, 0, mode="reflect")
-    H = x.shape[-2]
-    return sum((k * scale) * p[..., i : i + H, :] for i, k in enumerate(_K5))
-
-
-def _filt5_cols(x, scale: float = 1.0):
-    p = pad_last2(x, 0, 0, 2, 2, mode="reflect")
-    W = x.shape[-1]
-    return sum((k * scale) * p[..., :, j : j + W] for j, k in enumerate(_K5))
-
-
 def _parity_planes(p, axis):
     """Split `p` into (even, odd) index planes along `axis` via a
     reshape-split (a strided slice would relayout); pads one junk
@@ -126,6 +114,13 @@ def pyr_down(x, impl: str = "poly"):
         import jax
 
         impl = "pallas" if jax.default_backend() == "tpu" else "poly"
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer):
+        # one dtype contract across impls: 'poly' always promoted integer
+        # inputs to float, while 'pallas'/'mxu' astype(x.dtype) TRUNCATED
+        # the float result toward zero (round-5 review — same input gave
+        # float32 on CPU and truncated uint8 on TPU); promote up front so
+        # every impl returns the same float32
+        x = jnp.asarray(x, jnp.float32)
     if impl == "pallas":
         # Fused band kernel: both passes in one VMEM visit (row pass
         # bit-identical poly, column pass = the 'mxu' matmul semantics).
