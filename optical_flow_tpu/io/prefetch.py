@@ -56,7 +56,16 @@ def _run_prefetch(q, closed, produce) -> None:
         emit(_UpstreamError(e))
 
 
-def _consume(q, t, closed):
+def _consume(q, closed, produce):
+    """Generator over the prefetched stream. The worker thread starts on
+    the FIRST next(), not at construction: a generator abandoned before
+    iteration never runs a generator's finally, so an eagerly-started
+    worker could never be signalled and would spin forever holding the
+    decoder and the staged buffers (round-5 meta-review)."""
+    t = threading.Thread(
+        target=_run_prefetch, args=(q, closed, produce), daemon=True
+    )
+    t.start()
     try:
         while True:
             item = q.get()
@@ -83,11 +92,7 @@ def prefetch_to_device(
         for f in frames:
             yield jax.device_put(np.ascontiguousarray(f), device)
 
-    t = threading.Thread(
-        target=_run_prefetch, args=(q, closed, produce), daemon=True
-    )
-    t.start()
-    return _consume(q, t, closed)
+    return _consume(q, closed, produce)
 
 
 def prefetch_chunks_to_device(
@@ -141,8 +146,4 @@ def prefetch_chunks_to_device(
                 timings.append({"decode_s": dec_s, "put_s": put_s})
             yield arr
 
-    t = threading.Thread(
-        target=_run_prefetch, args=(q, closed, produce), daemon=True
-    )
-    t.start()
-    return _consume(q, t, closed)
+    return _consume(q, closed, produce)

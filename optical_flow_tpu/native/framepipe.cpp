@@ -297,11 +297,15 @@ FramePipe* fp_open_fmt(const char* path, int ring_capacity, long start_frame,
     // the KEYFRAME (position unknowable) — fail so the Python caller
     // decode-skips from zero instead of yielding mislabeled frames
     fp->first_frame.resize(fp->ring.frame_bytes);
-    if (!fp->dec.next(fp->first_frame.data()) || !fp->dec.seek_pts_seen) {
+    const bool got = fp->dec.next(fp->first_frame.data()) != 0;
+    if (!fp->dec.seek_pts_seen) {
       delete fp;
-      return nullptr;
+      return nullptr;  // position unknowable: Python decode-skips exactly
     }
-    fp->have_first = true;
+    // EOF after a VALID seek (start at/past the stream's end): an empty
+    // stream is the correct answer — failing here would make the caller
+    // decode the ENTIRE file just to discard everything
+    fp->have_first = got;
   }
   if (pthread_create(&fp->reader, nullptr, reader_main, fp) != 0) {
     delete fp;

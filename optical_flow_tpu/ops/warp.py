@@ -118,24 +118,22 @@ def symmetric_warp(
     flow-space quantization and weights shared across the pair
     (symmetric_warp_shift_sep).
     """
-    if impl in ("shift", "shift_sep"):
-        if max_disp <= 0:
-            # silent identity otherwise: the shift decomposition clamps
-            # displacement to [-2*max_disp, 2*max_disp], so max_disp=0
-            # returned both frames UNWARPED with no error (round-5
-            # review)
-            raise ValueError(
-                f"impl={impl!r} needs max_disp > 0 (the shift "
-                "decomposition's displacement bound); got "
-                f"{max_disp}"
-            )
-        if jnp.issubdtype(img1.dtype, jnp.integer):
-            # the shift paths build fixed-point offsets and hat weights
-            # in the source dtype: negative coords WRAP in unsigned ints
-            # (round-5 review); promote like cv2.remap's float output —
-            # the gather path handles integers natively
-            img1 = img1.astype(jnp.float32)
-            img2 = img2.astype(jnp.float32)
+    if impl in ("shift", "shift_sep") and max_disp <= 0:
+        # silent identity otherwise: the shift decomposition clamps
+        # displacement to [-2*max_disp, 2*max_disp], so max_disp=0
+        # returned both frames UNWARPED with no error (round-5 review)
+        raise ValueError(
+            f"impl={impl!r} needs max_disp > 0 (the shift "
+            "decomposition's displacement bound); got "
+            f"{max_disp}"
+        )
+    if jnp.issubdtype(img1.dtype, jnp.integer):
+        # ONE dtype contract across impls (meta-review): integer inputs
+        # promote to float32 everywhere — the shift paths' fixed-point
+        # offsets WRAP in unsigned dtypes, and leaving gather integer
+        # made the output dtype depend on backend-driven auto-selection
+        img1 = img1.astype(jnp.float32)
+        img2 = img2.astype(jnp.float32)
     fu = u.astype(jnp.float32)
     fv = v.astype(jnp.float32)
     hx = fu / jnp.float32(2)

@@ -95,6 +95,9 @@ def global_flow_mesh(
     n = len(jax.devices())
     spec = {"frames": frames, "rows": rows, "cols": cols}
     fixed = {k: v for k, v in spec.items() if v is not None}
+    for k, v in fixed.items():
+        if v < 1:  # 0 would slip past the divisibility guard via max(,1)
+            raise ValueError(f"mesh axis {k}={v} must be >= 1")
     free = [k for k, v in spec.items() if v is None]
     prod = 1
     for v in fixed.values():

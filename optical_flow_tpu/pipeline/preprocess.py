@@ -88,10 +88,11 @@ def resize_cubic(img, size: Tuple[int, int], *, as_uint8: Optional[bool] = None)
     y = jnp.einsum("oh,...hw,pw->...op", Mr, xf, Mc, precision=lax.Precision.HIGHEST)
     if as_uint8 or (as_uint8 is None and img.dtype == jnp.uint8):
         y = _saturate_u8(y)
-    elif img.dtype == jnp.uint8:
-        # as_uint8=False on a uint8 input: the caller wants the raw float
-        # samples — a bare astype(uint8) would WRAP bicubic overshoot
-        # (-3 -> 253) with backend-defined results (round-5 review)
+    elif jnp.issubdtype(img.dtype, jnp.integer):
+        # non-saturating request on ANY integer input: the caller wants
+        # the raw float samples — a bare astype would WRAP bicubic
+        # overshoot (-3 -> 253 for uint8, 65533 for uint16) with
+        # backend-defined results (round-5 review + meta-review)
         y = y.astype(jnp.float32)
     else:
         y = y.astype(img.dtype)
@@ -139,8 +140,8 @@ def gaussian_blur(img, ksize: int = 9, sigma: float = 1.5, *, faithful_uint8: bo
     xf = sum(t * p[..., :, j : j + W] for j, t in enumerate(taps))
     if is_u8 and faithful_uint8:
         y = _saturate_u8(xf)
-    elif is_u8:
-        y = xf  # float samples: never wrap-cast overshoot back to uint8
+    elif jnp.issubdtype(img.dtype, jnp.integer):
+        y = xf  # float samples: never wrap-cast overshoot back to ints
     else:
         y = xf.astype(img.dtype)
     return jnp.moveaxis(y, 0, -1) if chan_last else y

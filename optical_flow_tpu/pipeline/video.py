@@ -279,18 +279,18 @@ class VideoPipeline:
             else:
                 result, carry = self._chunk_step(carry, chunk)
             self._frame_idx += int(chunk.shape[0])
-            yield result
-        # seed the per-frame streaming state from the carry REGARDLESS of
-        # a tail: state()/checkpoint and a subsequent push() must continue
-        # the pair sequence, not restart the two-frame warm-up (round-5
-        # review — a chunk-multiple stream previously left frame_idx=0
-        # and prev state None)
-        if carry is not None:
+            # seed the per-frame streaming state from the carry EVERY
+            # chunk, before yielding: state()/checkpoint and a
+            # subsequent push() must continue the pair sequence, not
+            # restart the two-frame warm-up — including when the
+            # consumer exits the generator early, where a post-loop
+            # seeding would be skipped (round-5 review + meta-review)
             self._prev_gray = carry[0]
             self._prev_pyr = carry[1]
             # prev_diff is only consulted for the non-reuse path; the
             # reuse path (faithful_prev_diff=False) keys off _prev_pyr
             self._prev_diff = carry[1][0]
+            yield result
         # tail frames: per-frame path, seeded from the chunk carry
         if tail:
             for frame in tail[0]:

@@ -54,10 +54,14 @@ def _unflatten(prefix: str, arrays, meta):
         return arrays[prefix]
     kind = m["kind"]
     if kind == "dict":
-        return {
-            k: _unflatten(f"{prefix}.{_esc(k)}", arrays, meta)
-            for k in m["keys"]
-        }
+        def child(k):
+            p = f"{prefix}.{_esc(k)}"
+            if p in meta:
+                return p
+            # pre-escaping checkpoints stored separator-bearing keys
+            # unescaped; fall back so old files keep loading
+            return f"{prefix}.{k}"
+        return {k: _unflatten(child(k), arrays, meta) for k in m["keys"]}
     if kind in ("list", "tuple"):
         items = [_unflatten(f"{prefix}[{i}]", arrays, meta) for i in range(m["len"])]
         return items if kind == "list" else tuple(items)
