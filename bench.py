@@ -185,6 +185,49 @@ def _device_seconds(trace_dir, fn_name, expected_calls):
     return device_seconds_from_trace(trace_dir, fn_name, expected_calls)
 
 
+def reconcile_host_loop(host_loop, chunk=16):
+    """The VERDICT r4 #1 'done' gate: the decomposition's legs must
+    predict the measured loop within ~25%. Legs are CO-MEASURED with
+    each loop by its own clock (instrumented prefetch worker +
+    consumer spans — see measure_host_loop), so the prediction is
+    against the exact run it explains: with a depth-2 prefetch queue
+    the steady-state period per chunk is
+        max(producer, consumer) = max(decode + put, dispatch + sync)
+    (producer legs are serial in the worker thread; the queue decouples
+    producer from consumer). Side bandwidth probes remain in the
+    artifact as context only — the link flaps too hard to point-probe
+    (8-67 MB/s effective observed within one session)."""
+    rec = {}
+    for name, legs_key, meas_key in (
+        ("bgr", "legs_bgr", "e2e_wall_clock_fps"),
+        ("gray", "legs_gray", "e2e_wall_clock_fps_gray_decode"),
+    ):
+        legs = host_loop.get(legs_key)
+        if not legs or meas_key not in host_loop:
+            continue
+        producer = legs["decode_s_per_chunk"] + legs["h2d_s_per_chunk"]
+        consumer = legs["compute_sync_s_per_chunk"]
+        pred = chunk / max(producer, consumer)
+        # medians on both sides: the window-mean fps keeps flap-era
+        # chunks a median leg rightly ignores, so the gate compares
+        # the TYPICAL chunk period against the typical legs; the
+        # window fps stays reported as the experienced rate
+        meas_med = chunk / max(legs.get("chunk_period_s_median", 0), 1e-9)
+        meas = host_loop[meas_key]
+        rec[name] = {
+            "predicted_fps": round(pred, 2),
+            "measured_fps_window": round(meas, 2),
+            "measured_fps_median_period": round(meas_med, 2),
+            "median_over_predicted": round(meas_med / pred, 2),
+            "coheres_within_25pct": bool(0.75 <= meas_med / pred <= 1.25),
+            "bound": (
+                "producer(decode+h2d)" if producer >= consumer
+                else "consumer(compute+sync)"
+            ),
+        }
+    return rec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"])
@@ -794,47 +837,6 @@ def main():
         )
         return out
 
-    def reconcile_host_loop(host_loop, chunk=16):
-        """The VERDICT r4 #1 'done' gate: the decomposition's legs must
-        predict the measured loop within ~25%. Legs are CO-MEASURED with
-        each loop by its own clock (instrumented prefetch worker +
-        consumer spans — see measure_host_loop), so the prediction is
-        against the exact run it explains: with a depth-2 prefetch queue
-        the steady-state period per chunk is
-            max(producer, consumer) = max(decode + put, dispatch + sync)
-        (producer legs are serial in the worker thread; the queue decouples
-        producer from consumer). Side bandwidth probes remain in the
-        artifact as context only — the link flaps too hard to point-probe
-        (8-67 MB/s effective observed within one session)."""
-        rec = {}
-        for name, legs_key, meas_key in (
-            ("bgr", "legs_bgr", "e2e_wall_clock_fps"),
-            ("gray", "legs_gray", "e2e_wall_clock_fps_gray_decode"),
-        ):
-            legs = host_loop.get(legs_key)
-            if not legs or meas_key not in host_loop:
-                continue
-            producer = legs["decode_s_per_chunk"] + legs["h2d_s_per_chunk"]
-            consumer = legs["compute_sync_s_per_chunk"]
-            pred = chunk / max(producer, consumer)
-            # medians on both sides: the window-mean fps keeps flap-era
-            # chunks a median leg rightly ignores, so the gate compares
-            # the TYPICAL chunk period against the typical legs; the
-            # window fps stays reported as the experienced rate
-            meas_med = chunk / max(legs.get("chunk_period_s_median", 0), 1e-9)
-            meas = host_loop[meas_key]
-            rec[name] = {
-                "predicted_fps": round(pred, 2),
-                "measured_fps_window": round(meas, 2),
-                "measured_fps_median_period": round(meas_med, 2),
-                "median_over_predicted": round(meas_med / pred, 2),
-                "coheres_within_25pct": bool(0.75 <= meas_med / pred <= 1.25),
-                "bound": (
-                    "producer(decode+h2d)" if producer >= consumer
-                    else "consumer(compute+sync)"
-                ),
-            }
-        return rec
 
     if args.sweep:
         print("size  batch  impl    fps        Mpix/s", file=sys.stderr)
