@@ -14,9 +14,10 @@ then:
 
 import argparse
 import json
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from optical_flow_tpu.io.video_reader import read_frames
 from optical_flow_tpu.pipeline.serve import FlowClient

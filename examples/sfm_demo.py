@@ -68,6 +68,8 @@ def main():
             np.asarray(bgr_to_gray(jnp.asarray(f)))
             for f in read_frames(args.input, max_frames=args.frames)
         ]
+        if not frames:
+            sys.exit(f"no frames decoded from {args.input}")
         focal = args.focal or 0.9 * frames[0].shape[1]
     else:
         frames, focal = _render_sequence(args.frames)

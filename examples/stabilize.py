@@ -67,15 +67,15 @@ def main():
         mapped = H_acc @ coords
         mx = (mapped[0] / mapped[2]).reshape(h, w).astype(np.float32)
         my = (mapped[1] / mapped[2]).reshape(h, w).astype(np.float32)
-        stab = np.stack(
-            [
-                np.asarray(
-                    remap_bilinear(jnp.asarray(frame[..., c]), jnp.asarray(mx), jnp.asarray(my))
-                )
-                for c in range(3)
-            ],
-            axis=-1,
+        # one dispatch for all three channels: remap_bilinear accepts
+        # leading axes (the per-channel loop tripled dispatch + transfer)
+        stab_chw = np.asarray(
+            remap_bilinear(
+                jnp.asarray(np.ascontiguousarray(frame.transpose(2, 0, 1))),
+                jnp.asarray(mx), jnp.asarray(my),
+            )
         )
+        stab = stab_chw.transpose(1, 2, 0)
         jitter.append((H_acc[0, 2], H_acc[1, 2]))
         print(
             f"frame {i}: cumulative motion ({H_acc[0,2]:+7.2f}, {H_acc[1,2]:+7.2f}) px"

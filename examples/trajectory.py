@@ -58,7 +58,7 @@ def main():
                 f"dt=({H[0,2]:+.2f},{H[1,2]:+.2f})  cumulative=({tx:+.1f},{ty:+.1f})"
             )
         else:
-            print(f"frame {i}: too few tracks ({int(ok.sum())}), re-seeding")
+            print(f"frame {i}: too few tracks ({int(ok.sum())}); skipping pose")
         prev = gray
         pts, valid = good_features_to_track(jnp.asarray(gray), args.corners, 0.01, 8)
 

@@ -125,7 +125,7 @@ def main():
         print(f"frozen-bias (9-DOF)  err : {err.mean():.4f} m")
         print(f"bias-state (15-DOF)  err : {err_b.mean():.4f} m")
         print(f"solved bias walk         : {walk.round(4)} rad/s "
-              f"(true {(0.016, -0.012, 0.014)} x {sc['kf_t'][-1]:.1f}s)")
+              f"(true {tuple(slope)} x {sc['kf_t'][-1]:.1f}s)")
 
 
 if __name__ == "__main__":

@@ -37,7 +37,7 @@ def main():
     from optical_flow_tpu.config import FlowConfig, PreprocessConfig, VideoConfig
     from optical_flow_tpu.io.video_reader import read_frames
     from optical_flow_tpu.pipeline import VideoPipeline
-    from optical_flow_tpu.utils.viz import draw_circle, flow_to_color, save_png
+    from optical_flow_tpu.utils.viz import flow_to_color, save_png
 
     cfg = VideoConfig(
         preprocess=PreprocessConfig(size=(args.size, args.size)),
@@ -66,10 +66,11 @@ def main():
         if args.out:
             save_png(flow_to_color(u, v), os.path.join(args.out, f"flow_{i:04d}.png"))
             if detected:
-                h, w = frames[0].shape[:2]
-                sx, sy = w / args.size, h / args.size
-                overlay = draw_circle(
-                    frames[i + 2][..., ::-1], float(g.cx) * sx, float(g.cy) * sy, 35
+                from optical_flow_tpu.utils.viz import annotate_gesture_frame
+
+                overlay = annotate_gesture_frame(
+                    frames[i + 2], g, (args.size, args.size),
+                    cfg.gesture.circle_radius,
                 )
                 save_png(overlay, os.path.join(args.out, f"detect_{i:04d}.png"))
         n += 1
